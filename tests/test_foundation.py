@@ -1,0 +1,233 @@
+"""Tests for units, the expression compiler, and the parameter system."""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mcmc_dynamics_tpu import units as u
+from mcmc_dynamics_tpu.expressions import (ExpressionError, compile_host, compile_jax,
+                                           expression_names)
+from mcmc_dynamics_tpu.parameters import Parameter, Parameters
+
+
+# --------------------------------------------------------------------------- units
+class TestUnits:
+    def test_angle_conversions(self):
+        assert math.isclose(u.deg.conversion_factor(u.arcmin), 60.0)
+        assert math.isclose(u.deg.conversion_factor(u.arcsec), 3600.0)
+        assert math.isclose(u.rad.conversion_factor(u.deg), 180.0 / math.pi)
+        assert math.isclose(u.arcsec.conversion_factor(u.mas), 1000.0)
+
+    def test_parse(self):
+        assert u.parse_unit("km/s") == u.km_per_s
+        assert u.parse_unit("mas/yr") == u.mas_per_yr
+        assert u.parse_unit(None).is_unity()
+        assert u.parse_unit("solMass / pc2").dims == (u.solMass / u.pc ** 2).dims
+
+    def test_incompatible(self):
+        with pytest.raises(u.UnitConversionError):
+            u.km.conversion_factor(u.s)
+
+    def test_quantity_arithmetic(self):
+        q = u.Quantity([1.0, 2.0], u.arcmin)
+        r = q.to(u.arcsec)
+        np.testing.assert_allclose(r.value, [60.0, 120.0])
+        total = q + u.Quantity(60.0, u.arcsec)
+        np.testing.assert_allclose(total.value, [2.0, 3.0])
+        prod = q * 2.0
+        np.testing.assert_allclose(prod.value, [2.0, 4.0])
+        ratio = (q / u.Quantity([1.0, 1.0], u.arcmin))
+        assert ratio.unit.is_dimensionless
+
+    def test_dex(self):
+        dq = u.Quantity(1.0, u.dex("arcmin"))
+        assert math.isclose(dq.physical.to(u.arcmin).value, 10.0)
+
+    def test_distance_scales(self):
+        assert math.isclose(u.kpc.conversion_factor(u.pc), 1000.0)
+
+
+# --------------------------------------------------------------------------- expressions
+class TestExpressions:
+    def test_host_rng(self):
+        rng = np.random.default_rng(42)
+        fn = compile_host("rng.normal(loc=0, scale=3, size=n)", rng)
+        draw = fn(n=1000)
+        assert draw.shape == (1000,)
+        assert abs(np.std(draw) - 3.0) < 0.3
+
+    def test_host_lognormal(self):
+        rng = np.random.default_rng(0)
+        fn = compile_host("rng.lognormal(mean=2.30, sigma=0.5, size=n)", rng)
+        draw = fn(n=4000)
+        assert abs(np.mean(np.log(draw)) - 2.30) < 0.05
+
+    def test_host_beta_affine(self):
+        rng = np.random.default_rng(0)
+        fn = compile_host("10.0*rng.beta(a=2, b=5, size=n) + 1.0", rng)
+        draw = fn(n=500)
+        assert np.all(draw >= 1.0) and np.all(draw <= 11.0)
+
+    def test_reject_evil(self):
+        rng = np.random.default_rng(0)
+        for bad in ("__import__('os')", "open('/etc/passwd')", "[x for x in range(3)]",
+                    "rng.__class__"):
+            with pytest.raises(ExpressionError):
+                compile_host(bad, rng)(n=1)
+
+    def test_names(self):
+        assert expression_names("v_maxx*tan(theta_0)") == {"v_maxx", "tan", "theta_0"}
+
+    def test_jax_norm_logpdf(self):
+        fn = compile_jax("norm.logpdf(val, loc=2.0, scale=3.0)")
+        got = fn({"val": jnp.asarray(2.5)})
+        from scipy import stats
+        assert math.isclose(float(got), stats.norm.logpdf(2.5, 2, 3), rel_tol=1e-9)
+
+    def test_jax_lognorm_matches_scipy(self):
+        fn = compile_jax("lognorm.logpdf(val, 0.7, 0.0, 4.0)")
+        from scipy import stats
+        for x in (0.5, 2.0, 10.0):
+            assert math.isclose(float(fn({"val": jnp.asarray(x)})),
+                                stats.lognorm.logpdf(x, 0.7, 0, 4), rel_tol=1e-9)
+        assert float(fn({"val": jnp.asarray(-1.0)})) == -np.inf
+
+    def test_jax_uniform(self):
+        fn = compile_jax("uniform.logpdf(val, loc=1.0, scale=2.0)")
+        assert math.isclose(float(fn({"val": jnp.asarray(1.5)})), -math.log(2.0))
+        assert float(fn({"val": jnp.asarray(3.5)})) == -np.inf
+
+    def test_jax_in_jit(self):
+        fn = compile_jax("where(val > 0, -0.5*val**2, -inf)")
+        jitted = jax.jit(lambda x: fn({"val": x}))
+        assert math.isclose(float(jitted(jnp.asarray(2.0))), -2.0)
+        assert float(jitted(jnp.asarray(-1.0))) == -np.inf
+
+    def test_jax_derived_expression(self):
+        fn = compile_jax("v_maxx*tan(theta_0)")
+        got = fn({"v_maxx": jnp.asarray(2.0), "theta_0": jnp.asarray(np.pi / 4)})
+        assert math.isclose(float(got), 2.0, rel_tol=1e-6)
+
+
+# --------------------------------------------------------------------------- parameters
+def _demo_parameters():
+    params = Parameters(rng_seed=7)
+    params.add("v_sys", value=0.0, unit="km/s", initials="rng.normal(size=n)")
+    params.add("sigma_max", value=10.0, unit="km/s", min=0.0,
+               initials="rng.lognormal(mean=2.3, sigma=0.5, size=n)",
+               lnprior="norm.logpdf(val, loc=10.0, scale=5.0)")
+    params.add("frac", value=0.5, min=0.0, max=1.0)
+    params.add("ra_center", value=56.0, unit="deg", min=0.0, max=360.0, fixed=True)
+    return params
+
+
+class TestParameters:
+    def test_bounds_init_rules(self):
+        p = Parameter("x", min=2.0, max=4.0)  # no value -> midpoint
+        assert p.value == 3.0
+        p2 = Parameter("y", value=10.0, min=0.0, max=5.0)  # clamped
+        assert p2.value == 5.0
+        with pytest.raises(ValueError):
+            Parameter("z", min=1.0, max=1.0)
+        p3 = Parameter("w", min=5.0, max=2.0)  # swapped
+        assert (p3.min, p3.max) == (2.0, 5.0)
+
+    def test_expr_forces_fixed(self):
+        p = Parameter("v_maxy", expr="v_maxx*tan(0.5)")
+        assert p.fixed
+
+    def test_json_roundtrip(self):
+        params = _demo_parameters()
+        text = params.dumps()
+        restored = Parameters().loads(text)
+        assert list(restored) == list(params)
+        assert restored["sigma_max"].lnprior == params["sigma_max"].lnprior
+        assert restored["ra_center"].fixed
+        assert restored["v_sys"].unit == u.km_per_s
+
+    def test_load_reference_tuple_schema(self):
+        """The reference config format (11-tuples) must load unchanged."""
+        payload = {
+            "unique_symbols": {"rng_seed": 3},
+            "params": [
+                ["v_sys", None, "km/s", False, -math.inf, math.inf,
+                 "$v_{\\rm sys}$", "rng.normal(size=n)", None, None, None],
+                ["sigma_max", None, "km/s", False, 0.0, math.inf,
+                 "$\\sigma_{\\rm max}$", "rng.lognormal(size=n)", None, None, None],
+            ],
+        }
+        params = Parameters().loads(json.dumps(payload))
+        assert params.free_names == ["v_sys", "sigma_max"]
+        assert params["sigma_max"].min == 0.0
+        assert params.rng_seed == 3
+
+    def test_bundled_configs_load(self):
+        import pathlib
+        cfgdir = pathlib.Path(__file__).resolve().parents[1] / "mcmc_dynamics_tpu" / "config"
+        expected_params = {
+            "constant.json": ["v_sys", "sigma_max", "v_maxx", "v_maxy",
+                              "ra_center", "dec_center"],
+            "model.json": ["v_sys", "sigma_max", "a", "v_maxx", "v_maxy", "r_peak",
+                           "ra_center", "dec_center"],
+            "axisymmetric.json": ["d", "mlr", "barq", "kappa_x", "kappa_y", "beta",
+                                  "mbh", "ra_center", "dec_center", "rbh", "delta_v"],
+        }
+        for fname, names in expected_params.items():
+            params = Parameters().load(cfgdir / fname)
+            assert list(params) == names, fname
+
+    def test_compiled_expand_and_order(self):
+        params = _demo_parameters()
+        cp = params.compile()
+        assert cp.free_names == ["v_sys", "sigma_max", "frac"]
+        theta = jnp.asarray([1.0, 12.0, 0.25])
+        vals = cp.expand(theta)
+        assert float(vals["ra_center"]) == 56.0
+        assert float(vals["sigma_max"]) == 12.0
+
+    def test_compiled_lnprior(self):
+        from scipy import stats
+        params = _demo_parameters()
+        cp = params.compile()
+        lp = jax.jit(cp.lnprior)
+        inb = float(lp(jnp.asarray([1.0, 12.0, 0.25])))
+        assert math.isclose(inb, stats.norm.logpdf(12.0, 10.0, 5.0), rel_tol=1e-9)
+        # out of bounds -> -inf
+        assert float(lp(jnp.asarray([1.0, -1.0, 0.25]))) == -np.inf
+        assert float(lp(jnp.asarray([1.0, 12.0, 1.5]))) == -np.inf
+
+    def test_compiled_lnprior_derived_param_bounds(self):
+        params = Parameters()
+        params.add("x", value=1.0, min=-10.0, max=10.0)
+        params.add("y", expr="2*x", min=-4.0, max=4.0)
+        cp = params.compile()
+        assert np.isfinite(float(cp.lnprior(jnp.asarray([1.0]))))
+        assert float(cp.lnprior(jnp.asarray([3.0]))) == -np.inf  # y=6 > 4
+
+    def test_sample_initials(self):
+        params = _demo_parameters()
+        cp = params.compile()
+        draws = cp.sample_initials(2000)
+        assert draws.shape == (2000, 3)
+        # sigma_max initials are lognormal(2.3, 0.5)
+        assert abs(np.mean(np.log(draws[:, 1])) - 2.3) < 0.05
+        # frac has no initials expr -> truncnorm within [0, 1]
+        assert np.all(draws[:, 2] >= 0.0) and np.all(draws[:, 2] <= 1.0)
+
+    def test_sample_initials_reproducible(self):
+        a = _demo_parameters().compile().sample_initials(16)
+        b = _demo_parameters().compile().sample_initials(16)
+        np.testing.assert_array_equal(a, b)
+
+    def test_vmapped_lnprior(self):
+        params = _demo_parameters()
+        cp = params.compile()
+        thetas = jnp.asarray(cp.sample_initials(64))
+        lps = jax.vmap(cp.lnprior)(thetas)
+        assert lps.shape == (64,)
+        assert np.all(np.isfinite(np.asarray(lps)))
