@@ -1,0 +1,10 @@
+from .table import Table
+from .data import DataReader, RadialProfile, radial_bin_numbers
+from .coordinates import (calc_cartesian_pm, calc_xy_offset, get_amplitude_and_angle,
+                          get_perspective_rotation, xy_offset_rad)
+
+__all__ = [
+    "Table", "DataReader", "RadialProfile", "radial_bin_numbers",
+    "calc_xy_offset", "calc_cartesian_pm", "get_perspective_rotation",
+    "get_amplitude_and_angle", "xy_offset_rad",
+]

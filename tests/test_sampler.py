@@ -1,0 +1,146 @@
+"""Sampler correctness: posterior recovery on analytic targets, resume, diagnostics."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcmc_dynamics_tpu.sampler import (autocorr_time, effective_sample_size,
+                                       gelman_rubin, init_state, run_ensemble,
+                                       stretch_step)
+
+
+def _gaussian_lnprob(mean, cov_inv):
+    mean = jnp.asarray(mean)
+    cov_inv = jnp.asarray(cov_inv)
+
+    def lnprob(theta):
+        d = theta - mean
+        return -0.5 * d @ cov_inv @ d
+
+    return lnprob
+
+
+class TestStretchSampler:
+    def test_recovers_gaussian_moments(self):
+        mean = np.array([1.0, -2.0])
+        cov = np.array([[2.0, 0.8], [0.8, 1.0]])
+        lnprob = _gaussian_lnprob(mean, np.linalg.inv(cov))
+
+        key = jax.random.PRNGKey(0)
+        coords = mean + np.random.default_rng(1).normal(size=(64, 2))
+        state = init_state(lnprob, jnp.asarray(coords), key)
+        result = run_ensemble(lnprob, state, n_steps=2000)
+
+        samples = np.asarray(result.chain[:, 500:, :]).reshape(-1, 2)
+        np.testing.assert_allclose(samples.mean(axis=0), mean, atol=0.1)
+        np.testing.assert_allclose(np.cov(samples.T), cov, atol=0.25)
+
+    def test_acceptance_fraction_reasonable(self):
+        lnprob = _gaussian_lnprob([0.0], [[1.0]])
+        state = init_state(lnprob, jnp.asarray(np.random.default_rng(0).normal(size=(32, 1))),
+                           jax.random.PRNGKey(1))
+        result = run_ensemble(lnprob, state, n_steps=500)
+        acc = np.asarray(result.acceptance_fraction)
+        assert np.all(acc > 0.2) and np.all(acc < 0.9)
+
+    def test_bitwise_resume(self):
+        """Checkpoint/restart must reproduce the uninterrupted run exactly (the
+        reference cannot: it restarts positions without the emcee RNG state)."""
+        lnprob = _gaussian_lnprob([0.0, 0.0], np.eye(2))
+        coords = jnp.asarray(np.random.default_rng(3).normal(size=(16, 2)))
+        state = init_state(lnprob, coords, jax.random.PRNGKey(7))
+
+        full = run_ensemble(lnprob, state, n_steps=100)
+
+        part1 = run_ensemble(lnprob, state, n_steps=40)
+        part2 = run_ensemble(lnprob, part1.final, n_steps=60)
+        resumed = np.concatenate([np.asarray(part1.chain), np.asarray(part2.chain)],
+                                 axis=1)
+        np.testing.assert_array_equal(np.asarray(full.chain), resumed)
+
+    def test_minus_inf_regions_never_entered(self):
+        def lnprob(theta):
+            x = theta[0]
+            return jnp.where(x > 0, -0.5 * (x - 1.0) ** 2, -jnp.inf)
+
+        coords = jnp.asarray(np.abs(np.random.default_rng(0).normal(size=(32, 1))) + 0.1)
+        state = init_state(lnprob, coords, jax.random.PRNGKey(2))
+        result = run_ensemble(lnprob, state, n_steps=300)
+        assert np.all(np.asarray(result.chain)[..., 0] > 0)
+        assert np.all(np.isfinite(np.asarray(result.log_prob)))
+
+    def test_nan_lnprob_rejected(self):
+        def lnprob(theta):
+            x = theta[0]
+            return jnp.where(x > 0, -0.5 * x ** 2, jnp.nan)
+
+        coords = jnp.asarray(np.abs(np.random.default_rng(0).normal(size=(16, 1))) + 0.1)
+        state = init_state(lnprob, coords, jax.random.PRNGKey(2))
+        result = run_ensemble(lnprob, state, n_steps=200)
+        assert np.all(np.isfinite(np.asarray(result.log_prob)))
+
+    def test_thinning(self):
+        lnprob = _gaussian_lnprob([0.0], [[1.0]])
+        coords = jnp.asarray(np.random.default_rng(0).normal(size=(16, 1)))
+        state = init_state(lnprob, coords, jax.random.PRNGKey(4))
+        result = run_ensemble(lnprob, state, n_steps=100, thin=10)
+        assert result.chain.shape == (16, 10, 1)
+        assert int(result.final.step) == 100
+
+    def test_odd_walkers_rejected(self):
+        lnprob = _gaussian_lnprob([0.0], [[1.0]])
+        coords = jnp.asarray(np.random.default_rng(0).normal(size=(15, 1)))
+        state = init_state(lnprob, coords, jax.random.PRNGKey(4))
+        with pytest.raises(ValueError):
+            run_ensemble(lnprob, state, n_steps=10)
+
+    def test_batched_ensembles_via_vmap(self):
+        """Independent fits (radial bins) advance as one jitted program."""
+        means = jnp.asarray([[0.0], [5.0], [-3.0]])
+
+        def make_state(mean, key):
+            lnprob = lambda t, m=mean: -0.5 * jnp.sum((t - m) ** 2)
+            coords = mean + jax.random.normal(key, (32, 1))
+            return init_state(lnprob, coords, key)
+
+        def lnprob_batched(theta, mean):
+            return -0.5 * jnp.sum((theta - mean) ** 2)
+
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        states = jax.vmap(make_state)(means, keys)
+
+        def run_one(state, mean):
+            return run_ensemble(lambda t: lnprob_batched(t, mean), state, n_steps=500)
+
+        # note: lnprob closes over the vmapped mean -> rebuild inside vmap
+        def run(mean, state):
+            lnprob = lambda t: -0.5 * jnp.sum((t - mean) ** 2)
+            return run_ensemble(lnprob, state, n_steps=500)
+
+        results = jax.vmap(run)(means, states)
+        chains = np.asarray(results.chain)  # (3, 32, 500, 1)
+        for b in range(3):
+            assert abs(chains[b, :, 200:, 0].mean() - float(means[b, 0])) < 0.15
+
+
+class TestDiagnostics:
+    def test_autocorr_and_ess(self):
+        lnprob = _gaussian_lnprob([0.0], [[1.0]])
+        coords = jnp.asarray(np.random.default_rng(0).normal(size=(32, 1)))
+        state = init_state(lnprob, coords, jax.random.PRNGKey(5))
+        result = run_ensemble(lnprob, state, n_steps=2000)
+        tau = autocorr_time(np.asarray(result.chain))
+        assert 1.0 < tau[0] < 60.0
+        ess = effective_sample_size(np.asarray(result.chain))
+        assert ess[0] > 500
+
+    def test_gelman_rubin_converged(self):
+        lnprob = _gaussian_lnprob([0.0], [[1.0]])
+        coords = jnp.asarray(np.random.default_rng(0).normal(size=(32, 1)))
+        state = init_state(lnprob, coords, jax.random.PRNGKey(6))
+        result = run_ensemble(lnprob, state, n_steps=1500)
+        rhat = gelman_rubin(np.asarray(result.chain[:, 300:, :]))
+        assert rhat[0] < 1.1

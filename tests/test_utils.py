@@ -1,0 +1,161 @@
+"""Tests for the table, data reader, coordinates and binning utilities."""
+
+import io
+import math
+
+import numpy as np
+import pytest
+
+from mcmc_dynamics_tpu import units as u
+from mcmc_dynamics_tpu.utils import (DataReader, RadialProfile, Table,
+                                     calc_cartesian_pm, calc_xy_offset,
+                                     get_amplitude_and_angle,
+                                     get_perspective_rotation, radial_bin_numbers)
+
+
+class TestTable:
+    def test_build_and_index(self):
+        t = Table({"v": u.Quantity([1.0, 2.0, 3.0], "km/s"), "w": [4, 5, 6]})
+        assert t.colnames == ["v", "w"]
+        assert len(t) == 3
+        sel = t[t.columns["w"] > 4]
+        assert len(sel) == 2
+        np.testing.assert_allclose(sel.value("v"), [2.0, 3.0])
+
+    def test_ecsv_roundtrip(self):
+        t = Table({"r": u.Quantity([0.1, 1.0], "arcsec"),
+                   "i": u.Quantity([100.0, 10.0], "solLum/pc2"),
+                   "q": [0.9, 0.8]})
+        buf = io.StringIO()
+        t.write(buf)
+        restored = Table.read(io.StringIO(buf.getvalue()))
+        assert restored.colnames == ["r", "i", "q"]
+        np.testing.assert_allclose(restored.value("r"), [0.1, 1.0])
+        assert restored.units["r"] == u.arcsec
+
+    def test_value_with_conversion(self):
+        t = Table({"r": u.Quantity([60.0], "arcsec")})
+        np.testing.assert_allclose(t.value("r", "arcmin"), [1.0])
+
+
+class TestCoordinates:
+    def test_xy_offset_small_angle(self):
+        """Near the centre the projection reduces to plain offsets (x flipped)."""
+        ra_c, dec_c = 56.0, -26.0
+        ddeg = 0.01
+        dx, dy = calc_xy_offset(ra_c + ddeg, dec_c, ra_c, dec_c)
+        np.testing.assert_allclose(dx.to(u.deg).value,
+                                   -ddeg * math.cos(math.radians(dec_c)), rtol=1e-4)
+        dx2, dy2 = calc_xy_offset(ra_c, dec_c + ddeg, ra_c, dec_c)
+        np.testing.assert_allclose(dy2.to(u.deg).value, ddeg, rtol=1e-4)
+        assert abs(dx2.value) < 1e-10
+
+    def test_xy_offset_formula(self):
+        """Exact van de Ven+06 projection, checked against independent spherical
+        trig (the reference formula, calc_xy_offset.py:30-31)."""
+        ra, dec = np.array([57.1]), np.array([-25.3])
+        ra_c, dec_c = 56.345, -26.675
+        dx, dy = calc_xy_offset(ra, dec, ra_c, dec_c)
+        r0 = 10800.0 / math.pi
+        rr, dd, rc, dc = map(math.radians, (ra[0], dec[0], ra_c, dec_c))
+        exp_dx = -r0 * math.cos(dd) * math.sin(rr - rc)
+        exp_dy = r0 * (math.sin(dd) * math.cos(dc) - math.cos(dd) * math.sin(dc) * math.cos(rr - rc))
+        np.testing.assert_allclose(dx.value, exp_dx, rtol=1e-12)
+        np.testing.assert_allclose(dy.value, exp_dy, rtol=1e-12)
+
+    def test_perspective_rotation(self):
+        v = get_perspective_rotation(u.Quantity(10.0, "arcmin"), u.Quantity(0.0, "arcmin"),
+                                     u.Quantity(5.0, "mas/yr"), u.Quantity(0.0, "mas/yr"),
+                                     u.Quantity(5.0, "kpc"))
+        np.testing.assert_allclose(v.value, 1.3790e-3 * 5.0 * 50.0, rtol=1e-12)
+
+    def test_cartesian_pm_at_center(self):
+        pmx, pmy = calc_cartesian_pm(u.Quantity(1.0, "mas/yr"), u.Quantity(2.0, "mas/yr"),
+                                     10.0 * u.deg, 20.0 * u.deg, 10.0 * u.deg, 20.0 * u.deg)
+        np.testing.assert_allclose(pmx.value, -1.0)
+        np.testing.assert_allclose(pmy.value, 2.0)
+
+    def test_amplitude_and_angle_wraparound(self):
+        """theta near the ±pi boundary must not split into two lobes."""
+        rng = np.random.default_rng(0)
+        theta_true = math.pi - 0.05  # close to wrap
+        v_true = 10.0
+        vx = v_true * np.cos(theta_true) + 0.3 * rng.normal(size=4000)
+        vy = v_true * np.sin(theta_true) + 0.3 * rng.normal(size=4000)
+        res, _, _ = get_amplitude_and_angle({"v_maxx": vx, "v_maxy": vy})
+        v_med = res.value("v_max")[0]
+        th_med = res.value("theta_0")[0]
+        assert abs(v_med - v_true) < 0.1
+        assert abs(((th_med - theta_true) + np.pi) % (2 * np.pi) - np.pi) < 0.02
+        # errors must be small (no wrap inflation)
+        assert res.value("theta_0")[1] < 0.1
+
+
+class TestBinning:
+    def test_greedy_binning_counts_and_span(self):
+        rng = np.random.default_rng(0)
+        r = rng.lognormal(0.0, 1.0, size=500)
+        bins = radial_bin_numbers(r, nstars=50, dlogr=0.2)
+        assert bins.min() >= 0
+        for b in range(bins.max() + 1):
+            sel = r[bins == b]
+            assert len(sel) >= 25  # tail rule allows smaller last bin
+        # all but the last bin satisfy both criteria
+        for b in range(bins.max()):
+            sel = np.sort(r[bins == b])
+            assert len(sel) >= 50
+
+    def test_bins_are_radial_contiguous(self):
+        r = np.linspace(0.1, 10.0, 200)
+        bins = radial_bin_numbers(r, nstars=20, dlogr=0.01)
+        assert np.all(np.diff(bins) >= 0)  # sorted input -> monotone bins
+
+    def test_radial_profile_class(self):
+        r = np.logspace(-1, 1, 300)
+        rp = RadialProfile(r)
+        bins = rp(nstars=30, dlogr=0.1)
+        assert bins.shape == (300,)
+
+
+class TestDataReader:
+    def _reader(self, n=200, seed=0):
+        rng = np.random.default_rng(seed)
+        ra = 56.0 + 0.05 * rng.normal(size=n)
+        dec = -26.0 + 0.05 * rng.normal(size=n)
+        return DataReader({"ra": u.Quantity(ra, "deg"), "dec": u.Quantity(dec, "deg"),
+                           "v": u.Quantity(rng.normal(size=n), "km/s"),
+                           "verr": u.Quantity(0.1 + 0 * ra, "km/s")})
+
+    def test_distances_and_polar(self):
+        d = self._reader()
+        r = d.compute_distances(56.0 * u.deg, -26.0 * u.deg)
+        assert r.unit == u.arcmin
+        assert np.all(r.value >= 0)
+        r2, theta = d.compute_polar(56.0 * u.deg, -26.0 * u.deg)
+        np.testing.assert_allclose(r2.value, r.value)
+        assert np.all(np.abs(theta.value) <= np.pi)
+
+    def test_bins_and_fetch(self):
+        d = self._reader(500)
+        d.make_radial_bins(56.0 * u.deg, -26.0 * u.deg, nstars=50, dlogr=0.05)
+        assert d.n_bins >= 2
+        sub = d.fetch_radial_bin(0)
+        assert sub.sample_size >= 25
+        assert "v" in sub.data
+
+    def test_padded_bins_mask(self):
+        d = self._reader(300)
+        d.make_radial_bins(56.0 * u.deg, -26.0 * u.deg, nstars=40, dlogr=0.05)
+        arrays, mask = d.padded_bins(["v", "verr"])
+        assert arrays["v"].shape == mask.shape
+        counts = mask.sum(axis=1).astype(int)
+        for b in range(d.n_bins):
+            assert counts[b] == d.fetch_radial_bin(b).sample_size
+
+    def test_apply_offset(self):
+        d = self._reader(50)
+        shifted = d.apply_offset(u.Quantity(36.0, "arcsec"), u.Quantity(0.0, "arcsec"))
+        dx, _ = calc_xy_offset(shifted.data["ra"], shifted.data["dec"],
+                               56.0 * u.deg, -26.0 * u.deg)
+        dx0, _ = calc_xy_offset(d.data["ra"], d.data["dec"], 56.0 * u.deg, -26.0 * u.deg)
+        np.testing.assert_allclose(dx.value - dx0.value, 0.6, atol=1e-3)
