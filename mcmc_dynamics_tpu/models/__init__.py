@@ -1,0 +1,11 @@
+from .base import Runner, SamplerResult
+from .constant import ConstantFit, ConstantFitGB
+from .model import ModelFit, ModelFitConstantBackground, ModelFitGB
+from .double_model import DoubleModelFit, DoubleModelFitGB
+
+__all__ = [
+    "Runner", "SamplerResult",
+    "ConstantFit", "ConstantFitGB",
+    "ModelFit", "ModelFitGB", "ModelFitConstantBackground",
+    "DoubleModelFit", "DoubleModelFitGB",
+]

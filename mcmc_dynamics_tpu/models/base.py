@@ -1,0 +1,443 @@
+"""Model base class: host shell compiling data + parameters into a pure lnprob.
+
+Equivalent of the reference's ``analysis/runner.py`` Runner, redesigned for XLA:
+
+* the reference's ``lnprob`` mutates shared ``Parameters`` state on every call
+  (runner.py:176) and is dispatched per-walker through a process pool
+  (runner.py:398-403).  Here ``Runner.build_lnprob()`` returns a *pure* closure over
+  static data arrays; the sampler vmaps it over the whole ensemble inside ``lax.scan``.
+* units are resolved at build time: parameter vectors stay in the parameters' declared
+  units (chains remain directly comparable to reference chains) and static conversion
+  factors to internal compute units (rad / arcmin / km s^-1) are folded into the traced
+  code (replaces runner.py:143-180 per-call Quantity reconstruction).
+* checkpointing writes single-array ``.npz`` snapshots including the sampler PRNG key,
+  making restarts bitwise-exact (the reference pickles chains but loses the emcee RNG
+  state, runner.py:457-519).
+"""
+
+from __future__ import annotations
+
+import logging
+import pathlib
+import pickle
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import units as u
+from ..parameters import CompiledParameters, Parameters
+from ..sampler import init_state, run_ensemble
+from ..utils.coordinates import get_amplitude_and_angle
+from ..utils.data import DataReader
+from ..utils.table import Table
+
+logger = logging.getLogger(__name__)
+
+_CONFIG_DIR = pathlib.Path(__file__).resolve().parents[1] / "config"
+
+# internal compute units per dimension (everything inside jit is one of these)
+_INTERNAL_BY_DIM = {
+    u.km_per_s.dims: u.km_per_s,   # velocities
+    u.rad.dims: u.rad,             # angles (on-sky offsets are handled in arcmin)
+    u.kpc.dims: u.kpc,             # distances
+    u.solMass.dims: u.solMass,     # masses
+}
+
+
+class Runner:
+    """Base class for every analysis model.
+
+    Subclasses declare ``MODEL_PARAMETERS``, ``OBSERVABLES`` (column -> unit string)
+    and ``INTERNAL_UNITS`` (parameter -> unit string used inside the traced
+    likelihood), and implement the pure method
+    ``lnlike_fn(p: dict, data: dict) -> scalar``.
+    """
+
+    MODEL_PARAMETERS: list = []
+    OBSERVABLES: dict = {"v": "km/s", "verr": "km/s"}
+    INTERNAL_UNITS: dict = {}
+    parameters_file: Optional[str] = None  # file name inside the bundled config dir
+
+    # observables converted to these units before entering device memory
+    _OBSERVABLE_INTERNAL = {"v": "km/s", "verr": "km/s", "ra": "rad", "dec": "rad",
+                            "density": None, "pmember": None, "feh": None,
+                            "feherr": None}
+
+    def __init__(self, data, parameters: Optional[Parameters] = None, seed: int = 123,
+                 background=None, dtype=None, **kwargs):
+        assert not kwargs, f"Unknown keyword arguments provided: {kwargs}"
+
+        if dtype is None:
+            from .. import default_dtype
+            dtype = default_dtype()
+        self.dtype = dtype
+        self.seed = seed
+
+        assert isinstance(data, DataReader), "'data' must be a DataReader instance."
+        self.data = data
+
+        if ("ra" in self.OBSERVABLES or "dec" in self.OBSERVABLES) \
+                and not data.has_coordinates:
+            raise IOError("Missing WCS coordinates of observed data.")
+
+        # observable columns -> device-ready arrays in internal units
+        self._data_arrays: Dict[str, jnp.ndarray] = {}
+        for name, unit in self.OBSERVABLES.items():
+            assert name in data.data, f"Input data missing required column <{name}>"
+            col = data.data[name]
+            if isinstance(col, u.Quantity):
+                if col.unit.is_unity() and not u.parse_unit(unit).is_unity():
+                    logger.warning("Missing units for <%s> values. Assuming %s.",
+                                   name, unit)
+                    values = np.asarray(col.value, dtype=np.float64)
+                else:
+                    values = col.to(u.parse_unit(unit)).value.astype(np.float64)
+            else:
+                values = np.asarray(col, dtype=np.float64)
+            internal = self._OBSERVABLE_INTERNAL.get(name)
+            if internal is not None:
+                values = values * u.parse_unit(unit).conversion_factor(
+                    u.parse_unit(internal))
+            self._data_arrays[name] = jnp.asarray(values, dtype=self.dtype)
+
+        if parameters is None:
+            parameters = self.default_parameters()
+        assert isinstance(parameters, Parameters), \
+            "'parameters' must be a Parameters instance."
+        missing = set(self.MODEL_PARAMETERS).difference(parameters)
+        if missing:
+            raise IOError(f"Missing required parameter(s): '{missing}'")
+        unused = set(parameters).difference(self.MODEL_PARAMETERS)
+        if unused:
+            logger.warning("Superfluous parameter(s) provided: '%s'", unused)
+        if parameters.rng_seed is None:
+            parameters.reseed(seed)
+        self.parameters = parameters
+
+        # background population (field stars): per-star ln-likelihoods are data,
+        # computed once (reference runner.py:96-106)
+        self.background = background
+        if background is not None:
+            if "pmember" not in data.data:
+                raise IOError("Background population requires a 'pmember' column "
+                              "with prior membership probabilities.")
+            lnl_back = np.asarray(background(data.data["v"], data.data["verr"]))
+            self._data_arrays["lnlike_background"] = jnp.asarray(lnl_back, self.dtype)
+            self._data_arrays["pmember"] = jnp.asarray(
+                np.asarray(data.data.value("pmember"), dtype=np.float64), self.dtype)
+
+        self._compiled: Optional[CompiledParameters] = None
+        self._lnprob_jit = None
+        self._lnprob_vmapped = None
+
+    # ------------------------------------------------------------------ class helpers
+    @classmethod
+    def default_parameters(cls) -> Parameters:
+        if cls.parameters_file is None:
+            raise NotImplementedError
+        return Parameters().load(_CONFIG_DIR / cls.parameters_file)
+
+    # ------------------------------------------------------------------ properties
+    @property
+    def n_data(self) -> int:
+        return self.data.sample_size
+
+    @property
+    def compiled(self) -> CompiledParameters:
+        if self._compiled is None:
+            self._compiled = self.parameters.compile()
+        return self._compiled
+
+    @property
+    def fitted_parameters(self):
+        return self.compiled.free_names
+
+    @property
+    def n_fitted_parameters(self) -> int:
+        return self.compiled.n_free
+
+    @property
+    def units(self):
+        return {n: p.unit for n, p in self.parameters.items()}
+
+    @property
+    def labels(self):
+        return [self.parameters[n].plot_label() for n in self.fitted_parameters]
+
+    def observed(self, name: str) -> jnp.ndarray:
+        return self._data_arrays[name]
+
+    # ------------------------------------------------------------------ pure pieces
+    def scaled_values(self, theta) -> Dict[str, object]:
+        """theta (free-param vector, declared units) -> full dict in internal units."""
+        values = self.compiled.expand(theta)
+        factors = self.compiled.scale_factors(
+            {n: unit for n, unit in self.INTERNAL_UNITS.items() if n in values})
+        return {n: (v * factors[n] if n in factors else v) for n, v in values.items()}
+
+    def lnlike_fn(self, p: Dict[str, object], data: Dict[str, jnp.ndarray]):
+        """Pure log-likelihood; overridden by every model subclass."""
+        return jnp.asarray(0.0, dtype=self.dtype)
+
+    def extra_lnprior_fn(self, p: Dict[str, object]):
+        """Hook for model-specific joint priors in *internal units* (pure)."""
+        return jnp.asarray(0.0, dtype=self.dtype)
+
+    def build_lnprob(self) -> Callable:
+        """Return the pure lnprob closure (theta in declared parameter units)."""
+        compiled = self.compiled
+        data = dict(self._data_arrays)
+
+        def lnprob(theta):
+            lp = compiled.lnprior(theta)
+            p = self.scaled_values(theta)
+            lp = lp + self.extra_lnprior_fn(p)
+            ll = self.lnlike_fn(p, data)
+            total = lp + ll
+            return jnp.where(jnp.isfinite(lp), total, -jnp.inf)
+
+        return lnprob
+
+    # public parity API (reference runner.py:288-306); host conveniences
+    def lnprob(self, theta):
+        if self._lnprob_jit is None:
+            self._lnprob_jit = jax.jit(self.build_lnprob())
+        return self._lnprob_jit(jnp.asarray(theta, dtype=self.dtype))
+
+    def lnprior(self, theta):
+        return self.compiled.lnprior(jnp.asarray(theta, dtype=self.dtype))
+
+    def lnlike(self, theta):
+        p = self.scaled_values(jnp.asarray(theta, dtype=self.dtype))
+        return self.lnlike_fn(p, dict(self._data_arrays))
+
+    def get_initials(self, n_walkers: int) -> np.ndarray:
+        return self.compiled.sample_initials(n_walkers)
+
+    # ------------------------------------------------------------------ fitting
+    def __call__(self, n_walkers: int = 100, n_steps: int = 500, n_burn: int = 100,
+                 n_out: Optional[int] = None, pos=None, a: float = 2.0,
+                 thin: int = 1, seed: Optional[int] = None, plot: bool = False,
+                 prefix: Optional[str] = "sampler", true_values=None,
+                 n_threads: Optional[int] = None, **kwargs):
+        """Run the MCMC analysis; returns a :class:`SamplerResult`.
+
+        Signature mirrors the reference ``Runner.__call__`` (runner.py:332-443);
+        ``n_threads`` is accepted for API compatibility and ignored (parallelism is
+        vmap/sharding, not process pools).
+        """
+        del n_threads
+        if kwargs:
+            logger.warning("Ignoring unsupported keyword arguments: %s", list(kwargs))
+
+        if pos is None:
+            pos = self.get_initials(n_walkers)
+        pos = np.asarray(pos, dtype=np.float64)
+        assert pos.shape == (n_walkers, self.n_fitted_parameters), \
+            "Array with starting values has invalid shape."
+
+        lnprob = self.build_lnprob()
+        lnprior_v = jax.jit(jax.vmap(self.compiled.lnprior))
+        prior_vals = np.asarray(lnprior_v(jnp.asarray(pos, dtype=self.dtype)))
+        bad = ~np.isfinite(prior_vals)
+        if bad.any():
+            i = int(np.argmax(bad))
+            raise ValueError(
+                f"Invalid initial guesses for walker {i}: "
+                f"{self.fitted_parameters}={pos[i]}")
+
+        key = jax.random.PRNGKey(self.seed if seed is None else seed)
+        state = init_state(lnprob, jnp.asarray(pos, dtype=self.dtype), key)
+
+        chain_parts, lnp_parts = [], []
+        chunk = n_out if n_out else n_steps
+        done = 0
+        result = None
+        while done < n_steps:
+            steps = min(chunk, n_steps - done)
+            result = run_ensemble(lnprob, state, n_steps=steps, a=a, thin=thin)
+            chain_parts.append(np.asarray(result.chain))
+            lnp_parts.append(np.asarray(result.log_prob))
+            state = result.final
+            done += steps
+            if n_out:
+                mean_lnp = float(lnp_parts[-1][:, -1].mean())
+                logger.info("step %5d  <lnP> = %12.5e", done, mean_lnp)
+                if prefix is not None:
+                    self.save_current_status_arrays(
+                        np.concatenate(chain_parts, axis=1),
+                        np.concatenate(lnp_parts, axis=1), state, prefix=prefix)
+
+        chain = np.concatenate(chain_parts, axis=1)
+        lnprobability = np.concatenate(lnp_parts, axis=1)
+        sampler = SamplerResult(chain=chain, lnprobability=lnprobability,
+                                final_state=state,
+                                acceptance_fraction=np.asarray(
+                                    result.acceptance_fraction))
+        if prefix is not None and n_out:
+            self.save_current_status(sampler, prefix=prefix)
+        if plot:
+            try:
+                from ..utils.plots import plot_chain
+                plot_chain(chain, labels=self.labels, true_values=true_values,
+                           filename=f"{prefix}_chains.png" if prefix else None)
+            except Exception as err:  # plotting must never kill a fit
+                logger.warning("Chain plotting failed: %s", err)
+        return sampler
+
+    # ------------------------------------------------------------------ persistence
+    @staticmethod
+    def save_current_status(sampler, prefix: str = "sampler"):
+        np.savez(f"{prefix}_chain.npz",
+                 chain=sampler.chain, lnprob=sampler.lnprobability,
+                 key=np.asarray(sampler.final_state.key),
+                 coords=np.asarray(sampler.final_state.coords),
+                 accepted=np.asarray(sampler.final_state.accepted),
+                 step=np.asarray(sampler.final_state.step))
+
+    @staticmethod
+    def save_current_status_arrays(chain, lnprob, state, prefix: str = "sampler"):
+        np.savez(f"{prefix}_chain.npz", chain=chain, lnprob=lnprob,
+                 key=np.asarray(state.key), coords=np.asarray(state.coords),
+                 accepted=np.asarray(state.accepted), step=np.asarray(state.step))
+
+    @staticmethod
+    def read_chain(filename: str):
+        """Load a checkpointed chain; supports this package's .npz and legacy pickle."""
+        path = pathlib.Path(filename)
+        if path.suffix == ".npz" or path.with_suffix(".npz").exists():
+            with np.load(path if path.suffix == ".npz" else path.with_suffix(".npz")) as f:
+                return f["chain"]
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    @staticmethod
+    def read_final_chain(filename: str):
+        chain = Runner.read_chain(filename)
+        return chain[:, -1, :]
+
+    # ------------------------------------------------------------------ posterior
+    def convert_to_parameters(self, chain, n_burn: int) -> Dict[str, np.ndarray]:
+        """Chain -> dict of flattened posterior samples for *every* parameter
+        (free, fixed, and expression-derived), reference runner.py:521-564."""
+        chain = np.asarray(chain)
+        n_samples = chain.shape[0] * (chain.shape[1] - n_burn)
+        pars: Dict[str, np.ndarray] = {}
+        free = self.fitted_parameters
+        for i, name in enumerate(free):
+            pars[name] = chain[:, n_burn:, i].reshape(-1)
+        for name, par in self.parameters.items():
+            if name in pars or par.expr is not None:
+                continue
+            pars[name] = np.full(n_samples, par.value)
+        from ..expressions import compile_jax
+        for name, par in self.parameters.items():
+            if par.expr is None or name in pars:
+                continue
+            fn = compile_jax(par.expr)
+            pars[name] = np.asarray(fn({k: jnp.asarray(v) for k, v in pars.items()}))
+        return pars
+
+    def compute_percentiles(self, chain, n_burn: int, pct=None) -> np.ndarray:
+        if pct is None:
+            pct = [16, 50, 84]
+        samples = np.asarray(chain)[:, n_burn:, :].reshape(-1, self.n_fitted_parameters)
+        return np.percentile(samples, pct, axis=0)
+
+    def compute_bestfit_values(self, chain, n_burn: int) -> Table:
+        """Median + upper/lower 1-sigma errors per fitted parameter as a Table with
+        rows median/uperr/loerr (reference runner.py:615-660)."""
+        pct = self.compute_percentiles(chain, n_burn=n_burn, pct=[16, 50, 84])
+        out = Table({"value": np.array(["median", "uperr", "loerr"], dtype=object)})
+        for i, name in enumerate(self.fitted_parameters):
+            self.parameters[name].value = pct[1, i]
+            out[name] = u.Quantity(
+                np.array([pct[1, i], pct[2, i] - pct[1, i], pct[1, i] - pct[0, i]]),
+                self.parameters[name].unit)
+        return out
+
+    def sample_chain(self, chain, n_burn: int, n_samples: int = 1):
+        """Randomly draw parameter dicts (in declared units) from the chain."""
+        chain = np.asarray(chain)
+        flat = chain[:, n_burn:, :].reshape(-1, chain.shape[-1])
+        rng = np.random.default_rng(self.parameters.rng_seed)
+        idx = rng.integers(0, flat.shape[0], size=n_samples)
+        draws = []
+        for row in flat[idx]:
+            values = self.compiled.expand(jnp.asarray(row))
+            draws.append({n: float(np.asarray(v)) for n, v in values.items()})
+        return draws
+
+    def compute_theta_vmax(self, chain, n_burn: int, return_samples: bool = False):
+        """Posterior rotation amplitude/angle with circular statistics
+        (reference constant.py:156-214)."""
+        pars = self.convert_to_parameters(chain=chain, n_burn=n_burn)
+        results, v_max, theta = get_amplitude_and_angle(pars,
+                                                        return_samples=return_samples)
+        if results is None:
+            logger.error("Could not recover rotation-field parameters in "
+                         "%s.compute_theta_vmax().", type(self).__name__)
+            return None
+        results["v_max"] = u.Quantity(results.value("v_max"),
+                                      self.parameters["v_maxx"].unit)
+        if return_samples:
+            return results, v_max, theta, pars.get("sigma_max")
+        return results
+
+    # ------------------------------------------------------------------ plotting
+    def plot_chain(self, chain, filename="chains.png", true_values=None,
+                   lnprob=None, figure=None, plot_median=False):
+        from ..utils.plots import plot_chain
+        return plot_chain(np.asarray(chain), labels=self.labels, filename=filename,
+                          true_values=true_values, lnprob=lnprob, figure=figure,
+                          plot_median=plot_median)
+
+    def create_triangle_plot(self, chain, n_burn: int, filename="corner.png", **kwargs):
+        from ..utils.plots import corner_plot
+        samples = np.asarray(chain)[:, n_burn:, :].reshape(-1, self.n_fitted_parameters)
+        kwargs.setdefault("labels", self.labels)
+        return corner_plot(samples, filename=filename, **kwargs)
+
+
+class SamplerResult:
+    """emcee-compatible result: ``.chain`` (walkers, steps, params),
+    ``.lnprobability`` (walkers, steps), plus the resumable ensemble state."""
+
+    def __init__(self, chain, lnprobability, final_state, acceptance_fraction):
+        self.chain = chain
+        self.lnprobability = lnprobability
+        self.final_state = final_state
+        self.acceptance_fraction = acceptance_fraction
+
+    @property
+    def iteration(self) -> int:
+        return self.chain.shape[1]
+
+    def get_last_sample(self):
+        return self.chain[:, -1, :]
+
+
+# --------------------------------------------------------------------------- kernels
+def gaussian_lnlike_terms(v, verr, v_los, sigma_los):
+    """Per-star Gaussian log-likelihood terms (reference runner.py:260-271):
+    -0.5 ln(2 pi (verr^2 + sigma^2)) - 0.5 (v - v_los)^2 / (verr^2 + sigma^2)."""
+    norm = verr * verr + sigma_los * sigma_los
+    return -0.5 * (jnp.log(2.0 * jnp.pi * norm) + (v - v_los) ** 2 / norm)
+
+
+def mixture_lnlike_terms(lnlike_member, lnlike_background, pmember):
+    """Two-population mixture per star via log-sum-exp (runner.py:272-286):
+    ln[p * e^{lnL_m} + (1-p) * e^{lnL_b}]."""
+    return jnp.logaddexp(jnp.log(pmember) + lnlike_member,
+                         jnp.log1p(-pmember) + lnlike_background)
+
+
+def masked_sum(terms, data):
+    """Sum per-star terms honouring an optional validity mask (padded batched bins)."""
+    mask = data.get("mask")
+    if mask is not None:
+        return jnp.sum(terms * mask)
+    return jnp.sum(terms)

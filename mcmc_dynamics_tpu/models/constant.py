@@ -1,0 +1,106 @@
+"""Single-bin kinematics: constant rotation + constant dispersion.
+
+TPU reimplementation of the reference's ``analysis/constant.py``: the line-of-sight
+velocity field is ``v_los = v_sys + v_max sin(theta - theta_0)`` with the
+wrap-free (v_maxx, v_maxy) parametrisation ``v_max = sqrt(v_maxx^2 + v_maxy^2)``,
+``theta_0 = atan2(v_maxy, v_maxx)`` (constant.py:76-111), and the dispersion is a
+single constant ``sigma_max`` (constant.py:52-74).
+
+The identity ``v_max sin(theta - theta_0) = (dy v_maxx - dx v_maxy)/r`` lets the traced
+code avoid the atan2/sin round-trip entirely — cheaper on the VPU and exactly
+equivalent.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .base import (Runner, gaussian_lnlike_terms, masked_sum, mixture_lnlike_terms)
+from ..utils.coordinates import xy_offset_rad
+
+__all__ = ["ConstantFit", "ConstantFitGB"]
+
+
+class ConstantFit(Runner):
+    MODEL_PARAMETERS = ["v_sys", "sigma_max", "v_maxx", "v_maxy",
+                        "ra_center", "dec_center"]
+    OBSERVABLES = {"v": "km/s", "verr": "km/s", "ra": "deg", "dec": "deg"}
+    INTERNAL_UNITS = {"v_sys": "km/s", "sigma_max": "km/s", "v_maxx": "km/s",
+                      "v_maxy": "km/s", "ra_center": "rad", "dec_center": "rad"}
+    parameters_file = "constant.json"
+
+    # ------------------------------------------------------------------ pure model
+    def rotation_field(self, p, data):
+        """Mean LOS velocity at every star position (pure)."""
+        dx, dy = xy_offset_rad(data["ra"], data["dec"],
+                               p["ra_center"], p["dec_center"], xp=jnp)
+        r = jnp.sqrt(dx * dx + dy * dy)
+        safe_r = jnp.where(r > 0, r, 1.0)
+        v_rot = (dy * p["v_maxx"] - dx * p["v_maxy"]) / safe_r
+        return p["v_sys"] + jnp.where(r > 0, v_rot, 0.0)
+
+    def dispersion_field(self, p, data):
+        return p["sigma_max"] * jnp.ones_like(data["v"])
+
+    def lnlike_fn(self, p, data):
+        v_los = self.rotation_field(p, data)
+        sigma_los = self.dispersion_field(p, data)
+        terms = gaussian_lnlike_terms(data["v"], data["verr"], v_los, sigma_los)
+        if "lnlike_background" in data:
+            terms = mixture_lnlike_terms(terms, data["lnlike_background"],
+                                         data["pmember"])
+        return masked_sum(terms, data)
+
+
+class ConstantFitGB(ConstantFit):
+    """ConstantFit + parametric Gaussian background in velocity space.
+
+    Adds ``v_back``/``sigma_back``/``f_back`` and the per-star membership prior
+    ``m_i = density_i / (density_i + f_back)``; the two populations mix via a per-star
+    log-sum-exp (reference constant.py:293-364).
+    """
+
+    MODEL_PARAMETERS = ConstantFit.MODEL_PARAMETERS + ["v_back", "sigma_back", "f_back"]
+    OBSERVABLES = dict(ConstantFit.OBSERVABLES, density=None)
+    INTERNAL_UNITS = dict(ConstantFit.INTERNAL_UNITS,
+                          v_back="km/s", sigma_back="km/s")
+    parameters_file = "constant_with_background.json"
+
+    def __init__(self, data, parameters=None, **kwargs):
+        background = kwargs.pop("background", None)
+        if background is not None:
+            import logging
+            logging.getLogger(__name__).error(
+                "Class %s does not support additional background components.",
+                type(self).__name__)
+        super().__init__(data=data, parameters=parameters, **kwargs)
+
+    def membership_prior(self, p, data):
+        return data["density"] / (data["density"] + p["f_back"])
+
+    def cluster_background_terms(self, p, data):
+        """Per-star (cluster, background, membership-prior) triplet (pure)."""
+        v_los = self.rotation_field(p, data)
+        sigma_los = self.dispersion_field(p, data)
+        lnl_cluster = gaussian_lnlike_terms(data["v"], data["verr"], v_los, sigma_los)
+        lnl_back = gaussian_lnlike_terms(data["v"], data["verr"],
+                                         p["v_back"], p["sigma_back"])
+        return lnl_cluster, lnl_back, self.membership_prior(p, data)
+
+    def lnlike_fn(self, p, data):
+        lnl_cluster, lnl_back, m = self.cluster_background_terms(p, data)
+        return masked_sum(mixture_lnlike_terms(lnl_cluster, lnl_back, m), data)
+
+    def calculate_membership_probabilities(self, chain, n_burn):
+        """A-posteriori membership per star from the best-fit (median) parameters
+        (reference constant.py:366-374)."""
+        import numpy as np
+
+        bestfit = self.compute_bestfit_values(chain=chain, n_burn=n_burn)
+        theta = np.array([bestfit.value(n)[0] for n in self.fitted_parameters])
+        p = self.scaled_values(jnp.asarray(theta, dtype=self.dtype))
+        lnl_c, lnl_b, m = self.cluster_background_terms(p, self._data_arrays)
+        lnl_c, lnl_b, m = map(np.asarray, (lnl_c, lnl_b, m))
+        peak = np.maximum(lnl_c, lnl_b)
+        num = m * np.exp(lnl_c - peak)
+        return num / (num + (1.0 - m) * np.exp(lnl_b - peak))

@@ -1,0 +1,199 @@
+"""Global radial models: Lynden-Bell rotation curve + Plummer dispersion profile.
+
+TPU reimplementation of the reference's ``analysis/model.py``:
+
+* rotation: violent-relaxation profile (Lynden-Bell 1967)
+  ``v_los = v_sys + 2 (v_max / r_peak) x_pa / (1 + (r/r_peak)^2)`` with
+  ``x_pa = r sin(theta - theta_0)`` (model.py:130-180);
+* dispersion: Plummer (1911) profile
+  ``sigma(r) = sigma_max / (1 + r^2/a^2)^(1/4)`` (model.py:93-128);
+* the GB variant mixes in a parametric Gaussian background with membership priors
+  ``m = density/(density + f_back)`` (model.py:391-456);
+* ``ModelFitConstantBackground`` uses a fixed per-star background likelihood computed
+  once from a background model, sampling only the mixing weight (model.py:513-623).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax.numpy as jnp
+
+from .base import (Runner, gaussian_lnlike_terms, masked_sum, mixture_lnlike_terms)
+from .. import units as u
+from ..utils.coordinates import xy_offset_rad
+from ..utils.table import Table
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["ModelFit", "ModelFitGB", "ModelFitConstantBackground"]
+
+_ARCMIN_PER_RAD = 10800.0 / np.pi
+
+
+class ModelFit(Runner):
+    MODEL_PARAMETERS = ["v_sys", "v_maxx", "v_maxy", "r_peak", "sigma_max", "a",
+                        "ra_center", "dec_center"]
+    OBSERVABLES = {"v": "km/s", "verr": "km/s", "ra": "deg", "dec": "deg"}
+    INTERNAL_UNITS = {"v_sys": "km/s", "v_maxx": "km/s", "v_maxy": "km/s",
+                      "sigma_max": "km/s", "r_peak": "arcmin", "a": "arcmin",
+                      "ra_center": "rad", "dec_center": "rad"}
+    parameters_file = "model.json"
+
+    # ------------------------------------------------------------------ pure model
+    def _offsets_arcmin(self, p, data):
+        dx, dy = xy_offset_rad(data["ra"], data["dec"],
+                               p["ra_center"], p["dec_center"], xp=jnp)
+        return dx * _ARCMIN_PER_RAD, dy * _ARCMIN_PER_RAD
+
+    def rotation_field(self, p, data):
+        dx, dy = self._offsets_arcmin(p, data)
+        r2 = dx * dx + dy * dy
+        # x_pa * v_max = r sin(theta - theta_0) * v_max = dy v_maxx - dx v_maxy
+        x_pa_vmax = dy * p["v_maxx"] - dx * p["v_maxy"]
+        return p["v_sys"] + 2.0 * x_pa_vmax / (p["r_peak"] * (1.0 + r2 / p["r_peak"] ** 2))
+
+    def dispersion_field(self, p, data):
+        dx, dy = self._offsets_arcmin(p, data)
+        r2 = dx * dx + dy * dy
+        return p["sigma_max"] / (1.0 + r2 / p["a"] ** 2) ** 0.25
+
+    def lnlike_fn(self, p, data):
+        v_los = self.rotation_field(p, data)
+        sigma_los = self.dispersion_field(p, data)
+        terms = gaussian_lnlike_terms(data["v"], data["verr"], v_los, sigma_los)
+        if "lnlike_background" in data:
+            terms = mixture_lnlike_terms(terms, data["lnlike_background"],
+                                         data["pmember"])
+        return masked_sum(terms, data)
+
+    # ------------------------------------------------------------------ post-processing
+    def create_profiles(self, chains, n_burn, radii=None, filename=None) -> Table:
+        """Posterior -> radial v_rot / sigma profiles with 1- and 3-sigma bands
+        (reference model.py:225-317); vectorised over all posterior samples."""
+        chains = np.asarray(chains)
+        flat = {}
+        i = 0
+        for name, par in self.parameters.items():
+            if par.fixed:
+                flat[name] = np.asarray(par.value)
+            else:
+                flat[name] = chains[:, n_burn:, i].reshape(-1)
+                i += 1
+
+        if radii is None:
+            radii = u.Quantity(np.logspace(-1, 2.5, 50), u.arcsec)
+        radii = u.Quantity(radii, u.arcsec) if not isinstance(radii, u.Quantity) else radii
+
+        r_unit_peak = self.parameters["r_peak"].unit
+        r = radii.to(r_unit_peak).value[:, None]
+        v_max = np.sqrt(flat["v_maxx"] ** 2 + flat["v_maxy"] ** 2)
+        v_rot = 2.0 * (v_max / flat["r_peak"]) * r / (1.0 + (r / flat["r_peak"]) ** 2)
+
+        r_a = radii.to(self.parameters["a"].unit).value[:, None]
+        sigma = flat["sigma_max"] / (1.0 + r_a ** 2 / flat["a"] ** 2) ** 0.25
+
+        pv = np.percentile(v_rot, [50, 16, 84, 0.15, 99.85], axis=-1)
+        ps = np.percentile(sigma, [50, 16, 84, 0.15, 99.85], axis=-1)
+
+        vel_unit = self.parameters["v_maxx"].unit
+        profile = Table({"r": radii})
+        for key, arr in (("v_rot", pv), ("sigma", ps)):
+            profile[key] = u.Quantity(arr[0], vel_unit)
+            profile[f"{key}_lower_1s"] = u.Quantity(arr[1], vel_unit)
+            profile[f"{key}_upper_1s"] = u.Quantity(arr[2], vel_unit)
+            profile[f"{key}_lower_3s"] = u.Quantity(arr[3], vel_unit)
+            profile[f"{key}_upper_3s"] = u.Quantity(arr[4], vel_unit)
+
+        if filename is not None:
+            profile.write(filename, fmt="ascii.ecsv", overwrite=True)
+        return profile
+
+
+class _GaussianBackgroundMixin:
+    """Shared pure pieces for models with a parametric Gaussian velocity background."""
+
+    def membership_prior(self, p, data):
+        return data["density"] / (data["density"] + p["f_back"])
+
+    def cluster_background_terms(self, p, data):
+        v_los = self.rotation_field(p, data)
+        sigma_los = self.dispersion_field(p, data)
+        lnl_cluster = gaussian_lnlike_terms(data["v"], data["verr"], v_los, sigma_los)
+        lnl_back = gaussian_lnlike_terms(data["v"], data["verr"],
+                                         p["v_back"], p["sigma_back"])
+        return lnl_cluster, lnl_back, self.membership_prior(p, data)
+
+    def lnlike_fn(self, p, data):
+        lnl_cluster, lnl_back, m = self.cluster_background_terms(p, data)
+        return masked_sum(mixture_lnlike_terms(lnl_cluster, lnl_back, m), data)
+
+    def calculate_membership_probabilities(self, chain, n_burn):
+        bestfit = self.compute_bestfit_values(chain=chain, n_burn=n_burn)
+        theta = np.array([bestfit.value(n)[0] for n in self.fitted_parameters])
+        p = self.scaled_values(jnp.asarray(theta, dtype=self.dtype))
+        lnl_c, lnl_b, m = self.cluster_background_terms(p, self._data_arrays)
+        lnl_c, lnl_b, m = map(np.asarray, (lnl_c, lnl_b, m))
+        peak = np.maximum(lnl_c, lnl_b)
+        num = m * np.exp(lnl_c - peak)
+        return num / (num + (1.0 - m) * np.exp(lnl_b - peak))
+
+
+class ModelFitGB(_GaussianBackgroundMixin, ModelFit):
+    MODEL_PARAMETERS = ModelFit.MODEL_PARAMETERS + ["v_back", "sigma_back", "f_back"]
+    OBSERVABLES = dict(ModelFit.OBSERVABLES, density=None)
+    INTERNAL_UNITS = dict(ModelFit.INTERNAL_UNITS, v_back="km/s", sigma_back="km/s")
+    parameters_file = "model_with_background.json"
+
+    def __init__(self, data, parameters=None, **kwargs):
+        background = kwargs.pop("background", None)
+        if background is not None:
+            logger.error("Class %s does not support additional background components.",
+                         type(self).__name__)
+        super().__init__(data=data, parameters=parameters, **kwargs)
+
+
+class ModelFitConstantBackground(ModelFit):
+    """ModelFit + non-parametric fixed background: per-star background likelihoods are
+    precomputed once from a background callable; only the mixing weight ``f_back`` is
+    sampled (reference model.py:513-623)."""
+
+    MODEL_PARAMETERS = ModelFit.MODEL_PARAMETERS + ["f_back"]
+    OBSERVABLES = dict(ModelFit.OBSERVABLES, density=None)
+    parameters_file = "model_with_background.json"
+
+    def __init__(self, data, background, parameters=None, **kwargs):
+        super().__init__(data=data, parameters=parameters, **kwargs)
+        self.fixed_background = background
+        lnl_back = np.asarray(background(data.data["v"], data.data["verr"]),
+                              dtype=np.float64)
+        self._data_arrays["lnlike_fixed_background"] = jnp.asarray(lnl_back, self.dtype)
+
+    def membership_prior(self, p, data):
+        return data["density"] / (data["density"] + p["f_back"])
+
+    def lnlike_fn(self, p, data, no_sum: bool = False):
+        v_los = self.rotation_field(p, data)
+        sigma_los = self.dispersion_field(p, data)
+        lnl_cluster = gaussian_lnlike_terms(data["v"], data["verr"], v_los, sigma_los)
+        m = self.membership_prior(p, data)
+        terms = mixture_lnlike_terms(lnl_cluster, data["lnlike_fixed_background"], m)
+        if no_sum:
+            return terms
+        return masked_sum(terms, data)
+
+    def calculate_membership_probabilities(self, chain, n_burn):
+        bestfit = self.compute_bestfit_values(chain=chain, n_burn=n_burn)
+        theta = np.array([bestfit.value(n)[0] for n in self.fitted_parameters])
+        p = self.scaled_values(jnp.asarray(theta, dtype=self.dtype))
+        data = self._data_arrays
+        v_los = self.rotation_field(p, data)
+        sigma_los = self.dispersion_field(p, data)
+        lnl_c = np.asarray(gaussian_lnlike_terms(data["v"], data["verr"],
+                                                 v_los, sigma_los))
+        lnl_b = np.asarray(data["lnlike_fixed_background"])
+        m = np.asarray(self.membership_prior(p, data))
+        peak = np.maximum(lnl_c, lnl_b)
+        num = m * np.exp(lnl_c - peak)
+        return num / (num + (1.0 - m) * np.exp(lnl_b - peak))
