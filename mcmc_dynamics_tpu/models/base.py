@@ -101,6 +101,8 @@ class Runner:
             if internal is not None:
                 values = values * u.parse_unit(unit).conversion_factor(
                     u.parse_unit(internal))
+            self._host_arrays = getattr(self, "_host_arrays", {})
+            self._host_arrays[name] = values  # float64, for exact precomputes
             self._data_arrays[name] = jnp.asarray(values, dtype=self.dtype)
 
         if parameters is None:
@@ -178,18 +180,32 @@ class Runner:
             {n: unit for n, unit in self.INTERNAL_UNITS.items() if n in values})
         return {n: (v * factors[n] if n in factors else v) for n, v in values.items()}
 
+    def lnlike_terms(self, p: Dict[str, object], data: Dict[str, jnp.ndarray]):
+        """Pure per-star log-likelihood terms; overridden by model subclasses.
+
+        Keeping the star axis exposed (instead of summing internally) is what lets the
+        parallel layer shard stars across chips and ``psum`` the partial sums.
+        """
+        return jnp.zeros_like(data["v"])
+
     def lnlike_fn(self, p: Dict[str, object], data: Dict[str, jnp.ndarray]):
-        """Pure log-likelihood; overridden by every model subclass."""
-        return jnp.asarray(0.0, dtype=self.dtype)
+        """Pure log-likelihood: masked sum of the per-star terms."""
+        return masked_sum(self.lnlike_terms(p, data), data)
 
     def extra_lnprior_fn(self, p: Dict[str, object]):
         """Hook for model-specific joint priors in *internal units* (pure)."""
         return jnp.asarray(0.0, dtype=self.dtype)
 
+    def prepare_data(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Hook: models may add precomputed columns that are static given the set of
+        *fixed* parameters (e.g. sky offsets when the centre is not sampled), removing
+        per-star trig from the traced hot loop entirely."""
+        return data
+
     def build_lnprob(self) -> Callable:
         """Return the pure lnprob closure (theta in declared parameter units)."""
         compiled = self.compiled
-        data = dict(self._data_arrays)
+        data = self.prepare_data(dict(self._data_arrays))
 
         def lnprob(theta):
             lp = compiled.lnprior(theta)
@@ -200,6 +216,15 @@ class Runner:
             return jnp.where(jnp.isfinite(lp), total, -jnp.inf)
 
         return lnprob
+
+    def build_lnprob_batched(self) -> Callable:
+        """Batched lnprob mapping (W, K) -> (W,).
+
+        Default: vmap of the per-walker closure.  Models with a fused Pallas kernel
+        for their walker x star reduction override this (see ConstantFit); the
+        sampler consumes the batched form directly.
+        """
+        return jax.vmap(self.build_lnprob())
 
     # public parity API (reference runner.py:288-306); host conveniences
     def lnprob(self, theta):
@@ -212,7 +237,27 @@ class Runner:
 
     def lnlike(self, theta):
         p = self.scaled_values(jnp.asarray(theta, dtype=self.dtype))
-        return self.lnlike_fn(p, dict(self._data_arrays))
+        return self.lnlike_fn(p, self.prepare_data(dict(self._data_arrays)))
+
+    def center_is_fixed(self) -> bool:
+        """True when the cluster centre is not sampled (enables static-geometry
+        precomputation in prepare_data hooks)."""
+        for name in ("ra_center", "dec_center"):
+            if name not in self.parameters:
+                return False
+            par = self.parameters[name]
+            if not par.fixed or par.expr is not None:
+                return False
+        return True
+
+    def fixed_center_offsets(self):
+        """Host-side float64 (dx, dy) offsets in radians for the fixed centre."""
+        import math
+        from ..utils.coordinates import xy_offset_rad
+        ra_c = self.parameters["ra_center"].quantity.to(u.rad).value
+        dec_c = self.parameters["dec_center"].quantity.to(u.rad).value
+        return xy_offset_rad(self._host_arrays["ra"], self._host_arrays["dec"],
+                             float(ra_c), float(dec_c), xp=np)
 
     def get_initials(self, n_walkers: int) -> np.ndarray:
         return self.compiled.sample_initials(n_walkers)
@@ -239,7 +284,7 @@ class Runner:
         assert pos.shape == (n_walkers, self.n_fitted_parameters), \
             "Array with starting values has invalid shape."
 
-        lnprob = self.build_lnprob()
+        lnprob = self.build_lnprob_batched()
         lnprior_v = jax.jit(jax.vmap(self.compiled.lnprior))
         prior_vals = np.asarray(lnprior_v(jnp.asarray(pos, dtype=self.dtype)))
         bad = ~np.isfinite(prior_vals)
@@ -250,7 +295,8 @@ class Runner:
                 f"{self.fitted_parameters}={pos[i]}")
 
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
-        state = init_state(lnprob, jnp.asarray(pos, dtype=self.dtype), key)
+        state = init_state(lnprob, jnp.asarray(pos, dtype=self.dtype), key,
+                           batched=True)
 
         chain_parts, lnp_parts = [], []
         chunk = n_out if n_out else n_steps
@@ -258,7 +304,8 @@ class Runner:
         result = None
         while done < n_steps:
             steps = min(chunk, n_steps - done)
-            result = run_ensemble(lnprob, state, n_steps=steps, a=a, thin=thin)
+            result = run_ensemble(lnprob, state, n_steps=steps, a=a, thin=thin,
+                                  batched=True)
             chain_parts.append(np.asarray(result.chain))
             lnp_parts.append(np.asarray(result.log_prob))
             state = result.final

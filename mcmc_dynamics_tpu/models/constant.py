@@ -30,8 +30,23 @@ class ConstantFit(Runner):
     parameters_file = "constant.json"
 
     # ------------------------------------------------------------------ pure model
+    def prepare_data(self, data):
+        """With a fixed centre, v_los is *linear* in (v_sys, v_maxx, v_maxy):
+        v_los = v_sys + gx v_maxx + gy v_maxy with gx = dy/r, gy = -dx/r.  Precompute
+        (gx, gy) in float64 on the host — the traced likelihood then has zero trig."""
+        import numpy as np
+        if self.center_is_fixed():
+            dx, dy = self.fixed_center_offsets()
+            r = np.hypot(dx, dy)
+            safe = np.where(r > 0, r, 1.0)
+            data["gx"] = jnp.asarray(np.where(r > 0, dy / safe, 0.0), self.dtype)
+            data["gy"] = jnp.asarray(np.where(r > 0, -dx / safe, 0.0), self.dtype)
+        return data
+
     def rotation_field(self, p, data):
         """Mean LOS velocity at every star position (pure)."""
+        if "gx" in data:
+            return p["v_sys"] + data["gx"] * p["v_maxx"] + data["gy"] * p["v_maxy"]
         dx, dy = xy_offset_rad(data["ra"], data["dec"],
                                p["ra_center"], p["dec_center"], xp=jnp)
         r = jnp.sqrt(dx * dx + dy * dy)
@@ -42,14 +57,65 @@ class ConstantFit(Runner):
     def dispersion_field(self, p, data):
         return p["sigma_max"] * jnp.ones_like(data["v"])
 
-    def lnlike_fn(self, p, data):
+    def lnlike_terms(self, p, data):
         v_los = self.rotation_field(p, data)
         sigma_los = self.dispersion_field(p, data)
         terms = gaussian_lnlike_terms(data["v"], data["verr"], v_los, sigma_los)
         if "lnlike_background" in data:
             terms = mixture_lnlike_terms(terms, data["lnlike_background"],
                                          data["pmember"])
-        return masked_sum(terms, data)
+        return terms
+
+    # ------------------------------------------------------------------ fused path
+    def _pallas_eligible(self) -> bool:
+        """The fused kernel covers exactly this class's likelihood with a fixed
+        centre and the canonical free-parameter layout."""
+        import os
+        import jax
+        if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
+            return False
+        return (type(self) is ConstantFit
+                and jax.default_backend() == "tpu"
+                and self.center_is_fixed()
+                and self.compiled.free_names == ["v_sys", "sigma_max",
+                                                 "v_maxx", "v_maxy"])
+
+    def build_lnprob_batched(self):
+        import jax
+        import numpy as np
+
+        if not self._pallas_eligible():
+            return super().build_lnprob_batched()
+
+        from ..ops.lnlike_kernels import (constant_lnlike_batched,
+                                          constant_mixture_lnlike_batched)
+
+        data = self.prepare_data(dict(self._data_arrays))
+        gx, gy = data["gx"], data["gy"]
+        v = data["v"]
+        verr2 = data["verr"] * data["verr"]
+        mask = data.get("mask", jnp.ones_like(v))
+        compiled = self.compiled
+        lnprior_batched = jax.vmap(compiled.lnprior)
+
+        if "lnlike_background" in data:
+            pm = np.clip(np.asarray(data["pmember"], dtype=np.float64), 1e-300, 1.0)
+            lgp = jnp.asarray(np.log(pm), self.dtype)
+            lg1mp = jnp.asarray(np.log1p(-np.clip(pm, 0.0, 1.0 - 1e-16)), self.dtype)
+            lnb = data["lnlike_background"]
+
+            def batched(thetas):
+                lp = lnprior_batched(thetas)
+                ll = constant_mixture_lnlike_batched(thetas, gx, gy, v, verr2,
+                                                     lgp, lg1mp, lnb, mask)
+                return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+        else:
+            def batched(thetas):
+                lp = lnprior_batched(thetas)
+                ll = constant_lnlike_batched(thetas, gx, gy, v, verr2, mask)
+                return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
+        return batched
 
 
 class ConstantFitGB(ConstantFit):
@@ -87,9 +153,9 @@ class ConstantFitGB(ConstantFit):
                                          p["v_back"], p["sigma_back"])
         return lnl_cluster, lnl_back, self.membership_prior(p, data)
 
-    def lnlike_fn(self, p, data):
+    def lnlike_terms(self, p, data):
         lnl_cluster, lnl_back, m = self.cluster_background_terms(p, data)
-        return masked_sum(mixture_lnlike_terms(lnl_cluster, lnl_back, m), data)
+        return mixture_lnlike_terms(lnl_cluster, lnl_back, m)
 
     def calculate_membership_probabilities(self, chain, n_burn):
         """A-posteriori membership per star from the best-fit (median) parameters

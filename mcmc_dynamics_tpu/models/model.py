@@ -42,7 +42,18 @@ class ModelFit(Runner):
     parameters_file = "model.json"
 
     # ------------------------------------------------------------------ pure model
+    def prepare_data(self, data):
+        """Fixed centre -> precompute (dx, dy) arcmin offsets in float64 host-side;
+        the traced likelihood then has no per-star trig."""
+        if self.center_is_fixed():
+            dx, dy = self.fixed_center_offsets()
+            data["dxm"] = jnp.asarray(dx * _ARCMIN_PER_RAD, self.dtype)
+            data["dym"] = jnp.asarray(dy * _ARCMIN_PER_RAD, self.dtype)
+        return data
+
     def _offsets_arcmin(self, p, data):
+        if "dxm" in data:
+            return data["dxm"], data["dym"]
         dx, dy = xy_offset_rad(data["ra"], data["dec"],
                                p["ra_center"], p["dec_center"], xp=jnp)
         return dx * _ARCMIN_PER_RAD, dy * _ARCMIN_PER_RAD
@@ -59,14 +70,14 @@ class ModelFit(Runner):
         r2 = dx * dx + dy * dy
         return p["sigma_max"] / (1.0 + r2 / p["a"] ** 2) ** 0.25
 
-    def lnlike_fn(self, p, data):
+    def lnlike_terms(self, p, data):
         v_los = self.rotation_field(p, data)
         sigma_los = self.dispersion_field(p, data)
         terms = gaussian_lnlike_terms(data["v"], data["verr"], v_los, sigma_los)
         if "lnlike_background" in data:
             terms = mixture_lnlike_terms(terms, data["lnlike_background"],
                                          data["pmember"])
-        return masked_sum(terms, data)
+        return terms
 
     # ------------------------------------------------------------------ post-processing
     def create_profiles(self, chains, n_burn, radii=None, filename=None) -> Table:
@@ -125,9 +136,9 @@ class _GaussianBackgroundMixin:
                                          p["v_back"], p["sigma_back"])
         return lnl_cluster, lnl_back, self.membership_prior(p, data)
 
-    def lnlike_fn(self, p, data):
+    def lnlike_terms(self, p, data):
         lnl_cluster, lnl_back, m = self.cluster_background_terms(p, data)
-        return masked_sum(mixture_lnlike_terms(lnl_cluster, lnl_back, m), data)
+        return mixture_lnlike_terms(lnl_cluster, lnl_back, m)
 
     def calculate_membership_probabilities(self, chain, n_burn):
         bestfit = self.compute_bestfit_values(chain=chain, n_burn=n_burn)
@@ -173,12 +184,15 @@ class ModelFitConstantBackground(ModelFit):
     def membership_prior(self, p, data):
         return data["density"] / (data["density"] + p["f_back"])
 
-    def lnlike_fn(self, p, data, no_sum: bool = False):
+    def lnlike_terms(self, p, data):
         v_los = self.rotation_field(p, data)
         sigma_los = self.dispersion_field(p, data)
         lnl_cluster = gaussian_lnlike_terms(data["v"], data["verr"], v_los, sigma_los)
         m = self.membership_prior(p, data)
-        terms = mixture_lnlike_terms(lnl_cluster, data["lnlike_fixed_background"], m)
+        return mixture_lnlike_terms(lnl_cluster, data["lnlike_fixed_background"], m)
+
+    def lnlike_fn(self, p, data, no_sum: bool = False):
+        terms = self.lnlike_terms(p, data)
         if no_sum:
             return terms
         return masked_sum(terms, data)

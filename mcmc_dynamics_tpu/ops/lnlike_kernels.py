@@ -1,0 +1,191 @@
+"""Pallas TPU kernels for the hot walker x star likelihood reductions.
+
+The sampler's inner cost is, per ensemble half-step, a (W/2, N) grid of per-star
+Gaussian log-likelihood terms reduced over stars.  Left to XLA this materialises
+several (W/2, N) float32 intermediates in HBM; the fused kernel below streams star
+blocks through VMEM once per walker tile and accumulates per-walker partial sums
+on-chip, which is the speed-of-light pattern for this reduction (compute ~15 VPU ops
+per term, star data resident in VMEM).
+
+Kernel contract (ConstantFit geometry, fixed centre — the production binned-fit
+workload of reference bin/run.py:186-189):
+
+    lnlike_w = -0.5 * sum_i [ log(2 pi n_wi) + (v_i - v_sys_w - gx_i vx_w - gy_i vy_w)^2 / n_wi ]
+    n_wi     = verr_i^2 + sigma_w^2
+
+with optional two-population mixture against precomputed background terms
+(runner.py:272-286): per-star logaddexp with log-membership weights.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["constant_lnlike_batched", "constant_mixture_lnlike_batched"]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _pad_stars(arrays, multiple):
+    n = arrays[0].shape[0]
+    n_pad = (-n) % multiple
+    if n_pad == 0:
+        return arrays, n
+    out = []
+    for a in arrays:
+        fill = jnp.zeros((n_pad,) + a.shape[1:], a.dtype)
+        out.append(jnp.concatenate([a, fill], axis=0))
+    return out, n
+
+
+def _pad_walkers(params, multiple):
+    w = params.shape[0]
+    w_pad = (-w) % multiple
+    if w_pad == 0:
+        return params, w
+    fill = jnp.broadcast_to(params[:1], (w_pad,) + params.shape[1:])
+    return jnp.concatenate([params, fill], axis=0), w
+
+
+@functools.partial(jax.jit, static_argnames=("walker_tile", "star_chunk"))
+def constant_lnlike_batched(params, gx, gy, v, verr2, mask,
+                            walker_tile: int = 256, star_chunk: int = 2048):
+    """Fused (W, 4)-params x N-star ConstantFit log-likelihood -> (W,).
+
+    ``params`` columns: (v_sys, sigma, v_maxx, v_maxy) in km/s.
+    ``mask``: per-star validity (padded lanes contribute nothing).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = params.dtype
+    (gx, gy, v, verr2, mask), n_stars = _pad_stars(
+        [gx, gy, v, verr2, mask], star_chunk)
+    n_padded = gx.shape[0]
+    params, n_walkers = _pad_walkers(params, walker_tile)
+    w_padded = params.shape[0]
+    n_chunks = n_padded // star_chunk
+
+    stars = jnp.stack([gx, gy, v, verr2, mask], axis=0)  # (5, N)
+
+    def kernel(p_ref, s_ref, out_ref):
+        p = p_ref[:]                                 # (TW, 4)
+        v_sys = p[:, 0:1]
+        sigma2 = p[:, 1:2] * p[:, 1:2]
+        vx = p[:, 2:3]
+        vy = p[:, 3:4]
+
+        def body(c, acc):
+            sl = pl.ds(c * star_chunk, star_chunk)
+            gx_c = s_ref[0, sl][None, :]
+            gy_c = s_ref[1, sl][None, :]
+            v_c = s_ref[2, sl][None, :]
+            e2_c = s_ref[3, sl][None, :]
+            m_c = s_ref[4, sl][None, :]
+            norm = e2_c + sigma2                      # (TW, C)
+            d = v_c - v_sys - gx_c * vx - gy_c * vy
+            t = (jnp.log(norm) + d * d / norm + _LOG_2PI) * m_c
+            return acc + jnp.sum(t, axis=1, keepdims=True)
+
+        acc = jax.lax.fori_loop(0, n_chunks, body,
+                                jnp.zeros((p.shape[0], 1), dtype))
+        out_ref[:] = -0.5 * acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(w_padded // walker_tile,),
+        in_specs=[
+            pl.BlockSpec((walker_tile, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, n_padded), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((walker_tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w_padded, 1), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * w_padded * n_padded,
+            bytes_accessed=4 * (5 * n_padded + 5 * w_padded),
+            transcendentals=w_padded * n_padded,
+        ),
+    )(params, stars)
+    return out[:n_walkers, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("walker_tile", "star_chunk"))
+def constant_mixture_lnlike_batched(params, gx, gy, v, verr2, lgp, lg1mp, lnb, mask,
+                                    walker_tile: int = 256, star_chunk: int = 2048):
+    """ConstantFit likelihood with a fixed background mixture, fused.
+
+    Per star: logaddexp(lgp_i + lnL_member, lg1mp_i + lnb_i) where
+    lgp = log(pmember), lg1mp = log1p(-pmember), lnb = background ln-likelihood
+    (all precomputed per star).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = params.dtype
+    (gx, gy, v, verr2, lgp, lg1mp, lnb, mask), n_stars = _pad_stars(
+        [gx, gy, v, verr2, lgp, lg1mp, lnb, mask], star_chunk)
+    n_padded = gx.shape[0]
+    params, n_walkers = _pad_walkers(params, walker_tile)
+    w_padded = params.shape[0]
+    n_chunks = n_padded // star_chunk
+
+    stars = jnp.stack([gx, gy, v, verr2, lgp, lg1mp, lnb, mask], axis=0)
+
+    def kernel(p_ref, s_ref, out_ref):
+        p = p_ref[:]
+        v_sys = p[:, 0:1]
+        sigma2 = p[:, 1:2] * p[:, 1:2]
+        vx = p[:, 2:3]
+        vy = p[:, 3:4]
+
+        def body(c, acc):
+            sl = pl.ds(c * star_chunk, star_chunk)
+            gx_c = s_ref[0, sl][None, :]
+            gy_c = s_ref[1, sl][None, :]
+            v_c = s_ref[2, sl][None, :]
+            e2_c = s_ref[3, sl][None, :]
+            lgp_c = s_ref[4, sl][None, :]
+            lg1mp_c = s_ref[5, sl][None, :]
+            lnb_c = s_ref[6, sl][None, :]
+            m_c = s_ref[7, sl][None, :]
+            norm = e2_c + sigma2
+            d = v_c - v_sys - gx_c * vx - gy_c * vy
+            ln_member = -0.5 * (jnp.log(norm) + d * d / norm + _LOG_2PI)
+            a_ = lgp_c + ln_member
+            b_ = lg1mp_c + lnb_c
+            hi = jnp.maximum(a_, b_)
+            t = (hi + jnp.log1p(jnp.exp(-jnp.abs(a_ - b_)))) * m_c
+            return acc + jnp.sum(t, axis=1, keepdims=True)
+
+        acc = jax.lax.fori_loop(0, n_chunks, body,
+                                jnp.zeros((p.shape[0], 1), dtype))
+        out_ref[:] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(w_padded // walker_tile,),
+        in_specs=[
+            pl.BlockSpec((walker_tile, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_padded), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((walker_tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w_padded, 1), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * w_padded * n_padded,
+            bytes_accessed=4 * (8 * n_padded + 5 * w_padded),
+            transcendentals=3 * w_padded * n_padded,
+        ),
+    )(params, stars)
+    return out[:n_walkers, 0]

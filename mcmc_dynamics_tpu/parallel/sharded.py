@@ -1,0 +1,212 @@
+"""Multi-chip SPMD sampling: walkers over ``dp``, stars over ``sp``.
+
+The honest scaling axes of this workload (SURVEY.md §2.6) are:
+
+* **walkers** — the data-parallel analog.  The ensemble is sharded over the ``dp``
+  mesh axis; stretch-move partner selection needs the complementary half-ensemble,
+  which is ``all_gather``-ed over ICI (W/2 x K floats — tiny);
+* **stars** — the context/sequence-parallel analog.  Each chip holds a slice of the
+  catalog; per-star likelihood terms are reduced locally and ``psum``-ed over ``sp``;
+* **radial bins** — independent posteriors batched per chip (handled by vmap +
+  sharding annotations in the pipelines module, not here).
+
+Everything runs inside one ``shard_map``-wrapped ``lax.scan``: no host round-trips,
+collectives ride the ICI mesh.  PRNG discipline: the per-device key is folded with the
+``dp`` index only, so every ``sp`` rank in a dp-row traces an identical random stream
+(they must agree on proposals since they hold the same walkers).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["pad_star_axis", "star_sharded_lnprob", "run_ensemble_sharded",
+           "ShardedResult"]
+
+
+def pad_star_axis(data: Dict[str, jnp.ndarray], n_shards: int) -> Dict[str, jnp.ndarray]:
+    """Pad all per-star arrays to a multiple of ``n_shards``; masked lanes are zero.
+
+    A ``mask`` entry is created (or extended) so padded lanes contribute nothing to
+    likelihood sums.
+    """
+    sizes = {v.shape[0] for v in data.values()}
+    assert len(sizes) == 1, "All per-star arrays must share the star axis length."
+    n = sizes.pop()
+    n_pad = (-n) % n_shards
+    out = {}
+    for name, arr in data.items():
+        if n_pad:
+            pad_widths = [(0, n_pad)] + [(0, 0)] * (arr.ndim - 1)
+            # pad with the first entry to keep padded lanes numerically benign
+            fill = jnp.broadcast_to(arr[:1], (n_pad,) + arr.shape[1:])
+            arr = jnp.concatenate([arr, fill], axis=0)
+        out[name] = arr
+    if "mask" in data:
+        mask = out["mask"]
+        if n_pad:
+            mask = mask.at[n:].set(0.0)
+        out["mask"] = mask
+    else:
+        mask = jnp.ones(n + n_pad, dtype=next(iter(data.values())).dtype)
+        if n_pad:
+            mask = mask.at[n:].set(0.0)
+        out["mask"] = mask
+    return out
+
+
+def star_sharded_lnprob(runner, mesh: Mesh, sp_axis: str = "sp") -> Callable:
+    """Build ``lnprob(theta)`` with the star catalog sharded over ``sp_axis``.
+
+    Exact: equals the single-device lnprob up to float reduction order. ``theta``
+    is replicated; the per-star reduction is a local sum + ``psum`` over ICI.
+    """
+    compiled = runner.compiled
+    n_sp = mesh.shape[sp_axis]
+    data = pad_star_axis(runner.prepare_data(dict(runner._data_arrays)), n_sp)
+    data_names = sorted(data.keys())
+    data_arrays = [data[k] for k in data_names]
+
+    in_specs = (P(),) + tuple(P(sp_axis) for _ in data_arrays)
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(),
+             check_vma=False)
+    def lnprob(theta, *shards):
+        local = dict(zip(data_names, shards))
+        lp = compiled.lnprior(theta)
+        p = runner.scaled_values(theta)
+        terms = runner.lnlike_terms(p, local)
+        ll = jax.lax.psum(jnp.sum(terms * local["mask"]), sp_axis)
+        total = lp + runner.extra_lnprior_fn(p) + ll
+        return jnp.where(jnp.isfinite(lp), total, -jnp.inf)
+
+    return lambda theta: lnprob(theta, *data_arrays)
+
+
+class ShardedResult:
+    """Output of :func:`run_ensemble_sharded`: globally-shaped jax.Arrays (sharded
+    across the mesh) plus the resumable pieces."""
+
+    def __init__(self, chain, log_prob, coords, lnp, key, acceptance_fraction):
+        self.chain = chain                    # (W, S, K) — walker axis dp-sharded
+        self.log_prob = log_prob              # (W, S)
+        self.final_coords = coords            # (W, K)
+        self.final_log_prob = lnp             # (W,)
+        self.final_key = key
+        self.acceptance_fraction = acceptance_fraction
+
+
+def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
+                         dp_axis: str = "dp", sp_axis: Optional[str] = "sp",
+                         a: float = 2.0) -> ShardedResult:
+    """Advance a walker-sharded ensemble ``n_steps`` steps on a device mesh.
+
+    ``coords``: (W, K) with W a multiple of ``2 * mesh.shape[dp_axis]``.  Each device
+    block holds the same number of first-half and second-half walkers; the opposite
+    half is all-gathered over ``dp`` per half-step.  When ``sp_axis`` is given, the
+    star catalog is additionally sharded and likelihoods psum over it.
+    """
+    compiled = runner.compiled
+    n_dp = mesh.shape[dp_axis]
+    use_sp = sp_axis is not None and sp_axis in mesh.shape
+    n_sp = mesh.shape[sp_axis] if use_sp else 1
+
+    coords = jnp.asarray(coords, dtype=runner.dtype)
+    n_walkers, ndim = coords.shape
+    assert n_walkers % (2 * n_dp) == 0, \
+        f"walkers ({n_walkers}) must be a multiple of 2*dp ({2 * n_dp})"
+
+    # Reorder walkers so each contiguous device block holds interleaved half-A and
+    # half-B members: block d = [A_d ; B_d]. Global half A = union of A_d.
+    w_local = n_walkers // n_dp
+    half_local = w_local // 2
+    order = np.arange(n_walkers).reshape(2, n_dp, half_local).transpose(1, 0, 2).reshape(-1)
+    inverse_order = np.argsort(order)
+    coords = coords[order]
+
+    prepared = runner.prepare_data(dict(runner._data_arrays))
+    data = pad_star_axis(prepared, n_sp) if use_sp else prepared
+    if "mask" not in data:
+        data["mask"] = jnp.ones_like(data["v"])
+    data_names = sorted(data.keys())
+    data_arrays = [data[k] for k in data_names]
+
+    star_spec = P(sp_axis) if use_sp else P()
+    in_specs = (P(dp_axis, None), P()) + tuple(star_spec for _ in data_arrays)
+    out_specs = (P(dp_axis, None), P(dp_axis), P(),
+                 P(None, dp_axis, None), P(None, dp_axis), P(dp_axis))
+
+    def local_lnprob(theta, local):
+        lp = compiled.lnprior(theta)
+        p = runner.scaled_values(theta)
+        terms = runner.lnlike_terms(p, local)
+        local_sum = jnp.sum(terms * local["mask"])
+        ll = jax.lax.psum(local_sum, sp_axis) if use_sp else local_sum
+        total = lp + runner.extra_lnprior_fn(p) + ll
+        return jnp.where(jnp.isfinite(lp), total, -jnp.inf)
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+             check_vma=False)
+    def sharded_run(coords_local, key, *shards):
+        local = dict(zip(data_names, shards))
+        dp_idx = jax.lax.axis_index(dp_axis)
+        # identical stream across sp ranks of a dp row; distinct across dp
+        key = jax.random.fold_in(key, dp_idx)
+
+        batched_lnprob = jax.vmap(lambda t: local_lnprob(t, local))
+
+        def half_update(active, active_lnp, other_local, subkey):
+            n_active = active.shape[0]
+            un = jax.random.uniform(subkey, (3, n_active), dtype=active.dtype)
+            z = ((a - 1.0) * un[0] + 1.0) ** 2 / a
+            # partner pool: the full opposite half across all dp shards
+            pool = jax.lax.all_gather(other_local, dp_axis, tiled=True)
+            idx = jnp.minimum((un[1] * pool.shape[0]).astype(jnp.int32),
+                              pool.shape[0] - 1)
+            partners = pool[idx]
+            proposals = partners + z[:, None] * (active - partners)
+            new_lnp = batched_lnprob(proposals)
+            ln_accept = (ndim - 1.0) * jnp.log(z) + new_lnp - active_lnp
+            ln_u = jnp.log(un[2])
+            accept = (ln_u < ln_accept) & jnp.isfinite(new_lnp)
+            return (jnp.where(accept[:, None], proposals, active),
+                    jnp.where(accept, new_lnp, active_lnp),
+                    accept)
+
+        lnp0 = batched_lnprob(coords_local)
+
+        def body(carry, _):
+            c, lnp, acc, k = carry
+            k, k0, k1 = jax.random.split(k, 3)
+            cA, cB = c[:half_local], c[half_local:]
+            pA, pB = lnp[:half_local], lnp[half_local:]
+            cA, pA, accA = half_update(cA, pA, cB, k0)
+            cB, pB, accB = half_update(cB, pB, cA, k1)
+            c = jnp.concatenate([cA, cB], axis=0)
+            lnp = jnp.concatenate([pA, pB], axis=0)
+            acc = acc + jnp.concatenate([accA, accB]).astype(jnp.int32)
+            return (c, lnp, acc, k), (c, lnp)
+
+        (c_fin, lnp_fin, acc, key_fin), (chain, lnp_hist) = jax.lax.scan(
+            body, (coords_local, lnp0, jnp.zeros(w_local, jnp.int32), key),
+            None, length=n_steps)
+        return c_fin, lnp_fin, key_fin, chain, lnp_hist, acc
+
+    c_fin, lnp_fin, key_fin, chain, lnp_hist, acc = sharded_run(
+        coords, key, *data_arrays)
+
+    # undo the interleaved layout -> original walker order, emcee chain layout
+    chain = jnp.swapaxes(chain, 0, 1)[inverse_order]        # (W, S, K)
+    log_prob = jnp.swapaxes(lnp_hist, 0, 1)[inverse_order]  # (W, S)
+    return ShardedResult(chain=chain, log_prob=log_prob,
+                         coords=c_fin[inverse_order], lnp=lnp_fin[inverse_order],
+                         key=key_fin,
+                         acceptance_fraction=acc[inverse_order] / max(n_steps, 1))

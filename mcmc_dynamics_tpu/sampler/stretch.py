@@ -28,7 +28,8 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["EnsembleState", "init_state", "stretch_step", "run_ensemble", "EnsembleResult"]
+__all__ = ["EnsembleState", "init_state", "stretch_step", "run_ensemble",
+           "EnsembleResult", "as_batched"]
 
 
 class EnsembleState(NamedTuple):
@@ -42,10 +43,21 @@ class EnsembleState(NamedTuple):
     step: jnp.ndarray
 
 
-def init_state(lnprob_fn: Callable, coords, key) -> EnsembleState:
-    """Evaluate lnprob for the initial walker positions and build the state."""
+def as_batched(lnprob_fn: Callable) -> Callable:
+    """Lift a per-walker lnprob f[K] -> f[] to a batched f[W,K] -> f[W]."""
+    return jax.vmap(lnprob_fn)
+
+
+def init_state(lnprob_fn: Callable, coords, key,
+               batched: bool = False) -> EnsembleState:
+    """Evaluate lnprob for the initial walker positions and build the state.
+
+    ``batched=True`` declares that ``lnprob_fn`` already maps (W, K) -> (W,)
+    (e.g. a fused Pallas kernel); otherwise it is vmapped.
+    """
+    fn = lnprob_fn if batched else as_batched(lnprob_fn)
     coords = jnp.asarray(coords)
-    log_prob = jax.vmap(lnprob_fn)(coords)
+    log_prob = fn(coords)
     return EnsembleState(
         coords=coords,
         log_prob=log_prob,
@@ -55,23 +67,24 @@ def init_state(lnprob_fn: Callable, coords, key) -> EnsembleState:
     )
 
 
-def _half_update(lnprob_fn, active_coords, active_lnp, other_coords, key, a):
+def _half_update(batched_lnprob, active_coords, active_lnp, other_coords, key, a):
     """Stretch-move update of one half-ensemble against the (fixed) other half."""
     n_active, ndim = active_coords.shape
-    key_z, key_partner, key_accept = jax.random.split(key, 3)
+    # single fused PRNG invocation per half-step (three tiny draws would each pay
+    # the fixed threefry kernel cost on TPU)
+    un = jax.random.uniform(key, (3, n_active), dtype=active_coords.dtype)
 
-    un = jax.random.uniform(key_z, (n_active,), dtype=active_coords.dtype)
-    z = ((a - 1.0) * un + 1.0) ** 2 / a
+    z = ((a - 1.0) * un[0] + 1.0) ** 2 / a
 
-    partner_idx = jax.random.randint(key_partner, (n_active,), 0, other_coords.shape[0])
+    n_other = other_coords.shape[0]
+    partner_idx = jnp.minimum((un[1] * n_other).astype(jnp.int32), n_other - 1)
     partners = other_coords[partner_idx]
 
     proposals = partners + z[:, None] * (active_coords - partners)
-    new_lnp = jax.vmap(lnprob_fn)(proposals)
+    new_lnp = batched_lnprob(proposals)
 
     ln_accept = (ndim - 1.0) * jnp.log(z) + new_lnp - active_lnp
-    ln_u = jnp.log(jax.random.uniform(key_accept, (n_active,),
-                                      dtype=active_coords.dtype))
+    ln_u = jnp.log(un[2])
     # NaN-guard: a NaN lnprob never wins (failure containment analogous to the
     # reference returning -inf on invalid models, axisymmetric.py:292-310).
     accept = (ln_u < ln_accept) & jnp.isfinite(new_lnp)
@@ -81,8 +94,10 @@ def _half_update(lnprob_fn, active_coords, active_lnp, other_coords, key, a):
     return coords, lnp, accept
 
 
-def stretch_step(lnprob_fn: Callable, state: EnsembleState, a: float = 2.0) -> EnsembleState:
+def stretch_step(lnprob_fn: Callable, state: EnsembleState, a: float = 2.0,
+                 batched: bool = False) -> EnsembleState:
     """One full ensemble step: update first half against second, then vice versa."""
+    fn = lnprob_fn if batched else as_batched(lnprob_fn)
     n_walkers = state.coords.shape[0]
     half = n_walkers // 2
     key_next, key0, key1 = jax.random.split(state.key, 3)
@@ -90,8 +105,8 @@ def stretch_step(lnprob_fn: Callable, state: EnsembleState, a: float = 2.0) -> E
     c0, c1 = state.coords[:half], state.coords[half:]
     p0, p1 = state.log_prob[:half], state.log_prob[half:]
 
-    c0, p0, acc0 = _half_update(lnprob_fn, c0, p0, c1, key0, a)
-    c1, p1, acc1 = _half_update(lnprob_fn, c1, p1, c0, key1, a)
+    c0, p0, acc0 = _half_update(fn, c0, p0, c1, key0, a)
+    c1, p1, acc1 = _half_update(fn, c1, p1, c0, key1, a)
 
     return EnsembleState(
         coords=jnp.concatenate([c0, c1], axis=0),
@@ -114,10 +129,10 @@ class EnsembleResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnums=(0, 2, 4, 5))
-def _scan_chain(lnprob_fn, state: EnsembleState, n_steps: int, a: float,
+def _scan_chain(batched_lnprob, state: EnsembleState, n_steps: int, a: float,
                 thin: int, store_chain: bool):
     def body(carry, _):
-        new = stretch_step(lnprob_fn, carry, a=a)
+        new = stretch_step(batched_lnprob, carry, a=a, batched=True)
         out = (new.coords, new.log_prob) if store_chain else None
         return new, out
 
@@ -125,8 +140,10 @@ def _scan_chain(lnprob_fn, state: EnsembleState, n_steps: int, a: float,
         final, traj = jax.lax.scan(body, state, None, length=n_steps)
     else:
         def thinned_body(carry, _):
-            inner, _ = jax.lax.scan(lambda c, __: (stretch_step(lnprob_fn, c, a=a), None),
-                                    carry, None, length=thin)
+            inner, _ = jax.lax.scan(
+                lambda c, __: (stretch_step(batched_lnprob, c, a=a, batched=True),
+                               None),
+                carry, None, length=thin)
             out = (inner.coords, inner.log_prob) if store_chain else None
             return inner, out
 
@@ -139,18 +156,22 @@ def run_ensemble(lnprob_fn: Callable,
                  n_steps: int,
                  a: float = 2.0,
                  thin: int = 1,
-                 store_chain: bool = True) -> EnsembleResult:
+                 store_chain: bool = True,
+                 batched: bool = False) -> EnsembleResult:
     """Advance the ensemble ``n_steps`` steps inside one XLA computation.
 
-    ``lnprob_fn(theta: f[K]) -> f[]`` must be pure/trace-safe. With ``thin > 1`` only
-    every ``thin``-th step is recorded (n_steps must be a multiple of ``thin``).
+    ``lnprob_fn(theta: f[K]) -> f[]`` must be pure/trace-safe (or, with
+    ``batched=True``, map (W, K) -> (W,) directly — e.g. a fused Pallas kernel).
+    With ``thin > 1`` only every ``thin``-th step is recorded (n_steps must be a
+    multiple of ``thin``).
     """
     if initial.coords.shape[0] % 2:
         raise ValueError("Number of walkers must be even for half-ensemble moves.")
     if thin > 1 and n_steps % thin:
         raise ValueError("n_steps must be a multiple of thin.")
 
-    final, traj = _scan_chain(lnprob_fn, initial, int(n_steps), float(a),
+    fn = lnprob_fn if batched else as_batched(lnprob_fn)
+    final, traj = _scan_chain(fn, initial, int(n_steps), float(a),
                               int(thin), bool(store_chain))
     if store_chain:
         coords, lnp = traj  # (S, W, K), (S, W)

@@ -1,0 +1,68 @@
+"""Batched radial-bin pipeline: all per-bin ensembles in one jitted program."""
+
+import math
+
+import numpy as np
+
+import jax
+
+from mcmc_dynamics_tpu import units as u
+from mcmc_dynamics_tpu.parallel import make_mesh
+from mcmc_dynamics_tpu.pipelines import fit_radial_bins
+from mcmc_dynamics_tpu.utils import DataReader
+
+RA_C, DEC_C = 56.345, -26.675
+
+
+def _mock_cluster(n=800, seed=7):
+    """Rotating cluster with radius-dependent dispersion (as bin/run_tests.py)."""
+    rng = np.random.default_rng(seed)
+    truth = dict(sigma_max=8.0, v_max=4.0, theta_0=0.9, r_peak=60.0, a=40.0)
+    r = np.abs(rng.normal(0, 80, n))
+    phi = rng.uniform(-np.pi, np.pi, n)
+    ra = RA_C - (r / 3600) * np.cos(phi) / math.cos(math.radians(DEC_C))
+    dec = DEC_C + (r / 3600) * np.sin(phi)
+    x_pa = r * np.sin(phi - truth["theta_0"])
+    v_los = 2 * (truth["v_max"] / truth["r_peak"]) * x_pa / (1 + (r / truth["r_peak"]) ** 2)
+    sig = truth["sigma_max"] / (1 + r ** 2 / truth["a"] ** 2) ** 0.25
+    verr = 0.3 + 0.2 * rng.random(n)
+    v = v_los + sig * rng.normal(size=n) + verr * rng.normal(size=n)
+    data = DataReader({"ra": u.Quantity(ra, "deg"), "dec": u.Quantity(dec, "deg"),
+                       "v": u.Quantity(v, "km/s"), "verr": u.Quantity(verr, "km/s")})
+    return data, truth
+
+
+class TestFitRadialBins:
+    def test_batched_bins_recover_profile(self):
+        data, truth = _mock_cluster()
+        from mcmc_dynamics_tpu.models import ConstantFit
+        params = ConstantFit.default_parameters()
+        params["sigma_max"].set(initials="rng.lognormal(mean=2.0, sigma=0.4, size=n)")
+        params["v_maxx"].set(initials="rng.normal(loc=0, scale=2, size=n)")
+        params["v_maxy"].set(initials="rng.normal(loc=0, scale=2, size=n)")
+
+        result = fit_radial_bins(data, RA_C * u.deg, DEC_C * u.deg,
+                                 parameters=params, nstars=150, dlogr=0.05,
+                                 n_walkers=48, n_steps=300, seed=1)
+        assert result.n_bins >= 3
+        assert result.chains.shape[:2] == (result.n_bins, 48)
+
+        table = result.summary(n_burn=150)
+        sig = table.value("sigma_max median")
+        # dispersion declines outward (Plummer truth)
+        assert sig[0] > sig[-1]
+        assert abs(sig[0] - truth["sigma_max"]) < 2.5
+        # all bins produced finite stats
+        assert np.all(np.isfinite(table.value("v_max median")))
+        # radii ordered
+        r = table.value("r mean")
+        assert np.all(np.diff(r) > 0)
+
+    def test_bins_sharded_over_mesh(self):
+        data, _ = _mock_cluster(n=400, seed=3)
+        mesh = make_mesh(("dp",), (8,))
+        res = fit_radial_bins(data, RA_C * u.deg, DEC_C * u.deg,
+                              nstars=50, dlogr=0.01, n_walkers=16, n_steps=50,
+                              seed=0, mesh=mesh)
+        assert res.chains.shape[1] == 16
+        assert np.all(np.isfinite(res.log_probs[:, :, -1]))
