@@ -1,0 +1,5 @@
+from .moments import JamMoments, jam_los_moments
+from .axisymmetric import Axisymmetric
+from .radial_profiles import AnalyticalProfiles
+
+__all__ = ["jam_los_moments", "JamMoments", "Axisymmetric", "AnalyticalProfiles"]
