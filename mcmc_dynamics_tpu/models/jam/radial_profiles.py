@@ -55,9 +55,12 @@ class AnalyticalProfiles(Axisymmetric):
         self._x_kappa = self.calculate_x_values(lum_i, lum_s)
 
         # keep the profile scale radii within the MGE sigma range
-        # (reference radial_profiles.py:168-172)
+        # (reference radial_profiles.py:168-172); subclasses (chemo) may
+        # parametrise the kappa radius differently
         self.parameters["r_mlr"].set(min=float(mass_s.min()), max=float(mass_s.max()))
-        self.parameters["r_kappa"].set(min=float(lum_s.min()), max=float(lum_s.max()))
+        if "r_kappa" in self.parameters:
+            self.parameters["r_kappa"].set(min=float(lum_s.min()),
+                                           max=float(lum_s.max()))
         self._compiled = None
 
     @staticmethod
