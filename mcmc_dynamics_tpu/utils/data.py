@@ -34,6 +34,13 @@ def radial_bin_numbers(r: np.ndarray, nstars: int = 50, dlogr: float = 0.2) -> n
     """
     r = np.asarray(r, dtype=np.float64)
     n = r.size
+
+    # native C++ fast path (identical algorithm; see native/mcmcd_native.cpp)
+    from ..native import radial_bins as _native_bins
+    native = _native_bins(r, nstars, dlogr)
+    if native is not None:
+        return native
+
     order = np.argsort(r)
     r_sorted = r[order]
 
@@ -171,3 +178,33 @@ class DataReader:
     @classmethod
     def read(cls, source, fmt: str = "ascii.ecsv", **kwargs) -> "DataReader":
         return cls(Table.read(source, fmt=fmt, **kwargs))
+
+    def to_cache(self, path, columns=None) -> bool:
+        """Write the numeric columns to the native binary catalog cache
+        (mmap-loadable; see native/mcmcd_native.cpp)."""
+        from ..native import cache_write
+        columns = columns or self.data.colnames
+        payload = np.column_stack([np.asarray(self.data.value(c), dtype=np.float64)
+                                   for c in columns])
+        ok = cache_write(path, payload)
+        if ok:
+            Path = __import__("pathlib").Path
+            Path(str(path) + ".cols").write_text(",".join(columns))
+        return ok
+
+    @classmethod
+    def from_cache(cls, path, units=None) -> Optional["DataReader"]:
+        """Load a catalog from the native binary cache; None when unavailable."""
+        from ..native import cache_read
+        data = cache_read(path)
+        if data is None:
+            return None
+        Path = __import__("pathlib").Path
+        columns = Path(str(path) + ".cols").read_text().split(",")
+        table = Table({name: data[:, i] for i, name in enumerate(columns)},
+                      units=units or {})
+        if units:
+            for name, unit in units.items():
+                if name in table:
+                    table.units[name] = u.parse_unit(unit)
+        return cls(table)
