@@ -267,36 +267,47 @@ class Runner:
                  n_out: Optional[int] = None, pos=None, a: float = 2.0,
                  thin: int = 1, seed: Optional[int] = None, plot: bool = False,
                  prefix: Optional[str] = "sampler", true_values=None,
+                 state=None, telemetry=None,
                  n_threads: Optional[int] = None, **kwargs):
         """Run the MCMC analysis; returns a :class:`SamplerResult`.
 
         Signature mirrors the reference ``Runner.__call__`` (runner.py:332-443);
         ``n_threads`` is accepted for API compatibility and ignored (parallelism is
-        vmap/sharding, not process pools).
+        vmap/sharding, not process pools).  Pass ``state=`` (an
+        :class:`~mcmc_dynamics_tpu.sampler.EnsembleState`, e.g. from
+        :meth:`load_state`) for a bitwise-exact continuation including the PRNG key —
+        a capability the reference's pickle restart lacks (runner.py:415-419).
         """
         del n_threads
         if kwargs:
             logger.warning("Ignoring unsupported keyword arguments: %s", list(kwargs))
 
-        if pos is None:
-            pos = self.get_initials(n_walkers)
-        pos = np.asarray(pos, dtype=np.float64)
-        assert pos.shape == (n_walkers, self.n_fitted_parameters), \
-            "Array with starting values has invalid shape."
-
         lnprob = self.build_lnprob_batched()
-        lnprior_v = jax.jit(jax.vmap(self.compiled.lnprior))
-        prior_vals = np.asarray(lnprior_v(jnp.asarray(pos, dtype=self.dtype)))
-        bad = ~np.isfinite(prior_vals)
-        if bad.any():
-            i = int(np.argmax(bad))
-            raise ValueError(
-                f"Invalid initial guesses for walker {i}: "
-                f"{self.fitted_parameters}={pos[i]}")
 
-        key = jax.random.PRNGKey(self.seed if seed is None else seed)
-        state = init_state(lnprob, jnp.asarray(pos, dtype=self.dtype), key,
-                           batched=True)
+        if state is None:
+            if pos is None:
+                pos = self.get_initials(n_walkers)
+            pos = np.asarray(pos, dtype=np.float64)
+            assert pos.shape == (n_walkers, self.n_fitted_parameters), \
+                "Array with starting values has invalid shape."
+
+            lnprior_v = jax.jit(jax.vmap(self.compiled.lnprior))
+            prior_vals = np.asarray(lnprior_v(jnp.asarray(pos, dtype=self.dtype)))
+            bad = ~np.isfinite(prior_vals)
+            if bad.any():
+                i = int(np.argmax(bad))
+                raise ValueError(
+                    f"Invalid initial guesses for walker {i}: "
+                    f"{self.fitted_parameters}={pos[i]}")
+
+            key = jax.random.PRNGKey(self.seed if seed is None else seed)
+            state = init_state(lnprob, jnp.asarray(pos, dtype=self.dtype), key,
+                               batched=True)
+        else:
+            n_walkers = state.coords.shape[0]
+
+        if telemetry is not None:
+            telemetry.n_walkers = n_walkers
 
         chain_parts, lnp_parts = [], []
         chunk = n_out if n_out else n_steps
@@ -304,8 +315,14 @@ class Runner:
         result = None
         while done < n_steps:
             steps = min(chunk, n_steps - done)
-            result = run_ensemble(lnprob, state, n_steps=steps, a=a, thin=thin,
-                                  batched=True)
+            if telemetry is not None:
+                with telemetry.chunk(steps):
+                    result = run_ensemble(lnprob, state, n_steps=steps, a=a,
+                                          thin=thin, batched=True)
+                    jax.block_until_ready(result.final.coords)
+            else:
+                result = run_ensemble(lnprob, state, n_steps=steps, a=a, thin=thin,
+                                      batched=True)
             chain_parts.append(np.asarray(result.chain))
             lnp_parts.append(np.asarray(result.log_prob))
             state = result.final
@@ -350,6 +367,25 @@ class Runner:
         np.savez(f"{prefix}_chain.npz", chain=chain, lnprob=lnprob,
                  key=np.asarray(state.key), coords=np.asarray(state.coords),
                  accepted=np.asarray(state.accepted), step=np.asarray(state.step))
+
+    def load_state(self, filename: str):
+        """Rebuild the resumable EnsembleState (coords + lnP + PRNG key + counters)
+        from a checkpoint, enabling bitwise-exact continuation via
+        ``runner(state=...)``."""
+        from ..sampler import EnsembleState
+
+        path = pathlib.Path(filename)
+        if path.suffix != ".npz":
+            path = path.with_suffix(".npz")
+        with np.load(path) as f:
+            coords = jnp.asarray(f["coords"], dtype=self.dtype)
+            key = jnp.asarray(f["key"], dtype=jnp.uint32)
+            accepted = jnp.asarray(f["accepted"])
+            step = jnp.asarray(f["step"])
+        lnprob = self.build_lnprob_batched()
+        log_prob = lnprob(coords)
+        return EnsembleState(coords=coords, log_prob=log_prob, key=key,
+                             accepted=accepted, step=step)
 
     @staticmethod
     def read_chain(filename: str):
