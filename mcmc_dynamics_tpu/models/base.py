@@ -354,6 +354,19 @@ class Runner:
 
     # ------------------------------------------------------------------ persistence
     @staticmethod
+    def save_chain(sampler, filename: str = "samplerchain.npz"):
+        """Deprecated alias of save_current_status (reference runner.py:445-455)."""
+        import warnings
+
+        warnings.warn("Runner.save_chain() is deprecated. "
+                      "Use Runner.save_current_status() instead.",
+                      DeprecationWarning)
+        prefix = filename.split(".")[0]
+        if prefix.endswith("chain"):
+            prefix = prefix[:-5].rstrip("_") or "sampler"
+        Runner.save_current_status(sampler, prefix=prefix)
+
+    @staticmethod
     def save_current_status(sampler, prefix: str = "sampler"):
         np.savez(f"{prefix}_chain.npz",
                  chain=sampler.chain, lnprob=sampler.lnprobability,

@@ -159,6 +159,57 @@ class Parameter:
                    label=label, initials=initials, lnprior=lnprior, expr=expr,
                    user_data=user_data)
 
+    # numeric protocol (reference parameter.py:886-1008): a Parameter can be used
+    # directly in arithmetic with its bare value
+    def __float__(self):
+        return float(self._value)
+
+    def __array__(self, dtype=None):
+        return np.asarray(float(self._value), dtype=dtype)
+
+    def __add__(self, other):
+        return self._value + other
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self._value - other
+
+    def __rsub__(self, other):
+        return other - self._value
+
+    def __mul__(self, other):
+        return self._value * other
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return self._value / other
+
+    def __rtruediv__(self, other):
+        return other / self._value
+
+    def __pow__(self, other):
+        return self._value ** other
+
+    def __neg__(self):
+        return -self._value
+
+    def __abs__(self):
+        return abs(self._value)
+
+    def __lt__(self, other):
+        return self._value < other
+
+    def __le__(self, other):
+        return self._value <= other
+
+    def __gt__(self, other):
+        return self._value > other
+
+    def __ge__(self, other):
+        return self._value >= other
+
     def __repr__(self):
         bits = [f"value={self._value!r}"]
         if self.fixed and self.expr is None:
@@ -209,6 +260,19 @@ class Parameters(OrderedDict):
         out = Parameters(rng_seed=self.rng_seed)
         for name, p in self.items():
             out[name] = Parameter.from_dict(p.to_dict())
+        return out
+
+    def update(self, other) -> "Parameters":
+        """Merge another Parameters instance (reference parameter.py:80-87)."""
+        if not isinstance(other, Parameters):
+            raise ValueError(f"'{other}' is not a Parameters object")
+        for name, p in other.items():
+            self[name] = Parameter.from_dict(p.to_dict())
+        return self
+
+    def __add__(self, other) -> "Parameters":
+        out = self.copy()
+        out.update(other)
         return out
 
     __copy__ = copy

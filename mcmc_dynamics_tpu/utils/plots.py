@@ -237,6 +237,21 @@ def _plot_kwargs(kwargs):
     return out
 
 
+def get_mapping_significance(kernel, significances, n_mc: int = 20000,
+                             seed: int = 0):
+    """Iso-density values above which the given probability masses of a KDE lie
+    (API parity with reference contour_plot.py:26-63, computed directly by Monte
+    Carlo instead of the reference's iso-level bisection walk)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    sample = kernel.resample(n_mc, seed=rng)
+    densities = np.sort(kernel(sample))[::-1]
+    significances = np.atleast_1d(significances)
+    return np.array([densities[min(int(p * n_mc), n_mc - 1)]
+                     for p in significances])
+
+
 def get_kde_contours(x, y, levels=(0.393, 0.865, 0.989), grid_size=100,
                      n_mc: int = 20000, seed: int = 0):
     """2D Gaussian-KDE contour levels enclosing the requested probability masses,

@@ -84,3 +84,43 @@ class TestConstantKernel:
             lnm = -0.5 * (np.log(2 * np.pi * norm) + (v - vlos) ** 2 / norm)
             expected[w] = np.logaddexp(lgp + lnm, lg1mp + lnb).sum()
         np.testing.assert_allclose(got, expected, rtol=1e-10)
+
+
+class TestBackgroundKernel:
+    def test_matches_numpy_logsumexp(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from mcmc_dynamics_tpu.ops import background_logsumexp
+
+        rng = np.random.default_rng(7)
+        vcat = rng.normal(25.0, 30.0, size=300)
+        v = rng.normal(0.0, 15.0, size=150)
+        verr = 0.4 + rng.random(150)
+        sigma_int = 2.0
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(background_logsumexp(vcat, v, verr, sigma_int,
+                                                  target_tile=64,
+                                                  catalog_chunk=128))
+        norm = sigma_int ** 2 + verr ** 2
+        brute = np.log(np.mean(
+            np.exp(-np.subtract.outer(vcat, v) ** 2 / (2 * norm))
+            / np.sqrt(2 * np.pi * norm), axis=0))
+        np.testing.assert_allclose(got, brute, rtol=1e-8)
+
+    def test_single_stars_device_path(self):
+        """SingleStars transparently switches to the device kernel for large
+        pairwise problems."""
+        from jax.experimental.pallas import tpu as pltpu
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.background import SingleStars
+
+        rng = np.random.default_rng(8)
+        vcat = rng.normal(20.0, 25.0, size=400)
+        bg = SingleStars(u.Quantity(vcat, "km/s"))
+        v = rng.normal(0.0, 10.0, size=100)
+        verr = 0.5 + rng.random(100)
+
+        reference = bg(v, verr)  # small -> numpy path
+        bg._DEVICE_THRESHOLD = 1  # force the kernel path
+        with pltpu.force_tpu_interpret_mode():
+            got = bg(v, verr)
+        np.testing.assert_allclose(got, reference, rtol=1e-6)
