@@ -26,8 +26,8 @@ def main():
     from mcmc_dynamics_tpu.utils import DataReader
 
     n_stars = 10_000
-    n_walkers = 8192
-    n_steps = 100
+    n_walkers = 16384
+    n_steps = 300
 
     ra_c, dec_c = 56.345, -26.675
     rng = np.random.default_rng(0)
@@ -72,7 +72,7 @@ def main():
     del os.environ["MCMC_TPU_DISABLE_PALLAS"]
     evals_per_sec = max(rates.values())
     print(json.dumps({
-        "metric": "lnprob evals/sec/chip (ConstantFit, 8192 walkers x 1e4 stars)",
+        "metric": "lnprob evals/sec/chip (ConstantFit, 16k walkers x 1e4 stars)",
         "value": round(evals_per_sec, 1),
         "unit": "evals/s",
         "vs_baseline": round(evals_per_sec / 1.0e7, 4),

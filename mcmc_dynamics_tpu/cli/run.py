@@ -108,7 +108,6 @@ def main(argv=None):
     logger.info("run configuration: %s", json.dumps(cfg, indent=1))
 
     from .. import units as u
-    from ..parameters import Parameters
 
     data = load_catalog(cfg["data"])
     logger.info("loaded %d stars", data.sample_size)

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from .. import units as u
 from ..parameters import CompiledParameters, Parameters
-from ..sampler import init_state, run_ensemble
+from ..sampler import (init_state, key_from_arrays, key_to_arrays,
+                       make_key, run_ensemble)
 from ..utils.coordinates import get_amplitude_and_angle
 from ..utils.data import DataReader
 from ..utils.table import Table
@@ -252,7 +253,6 @@ class Runner:
 
     def fixed_center_offsets(self):
         """Host-side float64 (dx, dy) offsets in radians for the fixed centre."""
-        import math
         from ..utils.coordinates import xy_offset_rad
         ra_c = self.parameters["ra_center"].quantity.to(u.rad).value
         dec_c = self.parameters["dec_center"].quantity.to(u.rad).value
@@ -300,7 +300,7 @@ class Runner:
                     f"Invalid initial guesses for walker {i}: "
                     f"{self.fitted_parameters}={pos[i]}")
 
-            key = jax.random.PRNGKey(self.seed if seed is None else seed)
+            key = make_key(self.seed if seed is None else seed)
             state = init_state(lnprob, jnp.asarray(pos, dtype=self.dtype), key,
                                batched=True)
         else:
@@ -368,17 +368,15 @@ class Runner:
 
     @staticmethod
     def save_current_status(sampler, prefix: str = "sampler"):
-        np.savez(f"{prefix}_chain.npz",
-                 chain=sampler.chain, lnprob=sampler.lnprobability,
-                 key=np.asarray(sampler.final_state.key),
-                 coords=np.asarray(sampler.final_state.coords),
-                 accepted=np.asarray(sampler.final_state.accepted),
-                 step=np.asarray(sampler.final_state.step))
+        Runner.save_current_status_arrays(sampler.chain, sampler.lnprobability,
+                                          sampler.final_state, prefix=prefix)
 
     @staticmethod
     def save_current_status_arrays(chain, lnprob, state, prefix: str = "sampler"):
+        key_data, key_impl = key_to_arrays(state.key)
         np.savez(f"{prefix}_chain.npz", chain=chain, lnprob=lnprob,
-                 key=np.asarray(state.key), coords=np.asarray(state.coords),
+                 key=key_data, key_impl=np.asarray(key_impl),
+                 coords=np.asarray(state.coords),
                  accepted=np.asarray(state.accepted), step=np.asarray(state.step))
 
     def load_state(self, filename: str):
@@ -392,7 +390,8 @@ class Runner:
             path = path.with_suffix(".npz")
         with np.load(path) as f:
             coords = jnp.asarray(f["coords"], dtype=self.dtype)
-            key = jnp.asarray(f["key"], dtype=jnp.uint32)
+            impl = str(f["key_impl"]) if "key_impl" in f else "legacy"
+            key = key_from_arrays(f["key"], impl)
             accepted = jnp.asarray(f["accepted"])
             step = jnp.asarray(f["step"])
         lnprob = self.build_lnprob_batched()

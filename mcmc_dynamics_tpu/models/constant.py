@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .base import (Runner, gaussian_lnlike_terms, masked_sum, mixture_lnlike_terms)
+from .base import Runner, gaussian_lnlike_terms, mixture_lnlike_terms
 from ..utils.coordinates import xy_offset_rad
 
 __all__ = ["ConstantFit", "ConstantFitGB"]

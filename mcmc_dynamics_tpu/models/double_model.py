@@ -23,7 +23,6 @@ import logging
 import numpy as np
 import jax.numpy as jnp
 
-from .base import gaussian_lnlike_terms, masked_sum, mixture_lnlike_terms
 from .model import ModelFit, _GaussianBackgroundMixin
 from .. import units as u
 from ..utils.table import Table

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import logging
 import math
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -32,10 +32,10 @@ import jax
 import jax.numpy as jnp
 
 from .moments import jam_los_moments
-from ..base import Runner, gaussian_lnlike_terms, masked_sum, mixture_lnlike_terms
+from ..base import Runner, gaussian_lnlike_terms, mixture_lnlike_terms
 from ... import units as u
 from ...utils.coordinates import xy_offset_rad
-from ...utils.mge import MgeReader, get_mge, stack_mge_grid
+from ...utils.mge import MgeReader, stack_mge_grid
 from ...utils.morphology import find_barq_limits
 from ...utils.table import Table
 

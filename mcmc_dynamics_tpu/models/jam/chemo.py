@@ -24,17 +24,16 @@ pure JAM calls inside one trace.
 from __future__ import annotations
 
 import logging
-import math
 from string import ascii_lowercase
 
 import numpy as np
 
 import jax.numpy as jnp
 
-from .axisymmetric import Axisymmetric, _ARCSEC_PER_RAD
+from .axisymmetric import _ARCSEC_PER_RAD
 from .moments import jam_los_moments
 from .radial_profiles import AnalyticalProfiles
-from ..base import gaussian_lnlike_terms, masked_sum
+from ..base import gaussian_lnlike_terms
 from ...parameters import Parameters
 from ...utils.mge import MgeReader
 

@@ -24,7 +24,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from .axisymmetric import Axisymmetric
-from ...utils.mge import MgeReader
 
 logger = logging.getLogger(__name__)
 

@@ -19,7 +19,7 @@ collectives ride the ICI mesh.  PRNG discipline: the per-device key is folded wi
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import numpy as np
 

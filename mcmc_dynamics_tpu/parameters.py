@@ -31,7 +31,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from . import units as u
-from .expressions import ExpressionError, compile_host, compile_jax, expression_names
+from .expressions import compile_host, compile_jax
 
 __all__ = ["Parameter", "Parameters", "CompiledParameters"]
 

@@ -11,7 +11,7 @@ independent posteriors batched per chip).
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional, Type
+from typing import Dict, Type
 
 import numpy as np
 

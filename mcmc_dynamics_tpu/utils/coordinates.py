@@ -10,7 +10,7 @@ arrays, plus unit-aware host wrappers with the reference's API.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -8,8 +8,7 @@ without the ``corner`` dependency (a native triangle plot is provided).
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ import io
 import pathlib
 import re
 from collections import OrderedDict
-from typing import Dict, List, Optional, Union
+from typing import Dict, List, Optional
 
 import numpy as np
 

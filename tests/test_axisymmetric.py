@@ -190,3 +190,45 @@ class TestAnalyticalProfiles:
         base.n_u, base.n_zeta = 12, 16
         assert math.isclose(float(fit.lnlike(np.array([2.0]))),
                             float(base.lnlike(np.array([2.0]))), rel_tol=1e-9)
+
+
+class TestMgeGrid:
+    """Centre-dependent MGE grids selected by argmin inside jit (replaces the
+    reference's per-call file IO, axisymmetric.py:245-254)."""
+
+    def _grid_files(self, tmp_path):
+        from mcmc_dynamics_tpu.utils import Table
+        files = {}
+        for k, (dra, ddec) in enumerate([(0.0, 0.0), (0.002, 0.0), (0.0, 0.002)]):
+            t = Table({"n": np.array([1, 2]),
+                       "i": u.Quantity([5000.0 * (1 + 0.1 * k), 1000.0], "solLum/pc2"),
+                       "s": u.Quantity([10.0, 40.0], "arcsec"),
+                       "q": np.array([0.9, 0.85])})
+            fname = tmp_path / f"mge_{k}.ecsv"
+            t.write(fname)
+            files[(RA_C + dra, DEC_C + ddec)] = str(fname)
+        return files
+
+    def test_grid_selection_changes_likelihood(self, tmp_path):
+        data, _, _ = _mock_jam_data(n=60)
+        files = self._grid_files(tmp_path)
+        params = Axisymmetric.default_parameters()
+        for name, val in dict(d=5.0, mlr=2.0, barq=0.6, kappa_x=0.3, kappa_y=0.0,
+                              beta=0.0, mbh=0.0, rbh=1.0, delta_v=0.0).items():
+            params[name].set(value=val, fixed=True)
+        params["ra_center"].set(value=RA_C, min=RA_C - 0.01, max=RA_C + 0.01)
+        params["dec_center"].set(value=DEC_C, fixed=True)
+
+        fit = Axisymmetric(data, parameters=params, mge_files=files)
+        fit.n_u, fit.n_zeta = 8, 12
+
+        near_zero = float(fit.lnlike(np.array([RA_C + 0.0001])))
+        near_one = float(fit.lnlike(np.array([RA_C + 0.0019])))
+        assert np.isfinite(near_zero) and np.isfinite(near_one)
+        # grid point 1 has different central intensity -> different likelihood
+        assert not math.isclose(near_zero, near_one, rel_tol=1e-6)
+
+    def test_grid_requires_files_when_no_mge(self, tmp_path):
+        data, _, _ = _mock_jam_data(n=30)
+        with pytest.raises(AssertionError):
+            Axisymmetric(data, mge_mass=None, mge_lum=None, mge_files=None)
