@@ -62,14 +62,20 @@ def main():
         _ = np.asarray(res.final.coords)
         return n_walkers * n_steps / (time.perf_counter() - t0)
 
-    # A/B the fused-Pallas and XLA-fusion paths; report the better (both are
-    # production paths, selection is a config knob)
-    rates = {}
+    # A/B/C the production paths; report the best (selection is a config knob):
+    # - sufficient: exact weighted-moment tables, O(1)/walker (the default)
+    # - pallas:     fused walker x star VMEM kernel
+    # - xla:        broadcast + XLA fusion
     import os
+    import sys
+    rates = {}
+    rates["sufficient"] = measure(fit.build_lnprob_sufficient())
+    os.environ["MCMC_TPU_LNPROB"] = "direct"
     rates["pallas"] = measure(fit.build_lnprob_batched())
     os.environ["MCMC_TPU_DISABLE_PALLAS"] = "1"
     rates["xla"] = measure(fit.build_lnprob_batched())
-    del os.environ["MCMC_TPU_DISABLE_PALLAS"]
+    del os.environ["MCMC_TPU_DISABLE_PALLAS"], os.environ["MCMC_TPU_LNPROB"]
+    print({k: round(v, 1) for k, v in rates.items()}, file=sys.stderr)
     evals_per_sec = max(rates.values())
     print(json.dumps({
         "metric": "lnprob evals/sec/chip (ConstantFit, 16k walkers x 1e4 stars)",

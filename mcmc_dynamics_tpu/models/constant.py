@@ -66,7 +66,13 @@ class ConstantFit(Runner):
                                          data["pmember"])
         return terms
 
-    # ------------------------------------------------------------------ fused path
+    # ------------------------------------------------------------------ fast paths
+    def _canonical_layout(self) -> bool:
+        return (type(self) is ConstantFit
+                and self.center_is_fixed()
+                and self.compiled.free_names == ["v_sys", "sigma_max",
+                                                 "v_maxx", "v_maxy"])
+
     def _pallas_eligible(self) -> bool:
         """The fused kernel covers exactly this class's likelihood with a fixed
         centre and the canonical free-parameter layout."""
@@ -74,16 +80,48 @@ class ConstantFit(Runner):
         import jax
         if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
             return False
-        return (type(self) is ConstantFit
-                and jax.default_backend() == "tpu"
-                and self.center_is_fixed()
-                and self.compiled.free_names == ["v_sys", "sigma_max",
-                                                 "v_maxx", "v_maxy"])
+        return jax.default_backend() == "tpu" and self._canonical_layout()
+
+    def _sufficient_eligible(self) -> bool:
+        """The O(1)-per-walker sufficient-statistics path: canonical layout, no
+        per-star mixture (the background logsumexp is not quadratic in theta)."""
+        import os
+        if os.environ.get("MCMC_TPU_LNPROB", "auto") not in ("auto", "sufficient"):
+            return False
+        return self._canonical_layout() \
+            and "lnlike_background" not in self._data_arrays
+
+    def build_lnprob_sufficient(self):
+        """Batched lnprob through precomputed weighted-moment tables: the star
+        catalog is read once at build; each walker evaluation is ~60 flops
+        (see ops.sufficient)."""
+        import jax
+        from ..ops.sufficient import ConstantSufficientStats
+
+        data = self.prepare_data(dict(self._data_arrays))
+        sigma_hi = self.parameters["sigma_max"].max
+        s_max = float(min(1e8, max(1e4, (2.0 * sigma_hi) ** 2))) \
+            if jnp.isfinite(sigma_hi) else 1.0e6
+        stats = ConstantSufficientStats.build(
+            data["gx"], data["gy"], data["v"], data["verr"] * data["verr"],
+            mask=data.get("mask"), s_max=s_max)
+        compiled = self.compiled
+        lnprior_batched = jax.vmap(compiled.lnprior)
+
+        def batched(thetas):
+            lp = lnprior_batched(thetas)
+            ll = stats.lnlike(thetas)
+            in_grid = thetas[:, 1] * thetas[:, 1] <= s_max
+            return jnp.where(jnp.isfinite(lp) & in_grid, lp + ll, -jnp.inf)
+
+        return batched
 
     def build_lnprob_batched(self):
         import jax
         import numpy as np
 
+        if self._sufficient_eligible():
+            return self.build_lnprob_sufficient()
         if not self._pallas_eligible():
             return super().build_lnprob_batched()
 

@@ -124,3 +124,52 @@ class TestBackgroundKernel:
         with pltpu.force_tpu_interpret_mode():
             got = bg(v, verr)
         np.testing.assert_allclose(got, reference, rtol=1e-6)
+
+
+class TestSufficientStats:
+    """O(1)-per-walker ConstantFit likelihood via exact weighted-moment tables."""
+
+    def test_matches_direct_lnlike(self):
+        from mcmc_dynamics_tpu.ops import ConstantSufficientStats
+
+        params, gx, gy, v, verr2, mask = _inputs(n_walkers=64, n_stars=3000, seed=5)
+        # spread sigma over several orders of magnitude
+        params[:, 1] = np.exp(np.random.default_rng(0).uniform(-2, 4, 64))
+        stats = ConstantSufficientStats.build(gx, gy, v, verr2, mask)
+        got = np.asarray(stats.lnlike(jnp.asarray(params)))
+        expected = _reference_lnlike(params, gx, gy, v, verr2, mask)
+        np.testing.assert_allclose(got, expected, rtol=1e-7)
+
+    def test_respects_mask(self):
+        from mcmc_dynamics_tpu.ops import ConstantSufficientStats
+
+        params, gx, gy, v, verr2, mask = _inputs(n_walkers=8, n_stars=500, seed=6)
+        mask[250:] = 0.0
+        stats = ConstantSufficientStats.build(gx, gy, v, verr2, mask)
+        got = np.asarray(stats.lnlike(jnp.asarray(params)))
+        expected = _reference_lnlike(params[:, :4], gx[:250], gy[:250], v[:250],
+                                     verr2[:250], np.ones(250))
+        np.testing.assert_allclose(got, expected, rtol=1e-7)
+
+    def test_jit_and_scan_compatible(self):
+        from mcmc_dynamics_tpu.ops import ConstantSufficientStats
+        from mcmc_dynamics_tpu.sampler import init_state, run_ensemble
+
+        params, gx, gy, v, verr2, mask = _inputs(n_walkers=32, n_stars=800, seed=7)
+        stats = ConstantSufficientStats.build(gx, gy, v, verr2, mask)
+
+        def batched(thetas):
+            ok = thetas[:, 1] > 0
+            return jnp.where(ok, stats.lnlike(thetas), -jnp.inf)
+
+        state = init_state(batched, jnp.asarray(params), jax.random.PRNGKey(0),
+                           batched=True)
+        res = run_ensemble(batched, state, n_steps=200, batched=True)
+        chain = np.asarray(res.chain)
+        assert np.isfinite(np.asarray(res.log_prob)).all()
+        # posterior must match the direct-likelihood posterior
+        direct = lambda ths: jnp.asarray(
+            _reference_lnlike(np.asarray(ths), gx, gy, v, verr2, mask))
+        lp_direct = _reference_lnlike(chain[:, -1, :], gx, gy, v, verr2, mask)
+        np.testing.assert_allclose(np.asarray(res.log_prob[:, -1]), lp_direct,
+                                   rtol=1e-6)
