@@ -1,0 +1,73 @@
+"""CLI driver smoke tests (fast paths only; the full pipelines are driven in the
+verification harness)."""
+
+import json
+import math
+import pathlib
+
+import numpy as np
+import pytest
+
+
+class TestClusterElongation:
+    def test_end_to_end(self, tmp_path, monkeypatch):
+        from mcmc_dynamics_tpu.cli.cluster_elongation import main
+
+        rng = np.random.default_rng(0)
+        n = 800
+        # elongated distribution: axis ratio 0.6, PA 30 deg east of north
+        a, b = 1.0, 0.6
+        x0 = a * rng.normal(size=n)
+        y0 = b * rng.normal(size=n)
+        pa = math.radians(30.0)
+        # rotate semi-major axis to position angle measured from +y axis
+        x = x0 * math.cos(pa + math.pi / 2) - y0 * math.sin(pa + math.pi / 2)
+        y = x0 * math.sin(pa + math.pi / 2) + y0 * math.cos(pa + math.pi / 2)
+
+        catalog = tmp_path / "phot.csv"
+        with open(catalog, "w") as f:
+            f.write("x,y\n")
+            for xi, yi in zip(x, y):
+                f.write(f"{xi},{yi}\n")
+
+        out = tmp_path / "elong.png"
+        monkeypatch.chdir(tmp_path)
+        assert main([str(catalog), "-o", str(out), "--radii", "0", "3"]) == 0
+        assert out.exists() and out.stat().st_size > 5000
+
+    def test_eccentricity_recovered(self):
+        from mcmc_dynamics_tpu.utils import get_eccentricity_and_pa
+
+        rng = np.random.default_rng(1)
+        n = 4000
+        x = 1.0 * rng.normal(size=n)
+        y = 0.6 * rng.normal(size=n)
+        res = get_eccentricity_and_pa(x, y, radii=[0.0, 5.0])
+        e = res.value("e")[0]
+        expected_e = math.sqrt(1 - 0.6 ** 4)  # eigenvalues are variances
+        assert abs(e - expected_e) < 0.05
+
+
+class TestRunConfigLoading:
+    def test_catalog_loader_subtracts_vsys(self, tmp_path):
+        from mcmc_dynamics_tpu.cli.run import load_catalog
+
+        catalog = tmp_path / "cat.csv"
+        with open(catalog, "w") as f:
+            f.write("ra,dec,v,verr\n")
+            f.write("201.0,-47.0,232.0,1.0\n201.1,-47.1,235.0,1.5\n")
+        data = load_catalog({"file": str(catalog), "format": "csv", "v_sys": 232.7})
+        np.testing.assert_allclose(data.data.value("v"), [-0.7, 2.3], rtol=1e-12)
+
+    def test_background_builder(self, tmp_path):
+        from mcmc_dynamics_tpu.cli.run import build_background
+
+        field = tmp_path / "field.csv"
+        with open(field, "w") as f:
+            f.write("v\n10.0\n20.0\n30.0\n")
+        bg = build_background({"type": "single_stars", "file": str(field)})
+        out = bg(np.array([15.0]), np.array([1.0]))
+        assert np.isfinite(out).all()
+
+        g = build_background({"type": "gaussian", "mean": 0.0, "sigma": 50.0})
+        assert np.isfinite(g(np.array([10.0]), np.array([1.0]))).all()
