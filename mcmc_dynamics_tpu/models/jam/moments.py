@@ -113,19 +113,14 @@ def jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     lum_q = jnp.atleast_1d(jnp.asarray(lum_q, dtype))
     n_lum = lum_i.shape[0]
 
-    # mass MGE + black hole as an extra compact Gaussian (q=1):
-    # total mass of a projected Gaussian = 2 pi Sigma0 sigma^2 q'
+    # mass MGE (the black hole is handled separately below: a near-point-mass
+    # Gaussian would put an unresolvable spike at u ~ 0 in the pair quadrature)
     mass_i = jnp.atleast_1d(jnp.asarray(mass_i, dtype))
     mass_i = mass_i * jnp.broadcast_to(jnp.asarray(mscale, dtype), mass_i.shape)
     mass_s = jnp.atleast_1d(jnp.asarray(mass_s, dtype)) * pc
     mass_q = jnp.atleast_1d(jnp.asarray(mass_q, dtype))
 
-    rbh_pc = jnp.asarray(rbh, dtype) * pc
-    sigma_bh = jnp.maximum(rbh_pc, 1e-6)
-    i_bh = jnp.asarray(mbh, dtype) / (2.0 * jnp.pi * sigma_bh ** 2)
-    mass_i = jnp.concatenate([mass_i, i_bh[None]])
-    mass_s = jnp.concatenate([mass_s, sigma_bh[None]])
-    mass_q = jnp.concatenate([mass_q, jnp.ones((1,), dtype)])
+    rbh_pc = jnp.maximum(jnp.asarray(rbh, dtype) * pc, 1e-8)
 
     beta = jnp.broadcast_to(jnp.asarray(beta, dtype), (n_lum,))
     kappa = jnp.broadcast_to(jnp.asarray(kappa, dtype), (n_lum,))
@@ -143,7 +138,7 @@ def jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     lum_qi, lum_q2raw = deproject(lum_q)
     mass_qi, mass_q2raw = deproject(mass_q)
     valid = (jnp.all(lum_q2raw >= _MIN_Q_DEPROJECTED ** 2)
-             & jnp.all(mass_q2raw[:-1] >= _MIN_Q_DEPROJECTED ** 2)
+             & jnp.all(mass_q2raw >= _MIN_Q_DEPROJECTED ** 2)
              & jnp.all(beta < 1.0))
 
     nu0 = lum_i * lum_q / (lum_s * lum_qi * _SQRT_2PI)      # Lsun / pc^3
@@ -219,8 +214,46 @@ def jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     nu_sz2 = four_pi_g * nu0[:, None] * E_j * S_sz                        # (L, P)
     r_dr = four_pi_g * nu0[:, None] * E_j * (-2.0 * R2f[None, :]) * S_sz_a
     nu_rfr = four_pi_g * nu0[:, None] * E_j * R2f[None, :] * S_fr[None, :]
-    nu_vphi2 = b[:, None] * (nu_sz2 + r_dr) + nu_rfr                      # (L, P)
     nu_j = nu0[:, None] * E_j                                             # (L, P)
+
+    # ---------------------------------------------------------- black hole terms
+    # Plummer-softened point mass: Phi = -G M / sqrt(r^2 + rbh^2).  The vertical
+    # Jeans integral through a Gaussian tracer is, with a_j = (s_j q_j)^2 and
+    # C = R^2 + z^2 + rbh^2, x0 = C/(2 a_j),
+    #   I32 = int_0^inf e^-w (C + 2 a_j w)^{-3/2} dw
+    #       = (2 a)^{-3/2} [2 x0^{-1/2} - 2 sqrt(pi) erfcx(sqrt(x0))]
+    # (and analogously I52) — CLOSED FORM via the scaled complementary error
+    # function (sympy-verified; a near-point-mass Gaussian would be unresolvable
+    # by the shared pair quadrature at u ~ 0, hence the dedicated treatment).
+    # Large x0 uses the asymptotic series to dodge catastrophic cancellation.
+    gm = G_PC * jnp.asarray(mbh, dtype)
+    a_bh = (lum_s * lum_qi) ** 2                                          # (L,)
+    C = R2f + z2f + rbh_pc * rbh_pc                                       # (P,)
+    x0 = C[None, :] / (2.0 * a_bh[:, None])                               # (L, P)
+
+    sqrt_pi = math.sqrt(math.pi)
+    x0_safe = jnp.minimum(x0, 50.0)
+    F = jnp.exp(x0_safe) * jax.scipy.special.erfc(jnp.sqrt(x0_safe))      # erfcx
+    inv_sq = jax.lax.rsqrt(x0)
+    small32 = 2.0 * inv_sq - 2.0 * sqrt_pi * F
+    small52 = (2.0 / 3.0) * (inv_sq ** 3 - 2.0 * inv_sq + sqrt_pi * 2.0 * F)
+    ix = 1.0 / x0
+    large32 = inv_sq ** 3 * (1.0 + ix * (-1.5 + ix * (3.75 + ix * (
+        -13.125 + ix * 59.0625))))
+    large52 = inv_sq ** 5 * (1.0 + ix * (-2.5 + ix * (8.75 + ix * (
+        -39.375 + ix * 216.5625))))
+    use_small = x0 < 50.0
+    two_a = (2.0 * a_bh[:, None]) ** -1.5
+    i32 = two_a * jnp.where(use_small, small32, large32)
+    i52 = two_a / (2.0 * a_bh[:, None]) * jnp.where(use_small, small52, large52)
+
+    nu_sz2 = nu_sz2 + nu_j * gm * a_bh[:, None] * i32
+    r_dr = r_dr + nu_j * gm * a_bh[:, None] * (
+        -(R2f[None, :] / (lum_s ** 2)[:, None]) * i32
+        - 3.0 * R2f[None, :] * i52)
+    nu_rfr = nu_rfr + nu_j * gm * R2f[None, :] * C[None, :] ** -1.5
+
+    nu_vphi2 = b[:, None] * (nu_sz2 + r_dr) + nu_rfr                      # (L, P)
 
     # mean rotation per Gaussian, clipped where sigma_phi^2 would exceed <v_phi^2>.
     # nu_j * vbar_phi,j = kappa_j sqrt((nu<v_phi^2> - b nu sigma_z^2) * nu) — no

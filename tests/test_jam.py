@@ -191,3 +191,65 @@ class TestPhysicsResponses:
 
         g = jax.grad(loss)(2.0)
         assert np.isfinite(float(g)) and float(g) > 0
+
+
+class TestQuadratureConvergence:
+    def test_flattened_rotating_model_converged(self):
+        """Default quadrature orders vs a much finer grid on a flattened, inclined,
+        rotating model (the spherical test only validates q=1)."""
+        mge = dict(lum_i=[8000.0, 1500.0], lum_s=[8.0, 35.0], lum_q=[0.75, 0.7],
+                   mass_i=[16000.0, 3000.0], mass_s=[8.0, 35.0], mass_q=[0.75, 0.7])
+        x = np.array([3.0, 12.0, 30.0, 70.0, 3.0, 12.0])
+        y = np.array([0.0, 4.0, -10.0, 20.0, 8.0, -12.0])
+        kwargs = dict(d=5.0, beta=0.3, kappa=0.8, mscale=2.0,
+                      incl=math.radians(75.0), mbh=1e4, rbh=0.5)
+        coarse = jam_los_moments(x, y, **mge, **kwargs, n_u=24, n_zeta=40)
+        fine = jam_los_moments(x, y, **mge, **kwargs, n_u=64, n_zeta=128)
+        # second moment: smooth integrand, converges fast
+        np.testing.assert_allclose(np.asarray(coarse.v2zz), np.asarray(fine.v2zz),
+                                   rtol=1e-5)
+        # first moment: the kappa prescription's sqrt-clip is only C^0, limiting
+        # LOS-quadrature convergence; errors stay below 5e-3 km/s absolutely
+        np.testing.assert_allclose(np.asarray(coarse.vz), np.asarray(fine.vz),
+                                   rtol=3e-2, atol=5e-3)
+
+
+class TestBlackHoleSpherical:
+    def test_bh_dominated_sphere_matches_independent_solution(self):
+        """Pure point-mass potential + spherical isotropic Gaussian tracer: the
+        engine must match the independent spherical Jeans solution."""
+        d = 5.0
+        pc = d * PC_PER_ARCSEC_PER_KPC
+        s_arc = 20.0
+        mbh = 1.0e5
+
+        x = np.array([2.0, 5.0, 15.0, 40.0])
+        y = np.zeros_like(x)
+        res = jam_los_moments(x, y, [1000.0], [s_arc], [1.0],
+                              [1e-12], [s_arc], [1.0],  # negligible MGE mass
+                              d=d, beta=0.0, kappa=0.0, mscale=1.0,
+                              incl=math.radians(60.0), mbh=mbh, rbh=1e-4,
+                              n_u=16, n_zeta=96)
+        got = np.sqrt(np.asarray(res.v2zz))
+
+        # independent: nu sigma_r^2 = G M int_r^inf nu/s^2 ds, Abel-projected
+        s_pc = s_arc * pc
+        nu0 = 1.0
+
+        def nu(r):
+            return nu0 * np.exp(-r ** 2 / (2 * s_pc ** 2))
+
+        def nu_sigr2(r):
+            val, _ = integrate.quad(lambda s: nu(s) * G_PC * mbh / s ** 2,
+                                    r, np.inf, limit=200)
+            return val
+
+        expected = []
+        for R in x * pc:
+            val, _ = integrate.quad(
+                lambda r: 2 * nu_sigr2(r) * r / np.sqrt(r ** 2 - R ** 2),
+                R, np.inf, limit=200)
+            surf = nu0 * s_pc * math.sqrt(2 * math.pi) * math.exp(
+                -R ** 2 / (2 * s_pc ** 2))
+            expected.append(math.sqrt(val / surf))
+        np.testing.assert_allclose(got, np.asarray(expected), rtol=3e-3)

@@ -159,3 +159,51 @@ class TestDataReader:
                                56.0 * u.deg, -26.0 * u.deg)
         dx0, _ = calc_xy_offset(d.data["ra"], d.data["dec"], 56.0 * u.deg, -26.0 * u.deg)
         np.testing.assert_allclose(dx.value - dx0.value, 0.6, atol=1e-3)
+
+
+class TestPlots:
+    def test_chain_and_corner_smoke(self, tmp_path):
+        from mcmc_dynamics_tpu.utils.plots import corner_plot, plot_chain
+
+        rng = np.random.default_rng(0)
+        chain = rng.normal(size=(8, 60, 3)).cumsum(axis=1) * 0.05 \
+            + rng.normal(size=(8, 1, 3))
+        lnp = -0.5 * (chain ** 2).sum(axis=2)
+        f1 = tmp_path / "chains.png"
+        plot_chain(chain, labels=["a", "b", "c"], filename=str(f1), lnprob=lnp,
+                   plot_median=True)
+        assert f1.stat().st_size > 5000
+
+        f2 = tmp_path / "corner.png"
+        corner_plot(chain.reshape(-1, 3), labels=["a", "b", "c"],
+                    filename=str(f2), truths=[0.0, 0.0, 0.0])
+        assert f2.stat().st_size > 5000
+
+    def test_profile_plot_smoke(self, tmp_path):
+        from mcmc_dynamics_tpu.utils.plots import ProfilePlot
+
+        r = np.logspace(0, 2, 20)
+        pp = ProfilePlot()
+        pp.add_rotation_profile(r, 4 * r / (1 + (r / 30) ** 2) / 30,
+                                yerr=[np.full(20, 0.3), np.full(20, 0.3)],
+                                fill_between=True, c="g", marker="None")
+        pp.add_dispersion_profile(r, 8 / (1 + r ** 2 / 900) ** 0.25)
+        pp.add_theta_profile(r, np.full(20, 0.5), yerr=np.full(20, 0.1))
+        pp.add_scale_radius(30.0)
+        out = tmp_path / "profile.png"
+        pp.savefig(str(out))
+        assert out.stat().st_size > 5000
+
+    def test_kde_contours_and_significance(self):
+        from scipy import stats
+        from mcmc_dynamics_tpu.utils.plots import (get_kde_contours,
+                                                   get_mapping_significance)
+
+        rng = np.random.default_rng(0)
+        x, y = rng.normal(size=(2, 2000))
+        X, Y, Z, levels = get_kde_contours(x, y, n_mc=4000)
+        assert Z.shape == X.shape and len(levels) >= 2
+
+        kernel = stats.gaussian_kde(np.vstack([x, y]))
+        iso = get_mapping_significance(kernel, [0.5, 0.9], n_mc=4000)
+        assert iso[0] > iso[1]  # tighter mass -> higher iso-density
