@@ -531,8 +531,11 @@ def mixture_lnlike_terms(lnlike_member, lnlike_background, pmember):
 
 
 def masked_sum(terms, data):
-    """Sum per-star terms honouring an optional validity mask (padded batched bins)."""
+    """Sum per-star terms honouring an optional validity mask (padded batched bins).
+
+    Uses where() rather than multiplication: -inf terms (invalid models) on padded
+    lanes would otherwise produce -inf * 0 = NaN."""
     mask = data.get("mask")
     if mask is not None:
-        return jnp.sum(terms * mask)
+        return jnp.sum(jnp.where(mask > 0, terms, 0.0))
     return jnp.sum(terms)

@@ -190,18 +190,14 @@ class Axisymmetric(Runner):
         rng = np.random.default_rng(seed)
         draws = flat[rng.integers(0, flat.shape[0], size=n_samples)]
 
-        lum_i, lum_s, lum_q, mass_i, mass_s, mass_q = [
-            jnp.asarray(a, self.dtype) for a in (
-                (*self.mge_lum.as_arrays(), *self.mge_mass.as_arrays())
-                if not self.use_mge_grid else
-                (self._grid_lum_i[0], self._grid_lum_s[0], self._grid_lum_q[0],
-                 self._grid_mass_i[0], self._grid_mass_s[0], self._grid_mass_q[0]))]
-
         xj = jnp.asarray(x, self.dtype)
         yj = jnp.asarray(y, self.dtype)
 
         def forward(theta_vec):
             p = self.scaled_values(theta_vec)
+            # per-sample MGE (single profile, or grid point nearest the sample's
+            # centre — matching the lnlike selection, reference axisymmetric.py:374-378)
+            lum_i, lum_s, lum_q, mass_i, mass_s, mass_q = self._select_mge(p)
             beta, kappa, mscale = self.jam_parameters(p)
             res = jam_los_moments(xj, yj, lum_i, lum_s, lum_q,
                                   mass_i, mass_s, mass_q,

@@ -167,7 +167,7 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
         lp = compiled.lnprior(theta)
         p = template.scaled_values(theta)
         terms = template.lnlike_terms(p, bin_data)
-        ll = jnp.sum(terms * bin_data["mask"])
+        ll = jnp.sum(jnp.where(bin_data["mask"] > 0, terms, 0.0))
         total = lp + template.extra_lnprior_fn(p) + ll
         return jnp.where(jnp.isfinite(lp), total, -jnp.inf)
 

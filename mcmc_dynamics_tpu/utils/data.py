@@ -14,6 +14,7 @@ instead of a Python loop of independent MCMC runs (reference bin/run.py:179-259)
 from __future__ import annotations
 
 import math
+import pathlib
 from typing import Optional, Tuple
 
 import numpy as np
@@ -188,8 +189,7 @@ class DataReader:
                                    for c in columns])
         ok = cache_write(path, payload)
         if ok:
-            Path = __import__("pathlib").Path
-            Path(str(path) + ".cols").write_text(",".join(columns))
+            pathlib.Path(str(path) + ".cols").write_text(",".join(columns))
         return ok
 
     @classmethod
@@ -199,8 +199,7 @@ class DataReader:
         data = cache_read(path)
         if data is None:
             return None
-        Path = __import__("pathlib").Path
-        columns = Path(str(path) + ".cols").read_text().split(",")
+        columns = pathlib.Path(str(path) + ".cols").read_text().split(",")
         table = Table({name: data[:, i] for i, name in enumerate(columns)},
                       units=units or {})
         if units:
