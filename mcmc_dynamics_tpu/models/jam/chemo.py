@@ -161,6 +161,12 @@ class ChemoProfiles(AnalyticalProfiles):
             base += [f"h_{p}{q}" for p in letters]
         return base
 
+    @staticmethod
+    def find_mge_peaks(sigma, intensity):
+        """Reference-named alias (chemo_profiles.py:142-151) of the anchor-radius
+        computation; note the reversed argument order of the original."""
+        return AnalyticalProfiles.calculate_x_values(intensity, sigma)
+
     # ------------------------------------------------------------------ pure model
     def extra_lnprior_fn(self, p):
         """[Fe/H] ordering (populations must not cross, chemo_profiles.py:187-197)

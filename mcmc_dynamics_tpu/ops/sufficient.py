@@ -43,7 +43,6 @@ class ConstantSufficientStats(NamedTuple):
     values: jnp.ndarray      # (n_nodes, 11)
     derivs: jnp.ndarray      # (n_nodes, 11) d/dt
     n_stars: jnp.ndarray     # effective (masked) star count
-    n_nodes: int
 
     @classmethod
     def build(cls, gx, gy, v, verr2, mask=None, n_nodes: int = 2048,
@@ -87,16 +86,15 @@ class ConstantSufficientStats(NamedTuple):
         # chain rule to t-space: ds/dt = s + 1
         derivs = derivs_s * (s + 1.0)[:, None]
 
-        return cls(t0=jnp.asarray(t0, dtype), dt=jnp.asarray((t1 - t0) / (n_nodes - 1),
-                                                             dtype),
-                   values=values, derivs=derivs,
-                   n_stars=jnp.sum(m), n_nodes=n_nodes)
+        return cls(t0=jnp.asarray(t0, dtype),
+                   dt=jnp.asarray((t1 - t0) / (n_nodes - 1), dtype),
+                   values=values, derivs=derivs, n_stars=jnp.sum(m))
 
     def interpolate(self, s):
         """Hermite-cubic evaluation of all 11 moments at s (batched)."""
         t = jnp.log1p(s)
         x = (t - self.t0) / self.dt
-        j = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, self.n_nodes - 2)
+        j = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, self.values.shape[0] - 2)
         u = jnp.clip(x - j, 0.0, 1.0)[..., None]
 
         y0 = self.values[j]

@@ -262,6 +262,12 @@ class Parameters(OrderedDict):
             out[name] = Parameter.from_dict(p.to_dict())
         return out
 
+    def __reduce__(self):
+        """Pickle support (reference parameter.py:165-176): parameters + seed."""
+        state = {"rng_seed": self.rng_seed,
+                 "params": [p.to_dict() for p in self.values()]}
+        return (_rebuild_parameters, (state,))
+
     def update(self, other) -> "Parameters":
         """Merge another Parameters instance (reference parameter.py:80-87)."""
         if not isinstance(other, Parameters):
@@ -353,6 +359,13 @@ class Parameters(OrderedDict):
         """Host-side evaluation of an expression against the current parameter values."""
         fn = compile_host(source, self._rng)
         return fn(**{n: p.value for n, p in self.items()})
+
+
+def _rebuild_parameters(state):
+    out = Parameters(rng_seed=state["rng_seed"])
+    for d in state["params"]:
+        out[d["name"]] = Parameter.from_dict(d)
+    return out
 
 
 class CompiledParameters:

@@ -163,24 +163,53 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
         sharding = NamedSharding(mesh, P(bin_axis))
         stacked = {k: jax.device_put(v, sharding) for k, v in stacked.items()}
 
-    def lnprob(theta, bin_data):
-        lp = compiled.lnprior(theta)
-        p = template.scaled_values(theta)
-        terms = template.lnlike_terms(p, bin_data)
-        ll = jnp.sum(jnp.where(bin_data["mask"] > 0, terms, 0.0))
-        total = lp + template.extra_lnprior_fn(p) + ll
-        return jnp.where(jnp.isfinite(lp), total, -jnp.inf)
-
     # per-bin walker initials (host) and keys
     coords = np.stack([compiled.sample_initials(n_walkers)
                        for _ in range(n_padded_bins)])
     keys = jax.random.split(jax.random.PRNGKey(seed), n_padded_bins)
 
-    def run_one(bin_data, pos, key):
-        fn = lambda t: lnprob(t, bin_data)
-        state = init_state(fn, pos, key)
-        out = run_ensemble(fn, state, n_steps=n_steps)
-        return out.chain, out.log_prob
+    lnprior_batched = jax.vmap(compiled.lnprior)
+
+    use_sufficient = (hasattr(template, "_sufficient_eligible")
+                      and template._sufficient_eligible())
+    if use_sufficient:
+        # O(1)-per-walker tier: each bin's weighted-moment tables are built once
+        # inside the same jitted program (see ops.sufficient)
+        from .ops.sufficient import ConstantSufficientStats
+
+        sigma_hi = parameters["sigma_max"].max
+        s_max = float(min(1e8, max(1e4, (2.0 * sigma_hi) ** 2))) \
+            if np.isfinite(sigma_hi) else 1.0e6
+
+        def run_one(bin_data, pos, key):
+            stats = ConstantSufficientStats.build(
+                bin_data["gx"], bin_data["gy"], bin_data["v"],
+                bin_data["verr"] * bin_data["verr"], mask=bin_data["mask"],
+                s_max=s_max)
+
+            def fn(thetas):
+                lp = lnprior_batched(thetas)
+                ok = thetas[:, 1] * thetas[:, 1] <= s_max
+                return jnp.where(jnp.isfinite(lp) & ok,
+                                 lp + stats.lnlike(thetas), -jnp.inf)
+
+            state = init_state(fn, pos, key, batched=True)
+            out = run_ensemble(fn, state, n_steps=n_steps, batched=True)
+            return out.chain, out.log_prob
+    else:
+        def lnprob(theta, bin_data):
+            lp = compiled.lnprior(theta)
+            p = template.scaled_values(theta)
+            terms = template.lnlike_terms(p, bin_data)
+            ll = jnp.sum(jnp.where(bin_data["mask"] > 0, terms, 0.0))
+            total = lp + template.extra_lnprior_fn(p) + ll
+            return jnp.where(jnp.isfinite(lp), total, -jnp.inf)
+
+        def run_one(bin_data, pos, key):
+            fn = lambda t: lnprob(t, bin_data)
+            state = init_state(fn, pos, key)
+            out = run_ensemble(fn, state, n_steps=n_steps)
+            return out.chain, out.log_prob
 
     run_all = jax.jit(jax.vmap(run_one))
     chains, log_probs = run_all(stacked, jnp.asarray(coords, dtype=dtype), keys)

@@ -231,3 +231,11 @@ class TestParameters:
         lps = jax.vmap(cp.lnprior)(thetas)
         assert lps.shape == (64,)
         assert np.all(np.isfinite(np.asarray(lps)))
+
+    def test_pickle_roundtrip(self):
+        import pickle
+        params = _demo_parameters()
+        restored = pickle.loads(pickle.dumps(params))
+        assert list(restored) == list(params)
+        assert restored["sigma_max"].lnprior == params["sigma_max"].lnprior
+        assert restored.rng_seed == params.rng_seed
