@@ -1,0 +1,94 @@
+"""float32 (TPU-dtype) consistency: the library runs f64 in tests but f32 on TPU;
+verify the likelihood tiers agree across dtypes at the expected precision."""
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mcmc_dynamics_tpu import units as u
+from mcmc_dynamics_tpu.models import ConstantFit, ModelFit
+from mcmc_dynamics_tpu.utils import DataReader
+
+RA_C, DEC_C = 56.345, -26.675
+
+
+def _fit(cls, dtype, n=2000, seed=0):
+    rng = np.random.default_rng(seed)
+    data = DataReader({
+        "ra": u.Quantity(RA_C + 0.03 * rng.normal(size=n), "deg"),
+        "dec": u.Quantity(DEC_C + 0.03 * rng.normal(size=n), "deg"),
+        "v": u.Quantity(5.0 * rng.normal(size=n), "km/s"),
+        "verr": u.Quantity(0.5 + 0.5 * rng.random(n), "km/s")})
+    params = cls.default_parameters()
+    params["ra_center"].set(value=RA_C, fixed=True)
+    params["dec_center"].set(value=DEC_C, fixed=True)
+    return cls(data, parameters=params, dtype=dtype)
+
+
+class TestFloat32Consistency:
+    def test_constant_lnlike_f32_close_to_f64(self):
+        f64 = _fit(ConstantFit, jnp.float64)
+        f32 = _fit(ConstantFit, jnp.float32)
+        theta = np.array([1.0, 6.0, 2.0, -1.0])
+        a = float(f64.lnlike(theta))
+        b = float(f32.lnlike(np.asarray(theta, np.float32)))
+        # 2000-star sum in f32: relative agreement at ~1e-5
+        assert math.isclose(a, b, rel_tol=5e-5), (a, b)
+
+    def test_model_lnprob_f32_finite_and_close(self):
+        f64 = _fit(ModelFit, jnp.float64)
+        f32 = _fit(ModelFit, jnp.float32)
+        theta = np.array([0.5, 7.0, 30.0, 2.0, 1.0, 60.0])
+        a = float(f64.lnprob(theta))
+        b = float(f32.lnprob(np.asarray(theta, np.float32)))
+        assert np.isfinite(b)
+        assert math.isclose(a, b, rel_tol=5e-5)
+
+    def test_sufficient_stats_f32(self):
+        from mcmc_dynamics_tpu.ops import ConstantSufficientStats
+
+        rng = np.random.default_rng(1)
+        n = 1500
+        gx = rng.normal(size=n).astype(np.float32)
+        gy = rng.normal(size=n).astype(np.float32)
+        v = (5 * rng.normal(size=n)).astype(np.float32)
+        verr2 = ((0.5 + rng.random(n)) ** 2).astype(np.float32)
+        stats = ConstantSufficientStats.build(gx, gy, v, verr2)
+        params = np.column_stack([
+            rng.normal(0, 1, 16), np.exp(rng.uniform(0, 3, 16)),
+            rng.normal(0, 3, 16), rng.normal(0, 3, 16)]).astype(np.float32)
+        got = np.asarray(stats.lnlike(jnp.asarray(params)))
+        # direct f64 reference
+        expect = np.zeros(16)
+        for w in range(16):
+            v_sys, sigma, vx, vy = params[w].astype(np.float64)
+            norm = verr2.astype(np.float64) + sigma ** 2
+            vlos = v_sys + gx.astype(np.float64) * vx + gy.astype(np.float64) * vy
+            expect[w] = -0.5 * np.sum(np.log(2 * np.pi * norm)
+                                      + (v.astype(np.float64) - vlos) ** 2 / norm)
+        np.testing.assert_allclose(got, expect, rtol=2e-4)
+
+    def test_jam_moments_f32(self):
+        from mcmc_dynamics_tpu.models.jam.moments import jam_los_moments
+
+        mge = dict(lum_s=[10.0, 40.0], lum_q=[0.9, 0.85],
+                   mass_s=[10.0, 40.0], mass_q=[0.9, 0.85])
+        kwargs = dict(d=5.0, beta=0.1, kappa=0.5, mscale=2.0,
+                      incl=math.radians(70.0), mbh=1e4, rbh=0.5)
+        x = np.array([5.0, 20.0, 60.0])
+        y = np.array([2.0, -8.0, 15.0])
+
+        r64 = jam_los_moments(x, y, lum_i=np.array([5000.0, 1000.0]),
+                              mass_i=np.array([12500.0, 2500.0]), **mge, **kwargs)
+        r32 = jam_los_moments(x.astype(np.float32), y.astype(np.float32),
+                              lum_i=np.array([5000.0, 1000.0], np.float32),
+                              mass_i=np.array([12500.0, 2500.0], np.float32),
+                              **{k: np.asarray(v, np.float32) for k, v in mge.items()},
+                              **kwargs)
+        np.testing.assert_allclose(np.asarray(r32.v2zz), np.asarray(r64.v2zz),
+                                   rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(r32.vz), np.asarray(r64.vz),
+                                   rtol=5e-2, atol=5e-3)
