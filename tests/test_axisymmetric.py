@@ -232,3 +232,30 @@ class TestMgeGrid:
         data, _, _ = _mock_jam_data(n=30)
         with pytest.raises(AssertionError):
             Axisymmetric(data, mge_mass=None, mge_lum=None, mge_files=None)
+
+
+class TestAxisymmetricWithBackground:
+    def test_field_star_mixture(self):
+        """JAM likelihood mixed with a fixed field-star background population
+        through per-star membership priors (reference runner.py:272-286 applied
+        to the JAM model)."""
+        from mcmc_dynamics_tpu.background import Gaussian
+
+        data, lum, mass = _mock_jam_data(n=80, seed=9)
+        rng = np.random.default_rng(10)
+        data.data["pmember"] = 0.3 + 0.6 * rng.random(data.sample_size)
+        bg = Gaussian(u.Quantity(40.0, "km/s"), u.Quantity(80.0, "km/s"))
+
+        params = _base_params()
+        params["mlr"].set(fixed=False, min=0.2, max=8.0)
+        fit = Axisymmetric(data, parameters=params, mge_mass=mass, mge_lum=lum,
+                           background=bg)
+        fit.n_u, fit.n_zeta = 12, 16
+        with_bg = float(fit.lnlike(np.array([2.0])))
+        assert np.isfinite(with_bg)
+
+        fit2 = Axisymmetric(data, parameters=params.copy(), mge_mass=mass,
+                            mge_lum=lum)
+        fit2.n_u, fit2.n_zeta = 12, 16
+        without = float(fit2.lnlike(np.array([2.0])))
+        assert not math.isclose(with_bg, without)
