@@ -263,6 +263,54 @@ class Runner:
         return self.compiled.sample_initials(n_walkers)
 
     # ------------------------------------------------------------------ fitting
+    def sample_hmc(self, n_walkers: int = 32, n_steps: int = 500,
+                   n_warmup: int = 200, n_leapfrog: int = 10,
+                   step_size: float = 0.05, pos=None, seed: Optional[int] = None):
+        """Gradient-based HMC sampling of this model's posterior (warmup with
+        step-size adaptation, then sampling). Returns a :class:`SamplerResult`.
+
+        Available because every likelihood here is differentiable — including the
+        JAM engine (the reference's C physics has no gradients)."""
+        from ..sampler.hmc import init_hmc, run_hmc
+
+        if pos is None:
+            pos = self.get_initials(n_walkers)
+        lnprob = self.build_lnprob()
+        key = jax.random.PRNGKey(self.seed if seed is None else seed)
+        state = init_hmc(lnprob, jnp.asarray(pos, self.dtype), key,
+                         step_size=step_size)
+        warm = run_hmc(lnprob, state, n_steps=n_warmup, n_leapfrog=n_leapfrog,
+                       adapt=True, store_chain=False)
+        res = run_hmc(lnprob, warm.final, n_steps=n_steps, n_leapfrog=n_leapfrog)
+        return SamplerResult(chain=np.asarray(res.chain),
+                             lnprobability=np.asarray(res.log_prob),
+                             final_state=res.final,
+                             acceptance_fraction=np.asarray(
+                                 res.acceptance_fraction))
+
+    def sample_tempered(self, n_walkers: int = 64, n_steps: int = 500,
+                        n_temps: int = 8, beta_min: float = 1e-3,
+                        swap_every: int = 5, pos=None,
+                        seed: Optional[int] = None):
+        """Parallel-tempered ensemble sampling; returns (SamplerResult of the cold
+        chain, thermodynamic-integration log-evidence estimate)."""
+        from ..sampler.tempered import init_tempered, log_evidence, run_tempered
+
+        if pos is None:
+            pos = self.get_initials(n_walkers)
+        lnprob = self.build_lnprob()
+        key = jax.random.PRNGKey(self.seed if seed is None else seed)
+        state, betas = init_tempered(lnprob, jnp.asarray(pos, self.dtype), key,
+                                     n_temps=n_temps, beta_min=beta_min)
+        res = run_tempered(lnprob, state, betas, n_steps=n_steps,
+                           swap_every=swap_every)
+        result = SamplerResult(chain=np.asarray(res.chain),
+                               lnprobability=np.asarray(res.log_prob),
+                               final_state=res.final,
+                               acceptance_fraction=np.asarray(
+                                   res.acceptance_fraction[0]))
+        return result, log_evidence(betas, res.mean_lnp_by_beta)
+
     def __call__(self, n_walkers: int = 100, n_steps: int = 500, n_burn: int = 100,
                  n_out: Optional[int] = None, pos=None, a: float = 2.0,
                  thin: int = 1, seed: Optional[int] = None, plot: bool = False,

@@ -64,3 +64,20 @@ class TestTelemetry:
         stats = benchmark_lnprob(fit, n_walkers=16, n_steps=10, n_repeats=1)
         assert stats["evals_per_sec"] > 0
         assert stats["backend"] == "cpu"
+
+
+class TestAlternativeSamplers:
+    def test_sample_hmc_through_model_api(self):
+        fit = _fit(seed=5)
+        res = fit.sample_hmc(n_walkers=8, n_steps=150, n_warmup=100,
+                             n_leapfrog=8, step_size=0.05)
+        assert res.chain.shape == (8, 150, 4)
+        assert np.isfinite(res.lnprobability).all()
+        # sigma concentrates near the data scale (5 km/s draws + 0.4 errors)
+        assert abs(np.median(res.chain[:, 75:, 1]) - 5.0) < 1.0
+
+    def test_sample_tempered_through_model_api(self):
+        fit = _fit(seed=6)
+        res, lnz = fit.sample_tempered(n_walkers=16, n_steps=150, n_temps=4)
+        assert res.chain.shape == (16, 150, 4)
+        assert np.isfinite(lnz)
