@@ -46,43 +46,68 @@ class ConstantSufficientStats(NamedTuple):
 
     @classmethod
     def build(cls, gx, gy, v, verr2, mask=None, n_nodes: int = 2048,
-              s_max: float = 1.0e6) -> "ConstantSufficientStats":
-        """Precompute the moment tables from the star catalog (one device pass)."""
+              s_max: float = 1.0e6,
+              star_chunk: int = 16384) -> "ConstantSufficientStats":
+        """Precompute the moment tables from the star catalog.
+
+        The star axis is processed in chunks under ``lax.scan`` so the (n_nodes x
+        N_stars) weight matrix never materialises — catalogs of 10^6+ stars build
+        in bounded memory.
+        """
         gx = jnp.asarray(gx)
         dtype = gx.dtype
         gy = jnp.asarray(gy, dtype)
         v = jnp.asarray(v, dtype)
         verr2 = jnp.asarray(verr2, dtype)
-        m = jnp.ones_like(v) if mask is None else jnp.asarray(mask, dtype)
+        m = jnp.ones_like(v) if mask is None else jnp.asarray(mask, dtype)  # binary {0,1}
 
         t0 = 0.0
         t1 = math.log1p(s_max)
         t = jnp.linspace(t0, t1, n_nodes, dtype=dtype)
         s = jnp.expm1(t)                                   # (G,)
 
-        n = verr2[None, :] + s[:, None]                    # (G, N)
-        w = m[None, :] / n
+        n_stars_total = v.shape[0]
+        # adapt the chunk to the catalog: small catalogs use one unpadded-ish
+        # chunk, large ones stream in fixed blocks
+        star_chunk = min(star_chunk, max(128, -(-n_stars_total // 128) * 128))
+        n_pad = (-n_stars_total) % star_chunk
+        if n_pad:
+            pad = lambda a: jnp.concatenate([a, jnp.zeros(n_pad, dtype)])
+            gx, gy, v, m = pad(gx), pad(gy), pad(v), pad(m)
+            verr2 = jnp.concatenate([verr2, jnp.ones(n_pad, dtype)])
+        n_chunks = gx.shape[0] // star_chunk
+        stars = jnp.stack([gx, gy, v, verr2, m]).reshape(5, n_chunks, star_chunk)
+        stars = jnp.swapaxes(stars, 0, 1)                  # (chunks, 5, C)
 
-        basis = jnp.stack([jnp.ones_like(v), gx, gy])      # (3, N) u-basis
+        def chunk_moments(carry, chunk):
+            vals, ders = carry
+            cgx, cgy, cv, ce2, cm = chunk
+            n = ce2[None, :] + s[:, None]                  # (G, C)
+            w = cm[None, :] / n
+            basis = jnp.stack([cm, cgx * cm, cgy * cm])    # mask folded into basis
+            uu = jnp.stack([basis[0], cgx * basis[0], cgy * basis[0],
+                            cgx * basis[1], cgy * basis[1], cgy * basis[2]])
 
-        def moments(weight):
-            f = jnp.sum(jnp.log(n) * m[None, :], axis=1)   # F (only for weight=w)
-            m0 = weight @ (v * v)                          # (G,)
-            m1 = weight @ (v[:, None] * basis.T)           # (G, 3)
-            uu = jnp.stack([basis[0] * basis[0], basis[0] * basis[1],
-                            basis[0] * basis[2], basis[1] * basis[1],
-                            basis[1] * basis[2], basis[2] * basis[2]])  # (6, N)
-            m2 = weight @ uu.T                             # (G, 6)
-            return f, m0, m1, m2
+            def moments(weight):
+                m0 = weight @ (cv * cv * cm)               # (G,)
+                m1 = weight @ (cv[:, None] * basis.T)      # (G, 3)
+                m2 = weight @ uu.T                         # (G, 6)
+                return m0, m1, m2
 
-        f, m0, m1, m2 = moments(w)
-        values = jnp.concatenate([f[:, None], m0[:, None], m1, m2], axis=1)  # (G, 11)
+            f = jnp.sum(jnp.log(n) * cm[None, :], axis=1)
+            m0, m1, m2 = moments(w / jnp.maximum(cm, 1e-30)[None, :])
+            # note: basis already carries one mask factor; w brings the 1/n weight
+            vals = vals + jnp.concatenate([f[:, None], m0[:, None], m1, m2], axis=1)
 
-        # exact s-derivatives: dF/ds = sum w; d(moments)/ds = -(w^2-weighted moments)
-        w2 = w * w
-        df = jnp.sum(w, axis=1)
-        _, dm0, dm1, dm2 = moments(-w2)
-        derivs_s = jnp.concatenate([df[:, None], dm0[:, None], dm1, dm2], axis=1)
+            w2 = (w / jnp.maximum(cm, 1e-30)[None, :]) * w
+            df = jnp.sum(w, axis=1)
+            dm0, dm1, dm2 = moments(-w2)
+            ders = ders + jnp.concatenate([df[:, None], dm0[:, None], dm1, dm2],
+                                          axis=1)
+            return (vals, ders), None
+
+        init = (jnp.zeros((n_nodes, 11), dtype), jnp.zeros((n_nodes, 11), dtype))
+        (values, derivs_s), _ = jax.lax.scan(chunk_moments, init, stars)
         # chain rule to t-space: ds/dt = s + 1
         derivs = derivs_s * (s + 1.0)[:, None]
 
