@@ -124,3 +124,21 @@ class TestChemoProfiles:
         assert set(profiles) == {0, 1}
         for tab in profiles.values():
             assert np.all(np.isfinite(tab.value("sigma")))
+
+
+class TestChemoRecovery:
+    def test_mu_feh_recovery(self):
+        """Sampling one population's metallicity centre recovers the generated
+        value (the rest of the model held at truth)."""
+        data = _data(n=250, seed=11)
+        lum, mass = _tagged_mges()
+        params = _fixed_params(
+            mu_feh_a=dict(min=-1.0, max=0.1,
+                          initials="rng.uniform(-0.9, 0.0, size=n)"))
+        fit = ChemoProfiles(data, mge_mass=mass, mge_lum=lum, parameters=params,
+                            n_pops=2, seed=12)
+        fit.n_u, fit.n_zeta = 8, 12
+        sampler = fit(n_walkers=16, n_steps=120, prefix=None)
+        best = fit.compute_bestfit_values(sampler.chain, n_burn=60)
+        # generated population A sits at [Fe/H] = -0.5 with sigma 0.1-0.12
+        assert abs(best.value("mu_feh_a")[0] - (-0.5)) < 0.06
