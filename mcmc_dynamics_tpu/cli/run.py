@@ -114,9 +114,7 @@ def main(argv=None):
     background = build_background(cfg.get("background"))
 
     model_cls = _model_registry()[cfg.get("model", "model_fit")]
-    parameters = model_cls.default_parameters() \
-        if not isinstance(getattr(model_cls, "parameters_file", None), type(None)) \
-        else None
+    parameters = model_cls.default_parameters()
     for name, spec in cfg.get("parameters", {}).items():
         parameters[name].set(**spec)
 

@@ -150,8 +150,11 @@ class Runner:
 
     @property
     def compiled(self) -> CompiledParameters:
-        if self._compiled is None:
+        fp = self.parameters.fingerprint()
+        if self._compiled is None or fp != getattr(self, "_compiled_fp", None):
             self._compiled = self.parameters.compile()
+            self._compiled_fp = fp
+            self._lnprob_jit = None  # parameter change invalidates the jitted closure
         return self._compiled
 
     @property
@@ -229,6 +232,7 @@ class Runner:
 
     # public parity API (reference runner.py:288-306); host conveniences
     def lnprob(self, theta):
+        _ = self.compiled  # fingerprint check: parameter mutations invalidate caches
         if self._lnprob_jit is None:
             self._lnprob_jit = jax.jit(self.build_lnprob())
         return self._lnprob_jit(jnp.asarray(theta, dtype=self.dtype))

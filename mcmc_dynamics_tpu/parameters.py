@@ -262,6 +262,13 @@ class Parameters(OrderedDict):
             out[name] = Parameter.from_dict(p.to_dict())
         return out
 
+    def fingerprint(self) -> tuple:
+        """Hashable snapshot of every parameter's state (used by models to detect
+        mutations and recompile the pure closures — the reference re-reads its
+        stateful Parameters on every call instead)."""
+        return tuple(tuple(sorted((k, repr(v)) for k, v in p.to_dict().items()))
+                     for p in self.values())
+
     def __reduce__(self):
         """Pickle support (reference parameter.py:165-176): parameters + seed."""
         state = {"rng_seed": self.rng_seed,

@@ -330,3 +330,22 @@ class TestMockRecovery:
         bad[:, 1] = -1.0  # sigma_max < 0 violates prior
         with pytest.raises(ValueError):
             fit(n_walkers=8, n_steps=10, pos=bad, prefix=None)
+
+
+class TestParameterMutationInvalidation:
+    def test_lnprob_recompiles_after_parameter_set(self):
+        """Mutating parameters after the first likelihood call must take effect
+        (the compiled closures are cached on a parameter fingerprint)."""
+        data = _make_catalog(n=100)
+        params = _fix_centers(ConstantFit.default_parameters())
+        fit = ConstantFit(data, parameters=params)
+        theta = np.array([0.0, 5.0, 0.0, 0.0])
+        before = float(fit.lnprob(theta))
+        assert np.isfinite(before)
+        # tighten the sigma bound to exclude the current value
+        fit.parameters["sigma_max"].set(min=6.0, max=50.0)
+        assert float(fit.lnprob(theta)) == -np.inf
+        # free parameter count changes are picked up too
+        fit.parameters["v_maxy"].set(fixed=True, value=0.0)
+        assert fit.n_fitted_parameters == 3
+        assert np.isfinite(float(fit.lnprob(np.array([0.0, 7.0, 0.0]))))
