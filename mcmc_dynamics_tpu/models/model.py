@@ -79,6 +79,47 @@ class ModelFit(Runner):
                                          data["pmember"])
         return terms
 
+    # ------------------------------------------------------------------ fused path
+    def _pallas_eligible(self) -> bool:
+        import os
+        import jax
+        if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
+            return False
+        return (type(self) is ModelFit
+                and jax.default_backend() == "tpu"
+                and self.center_is_fixed()
+                and "lnlike_background" not in self._data_arrays
+                and self.compiled.free_names == ["v_sys", "sigma_max", "a",
+                                                 "v_maxx", "v_maxy", "r_peak"])
+
+    def build_lnprob_batched(self):
+        import jax
+
+        if not self._pallas_eligible():
+            return super().build_lnprob_batched()
+
+        from ..ops.lnlike_kernels import model_lnlike_batched
+
+        data = self.prepare_data(dict(self._data_arrays))
+        dxm, dym = data["dxm"], data["dym"]
+        r2 = dxm * dxm + dym * dym
+        v = data["v"]
+        verr2 = data["verr"] * data["verr"]
+        mask = data.get("mask", jnp.ones_like(v))
+        # fold the arcsec->arcmin conversions of a / r_peak into the walker params
+        a_scale = self.compiled.scale_factors({"a": "arcmin"})["a"]
+        rp_scale = self.compiled.scale_factors({"r_peak": "arcmin"})["r_peak"]
+        col_scale = jnp.asarray([1.0, 1.0, a_scale, 1.0, 1.0, rp_scale], self.dtype)
+        lnprior_batched = jax.vmap(self.compiled.lnprior)
+
+        def batched(thetas):
+            lp = lnprior_batched(thetas)
+            ll = model_lnlike_batched(thetas * col_scale[None, :], dxm, dym, r2,
+                                      v, verr2, mask)
+            return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
+        return batched
+
     # ------------------------------------------------------------------ post-processing
     def create_profiles(self, chains, n_burn, radii=None, filename=None) -> Table:
         """Posterior -> radial v_rot / sigma profiles with 1- and 3-sigma bands

@@ -25,7 +25,8 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["constant_lnlike_batched", "constant_mixture_lnlike_batched"]
+__all__ = ["constant_lnlike_batched", "constant_mixture_lnlike_batched",
+           "model_lnlike_batched"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -184,6 +185,83 @@ def constant_mixture_lnlike_batched(params, gx, gy, v, verr2, lgp, lg1mp, lnb, m
             flops=20 * w_padded * n_padded,
             bytes_accessed=4 * (8 * n_padded + 5 * w_padded),
             transcendentals=3 * w_padded * n_padded,
+        ),
+    )(params, stars)
+    return out[:n_walkers, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("walker_tile", "star_chunk"))
+def model_lnlike_batched(params, dxm, dym, r2, v, verr2, mask,
+                         walker_tile: int = 256, star_chunk: int = 2048):
+    """Fused (W, 6)-params x N-star ModelFit log-likelihood -> (W,).
+
+    ``params`` columns (the canonical free layout of model.json):
+    (v_sys, sigma_max, a, v_maxx, v_maxy, r_peak); offsets/radii precomputed in
+    arcmin for a fixed centre.  Per star (reference model.py:93-180):
+
+        v_los   = v_sys + 2 (dym vx - dxm vy) / (r_peak (1 + r^2/r_peak^2))
+        sigma^2 = sigma_max^2 / sqrt(1 + r^2/a^2)
+        term    = log(2 pi n) + (v - v_los)^2 / n,  n = verr^2 + sigma^2
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = params.dtype
+    (dxm, dym, r2, v, verr2, mask), n_stars = _pad_stars(
+        [dxm, dym, r2, v, verr2, mask], star_chunk)
+    n_padded = dxm.shape[0]
+    params, n_walkers = _pad_walkers(params, walker_tile)
+    w_padded = params.shape[0]
+    n_chunks = n_padded // star_chunk
+
+    stars = jnp.stack([dxm, dym, r2, v, verr2, mask], axis=0)  # (6, N)
+
+    def kernel(p_ref, s_ref, out_ref):
+        p = p_ref[:]                                  # (TW, 6)
+        v_sys = p[:, 0:1]
+        sigma2 = p[:, 1:2] * p[:, 1:2]
+        inv_a2 = 1.0 / (p[:, 2:3] * p[:, 2:3])
+        vx = p[:, 3:4]
+        vy = p[:, 4:5]
+        r_peak = p[:, 5:6]
+        inv_rp2 = 1.0 / (r_peak * r_peak)
+
+        def body(c, acc):
+            sl = pl.ds(c * star_chunk, star_chunk)
+            dx_c = s_ref[0, sl][None, :]
+            dy_c = s_ref[1, sl][None, :]
+            r2_c = s_ref[2, sl][None, :]
+            v_c = s_ref[3, sl][None, :]
+            e2_c = s_ref[4, sl][None, :]
+            m_c = s_ref[5, sl][None, :]
+            v_los = v_sys + 2.0 * (dy_c * vx - dx_c * vy) \
+                / (r_peak * (1.0 + r2_c * inv_rp2))
+            sig2 = sigma2 * jax.lax.rsqrt(1.0 + r2_c * inv_a2)
+            norm = e2_c + sig2
+            d = v_c - v_los
+            t = (jnp.log(norm) + d * d / norm + _LOG_2PI) * m_c
+            return acc + jnp.sum(t, axis=1, keepdims=True)
+
+        acc = jax.lax.fori_loop(0, n_chunks, body,
+                                jnp.zeros((p.shape[0], 1), dtype))
+        out_ref[:] = -0.5 * acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(w_padded // walker_tile,),
+        in_specs=[
+            pl.BlockSpec((walker_tile, 6), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, n_padded), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((walker_tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w_padded, 1), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * w_padded * n_padded,
+            bytes_accessed=4 * (6 * n_padded + 7 * w_padded),
+            transcendentals=2 * w_padded * n_padded,
         ),
     )(params, stars)
     return out[:n_walkers, 0]

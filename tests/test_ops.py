@@ -173,3 +173,38 @@ class TestSufficientStats:
         lp_direct = _reference_lnlike(chain[:, -1, :], gx, gy, v, verr2, mask)
         np.testing.assert_allclose(np.asarray(res.log_prob[:, -1]), lp_direct,
                                    rtol=1e-6)
+
+
+class TestModelKernel:
+    def test_matches_reference(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from mcmc_dynamics_tpu.ops import model_lnlike_batched
+
+        rng = np.random.default_rng(9)
+        W, N = 12, 400
+        params = np.column_stack([
+            rng.normal(0, 1, W), np.exp(rng.normal(1.5, 0.2, W)),
+            0.3 + rng.random(W), rng.normal(0, 3, W), rng.normal(0, 3, W),
+            0.5 + rng.random(W)])
+        dxm = rng.normal(size=N)
+        dym = rng.normal(size=N)
+        r2 = dxm ** 2 + dym ** 2
+        v = 5 * rng.normal(size=N)
+        verr2 = (0.4 + rng.random(N)) ** 2
+        mask = np.ones(N)
+        mask[350:] = 0.0
+
+        args = [jnp.asarray(a) for a in (params, dxm, dym, r2, v, verr2, mask)]
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(model_lnlike_batched(*args, walker_tile=8,
+                                                  star_chunk=128))
+
+        expected = np.zeros(W)
+        for w in range(W):
+            v_sys, sig, a, vx, vy, rp = params[w]
+            v_los = v_sys + 2 * (dym * vx - dxm * vy) / (rp * (1 + r2 / rp ** 2))
+            s2 = sig ** 2 / np.sqrt(1 + r2 / a ** 2)
+            norm = verr2 + s2
+            t = np.log(2 * np.pi * norm) + (v - v_los) ** 2 / norm
+            expected[w] = -0.5 * np.sum(t * mask)
+        np.testing.assert_allclose(got, expected, rtol=1e-8)
