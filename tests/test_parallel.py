@@ -108,3 +108,20 @@ class TestWalkerSharding:
         with pytest.raises(AssertionError):
             run_ensemble_sharded(fit, pos, jax.random.PRNGKey(0), n_steps=5,
                                  mesh=mesh, sp_axis=None)
+
+
+class TestMeshShapes:
+    def test_transposed_mesh_2x4(self):
+        """dp=2 x sp=4 (transposed factorisation) runs and stays finite."""
+        fit = _fit(n=120, seed=4)
+        mesh = make_mesh(("dp", "sp"), (2, 4))
+        pos = fit.get_initials(16)
+        result = run_ensemble_sharded(fit, pos, jax.random.PRNGKey(5), n_steps=10,
+                                      mesh=mesh)
+        assert np.isfinite(np.asarray(result.log_prob)).all()
+        # consistency: final lnp equals lnprob of final coords
+        import math
+        coords = np.asarray(result.final_coords)
+        lnp = np.asarray(result.final_log_prob)
+        for w in (0, 7, 15):
+            assert math.isclose(lnp[w], float(fit.lnprob(coords[w])), rel_tol=1e-9)
