@@ -71,3 +71,17 @@ class TestRunConfigLoading:
 
         g = build_background({"type": "gaussian", "mean": 0.0, "sigma": 50.0})
         assert np.isfinite(g(np.array([10.0]), np.array([1.0]))).all()
+
+
+class TestRunTestsCli:
+    def test_mock_verification_harness(self, tmp_path, monkeypatch):
+        """The end-to-end mock-recovery CLI (the reference's bin/run_tests.py
+        as an assert-based harness) passes on a small configuration."""
+        from mcmc_dynamics_tpu.cli.run_tests import main
+
+        monkeypatch.chdir(tmp_path)
+        rc = main(["-n", "250", "--seed", "3", "-o", str(tmp_path),
+                   "--n-walkers", "32", "--n-steps", "200"])
+        assert rc == 0
+        assert (tmp_path / "recovery.png").exists()
+        assert (tmp_path / "model_profile.ecsv").exists()
