@@ -115,8 +115,10 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
     r = np.hypot(dx, dy)
     safe = np.where(r > 0, r, 1.0)
     work = data.data.copy()
-    work["gx"] = np.where(r > 0, dy / safe, 0.0)
+    work["gx"] = np.where(r > 0, dy / safe, 0.0)   # ConstantFit linear geometry
     work["gy"] = np.where(r > 0, -dx / safe, 0.0)
+    work["dxm"] = dx * (10800.0 / np.pi)           # arcmin offsets (ModelFit & co)
+    work["dym"] = dy * (10800.0 / np.pi)
     work["_r"] = r * (10800.0 / np.pi)  # arcmin
     packed = DataReader(work)
 
@@ -132,7 +134,7 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
     compiled = template.compiled
 
     columns = [c for c in template.OBSERVABLES if c not in ("ra", "dec")]
-    columns += ["gx", "gy"]
+    columns += ["gx", "gy", "dxm", "dym"]
     if background is not None:
         columns += ["pmember"]
     arrays, mask = packed.padded_bins(columns)

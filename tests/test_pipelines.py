@@ -66,3 +66,25 @@ class TestFitRadialBins:
                               seed=0, mesh=mesh)
         assert res.chains.shape[1] == 16
         assert np.all(np.isfinite(res.log_probs[:, :, -1]))
+
+
+class TestModelFitBins:
+    def test_model_fit_as_bin_model(self):
+        """fit_radial_bins accepts any centre-fixed model class (here ModelFit):
+        the packed bins carry both geometry representations."""
+        from mcmc_dynamics_tpu.models import ModelFit
+
+        data, _ = _mock_cluster(n=500, seed=9)
+        params = ModelFit.default_parameters()
+        params["sigma_max"].set(initials="rng.lognormal(mean=2.0, sigma=0.3, size=n)")
+        params["v_maxx"].set(initials="rng.normal(loc=0, scale=2, size=n)")
+        params["v_maxy"].set(initials="rng.normal(loc=0, scale=2, size=n)")
+        params["r_peak"].set(min=5.0, max=400.0,
+                             initials="rng.uniform(30, 120, size=n)")
+        params["a"].set(min=5.0, max=400.0, initials="rng.uniform(20, 80, size=n)")
+
+        res = fit_radial_bins(data, RA_C * u.deg, DEC_C * u.deg, parameters=params,
+                              model_cls=ModelFit, nstars=200, dlogr=0.05,
+                              n_walkers=32, n_steps=80, seed=2)
+        assert res.n_bins >= 2
+        assert np.isfinite(res.log_probs[:, :, -1]).all()
