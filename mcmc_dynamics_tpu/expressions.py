@@ -53,6 +53,31 @@ def _validate(tree: ast.AST, source: str) -> None:
                 f"Disallowed syntax {type(node).__name__!r} in expression '{source}'.")
 
 
+# Names that every expression mode understands (kept in sync with the symbol tables
+# below).  Used for *build-time* rejection of unresolvable names, so typos and
+# injection attempts (e.g. ``__import__``) fail when the config is compiled, not
+# when the first log-prob is traced.
+_COMMON_NAMES = {
+    "exp", "log", "log10", "sqrt", "sin", "cos", "tan",
+    "arcsin", "arccos", "arctan", "arctan2",
+    "abs", "where", "minimum", "maximum", "pi", "inf",
+    "norm", "lognorm", "uniform",
+}
+_HOST_NAMES = _COMMON_NAMES | {"rng"}
+_JAX_NAMES = _COMMON_NAMES
+
+
+def _validate_names(tree: ast.AST, source: str, base: Set[str], allowed) -> None:
+    if allowed is None:
+        return
+    referenced = {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+    unknown = referenced - base - set(allowed)
+    if unknown:
+        raise ExpressionError(
+            f"Unknown name(s) {sorted(unknown)} in expression '{source}'; "
+            f"allowed: functions/distributions plus {sorted(allowed)}.")
+
+
 def expression_names(source: str) -> Set[str]:
     """Names referenced by an expression (used to discover parameter dependencies)."""
     tree = ast.parse(source, mode="eval")
@@ -206,14 +231,17 @@ _HOST_FUNCS = {
 }
 
 
-def compile_host(source: str, generator: np.random.Generator) -> Callable[..., Any]:
+def compile_host(source: str, generator: np.random.Generator,
+                 allowed=None) -> Callable[..., Any]:
     """Compile an ``initials`` expression to ``f(**extra_names) -> ndarray``.
 
     ``rng`` binds to the provided numpy Generator; extra names (``n``, parameter values)
-    are supplied at call time.
+    are supplied at call time.  When ``allowed`` (an iterable of extra name strings) is
+    given, any other referenced name raises :class:`ExpressionError` at build time.
     """
     tree = ast.parse(source, mode="eval")
     _validate(tree, source)
+    _validate_names(tree, source, _HOST_NAMES, allowed)
 
     base = dict(_HOST_FUNCS)
     base["rng"] = _HostRng(generator)
@@ -283,14 +311,17 @@ def _jax_symbols():
     return symbols
 
 
-def compile_jax(source: str) -> Callable[[Dict[str, Any]], Any]:
+def compile_jax(source: str, allowed=None) -> Callable[[Dict[str, Any]], Any]:
     """Compile an ``lnprior``/``expr`` expression to a pure function of a name dict.
 
     The returned closure ``f(values: dict) -> traced scalar`` is safe to call inside
     ``jit``: all distribution functions map to ``jax.scipy``/``jax.numpy`` equivalents.
+    When ``allowed`` (an iterable of extra name strings) is given, any other referenced
+    name raises :class:`ExpressionError` at build time.
     """
     tree = ast.parse(source, mode="eval")
     _validate(tree, source)
+    _validate_names(tree, source, _JAX_NAMES, allowed)
     base = _jax_symbols()
 
     def run(values: Dict[str, Any]):

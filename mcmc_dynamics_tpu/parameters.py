@@ -260,7 +260,42 @@ class Parameters(OrderedDict):
         out = Parameters(rng_seed=self.rng_seed)
         for name, p in self.items():
             out[name] = Parameter.from_dict(p.to_dict())
+        out._restore_rng_state(self._rng_state())
         return out
+
+    # --------------------------------------------------------------- RNG state capture
+    # The reference serialises the full bit-generator state through pickle *and* JSON
+    # (parameter.py:456-466, 199-209) so a restored Parameters reproduces subsequent
+    # ``sample_initials`` draws bitwise.  Same contract here.
+    def _rng_state(self) -> dict:
+        state = self._rng.bit_generator.state
+
+        def jsonable(obj):
+            if isinstance(obj, dict):
+                return {k: jsonable(v) for k, v in obj.items()}
+            if isinstance(obj, np.ndarray):
+                return obj.tolist()
+            if isinstance(obj, np.integer):
+                return int(obj)
+            return obj
+
+        return jsonable(state)
+
+    def _restore_rng_state(self, state: Optional[dict]) -> None:
+        if not state:
+            return
+        name = state.get("bit_generator", "PCG64")
+        cls = getattr(np.random, name, None)
+        if cls is None:
+            raise ValueError(f"Unknown bit generator '{name}' in serialised RNG state.")
+        bitgen = cls()
+        restored = dict(state)
+        if name == "MT19937" and isinstance(restored.get("state"), dict):
+            inner = dict(restored["state"])
+            inner["key"] = np.asarray(inner["key"], dtype=np.uint32)
+            restored["state"] = inner
+        bitgen.state = restored
+        self._rng = np.random.Generator(bitgen)
 
     def fingerprint(self) -> tuple:
         """Hashable snapshot of every parameter's state (used by models to detect
@@ -270,8 +305,9 @@ class Parameters(OrderedDict):
                      for p in self.values())
 
     def __reduce__(self):
-        """Pickle support (reference parameter.py:165-176): parameters + seed."""
+        """Pickle support (reference parameter.py:165-212): parameters + seed + RNG state."""
         state = {"rng_seed": self.rng_seed,
+                 "rng_state": self._rng_state(),
                  "params": [p.to_dict() for p in self.values()]}
         return (_rebuild_parameters, (state,))
 
@@ -314,6 +350,7 @@ class Parameters(OrderedDict):
         payload = {
             "schema": "mcmc_dynamics_tpu/1",
             "rng_seed": self.rng_seed,
+            "rng_state": self._rng_state(),
             "parameters": [p.to_dict() for p in self.values()],
         }
         return json.dumps(payload, **kws)
@@ -323,6 +360,7 @@ class Parameters(OrderedDict):
         payload = json.loads(text, **kws)
         if "parameters" in payload:  # native schema
             self.reseed(payload.get("rng_seed"))
+            self._restore_rng_state(payload.get("rng_state"))
             for d in payload["parameters"]:
                 self[d["name"]] = Parameter.from_dict(d)
         elif "params" in payload:  # reference tuple schema
@@ -372,6 +410,7 @@ def _rebuild_parameters(state):
     out = Parameters(rng_seed=state["rng_seed"])
     for d in state["params"]:
         out[d["name"]] = Parameter.from_dict(d)
+    out._restore_rng_state(state.get("rng_state"))
     return out
 
 
@@ -397,15 +436,16 @@ class CompiledParameters:
         self._expr_fns = OrderedDict()
         for n, p in params.items():
             if p.expr is not None:
-                self._expr_fns[n] = compile_jax(p.expr)
+                self._expr_fns[n] = compile_jax(p.expr, allowed=self.names)
 
         self._bounds_lo = np.array([params[n].min for n in self.free_names], dtype=np.float64)
         self._bounds_hi = np.array([params[n].max for n in self.free_names], dtype=np.float64)
 
         self._prior_fns = []
+        prior_allowed = set(self.names) | {"val"}
         for n, p in params.items():
             if p.lnprior is not None:
-                self._prior_fns.append((n, compile_jax(p.lnprior)))
+                self._prior_fns.append((n, compile_jax(p.lnprior, allowed=prior_allowed)))
 
         # constraint-parameter bounds also feed the prior (reference: lnprior iterates
         # *all* fetched parameters incl. derived ones, runner.py:207-217)
@@ -456,7 +496,8 @@ class CompiledParameters:
         out = np.zeros((n_walkers, self.n_free), dtype=np.float64)
         for i, (name, p) in enumerate(self._initials_meta):
             if p.initials is not None:
-                fn = compile_host(p.initials, self._rng)
+                fn = compile_host(p.initials, self._rng,
+                                  allowed=set(self.names) | {"n"})
                 extra = {n2: p2.value for n2, p2 in self._params.items()}
                 extra["n"] = n_walkers
                 draw = np.asarray(fn(**extra), dtype=np.float64)

@@ -83,6 +83,26 @@ class TestExpressions:
     def test_names(self):
         assert expression_names("v_maxx*tan(theta_0)") == {"v_maxx", "tan", "theta_0"}
 
+    def test_reject_unknown_names_at_build_time(self):
+        # with an `allowed` set, unresolvable names fail at compile, not at eval/trace
+        with pytest.raises(ExpressionError, match="__import__"):
+            compile_jax("__import__('os').system('true')", allowed={"val"})
+        with pytest.raises(ExpressionError, match="sigma_mxa"):
+            compile_jax("norm.logpdf(val, 0, sigma_mxa)", allowed={"val", "sigma_max"})
+        rng = np.random.default_rng(0)
+        with pytest.raises(ExpressionError, match="m"):
+            compile_host("rng.normal(0, 1, size=m)", rng, allowed={"n"})
+        # names in the allowed set and base symbols still compile
+        compile_jax("norm.logpdf(val, 0, sigma_max)", allowed={"val", "sigma_max"})
+        compile_host("rng.normal(0, 1, size=n)", rng, allowed={"n"})
+
+    def test_compiled_parameters_reject_unknown_lnprior_name(self):
+        from mcmc_dynamics_tpu.parameters import CompiledParameters
+        params = Parameters(rng_seed=1)
+        params.add("v_sys", value=0.0, unit="km/s", lnprior="norm.logpdf(valx, 0, 10)")
+        with pytest.raises(ExpressionError, match="valx"):
+            CompiledParameters(params)
+
     def test_jax_norm_logpdf(self):
         fn = compile_jax("norm.logpdf(val, loc=2.0, scale=3.0)")
         got = fn({"val": jnp.asarray(2.5)})
@@ -239,3 +259,35 @@ class TestParameters:
         assert list(restored) == list(params)
         assert restored["sigma_max"].lnprior == params["sigma_max"].lnprior
         assert restored.rng_seed == params.rng_seed
+
+    def test_rng_state_roundtrip_json(self):
+        """Mid-stream dump/load reproduces subsequent draws bitwise.
+
+        Mirrors the reference's serialisation of the bit-generator state through
+        JSON/pickle (reference parameter.py:456-466, 199-209).
+        """
+        params = _demo_parameters()
+        params.compile().sample_initials(7)       # advance the stream mid-run
+        text = params.dumps()                     # snapshot at state S
+        expected = params.copy().compile().sample_initials(16)  # draws from S
+        params.compile().sample_initials(5)       # advance the original past S
+        restored = Parameters().loads(text)
+        got = restored.compile().sample_initials(16)
+        np.testing.assert_array_equal(got, expected)
+
+    def test_rng_state_roundtrip_pickle(self):
+        import pickle
+        params = _demo_parameters()
+        params.compile().sample_initials(3)
+        blob = pickle.dumps(params)
+        expected = params.compile().sample_initials(8)  # advances the original
+        restored = pickle.loads(blob)
+        got = restored.compile().sample_initials(8)
+        np.testing.assert_array_equal(got, expected)
+
+    def test_copy_preserves_rng_stream(self):
+        params = _demo_parameters()
+        params.compile().sample_initials(4)
+        a = params.copy().compile().sample_initials(8)
+        b = params.copy().compile().sample_initials(8)
+        np.testing.assert_array_equal(a, b)
