@@ -1,90 +1,233 @@
-"""Headline benchmark: log-prob evaluations/sec/chip on a 10^4-star catalog.
+"""Benchmark matrix: log-prob evaluations/sec/chip, per model x execution tier.
 
-Runs the ConstantFit ensemble (the reference's per-bin workload, bin/run.py:186-189)
-with W walkers on N stars: one sampler step performs W walker-lnprob evaluations
-(two half-ensemble updates), all fused into a single XLA computation via lax.scan.
+Canonical workload (VERDICT r1 item 4): W=16384 walkers on a N=10^4-star catalog,
+chain stored — the reference's production shapes (bin/run.py:186-189 scaled to one
+chip) — for ConstantFit and ModelFit across the execution tiers
+
+  * sufficient: exact weighted-moment tables, O(1)/walker  (ops/sufficient.py,
+                ops/model_sufficient.py)
+  * pallas:     fused walker x star VMEM kernel            (ops/lnlike_kernels.py)
+  * xla:        broadcast + XLA fusion                     (models/base.py)
+
+plus one JAM row (Axisymmetric, 64 walkers x 10^3 stars) so regressions in the
+heavy physics path are visible, and the big-ensemble headline row (sufficient tier
+at 131072 walkers) measuring peak machine throughput.
 
 The reference publishes no numbers (BASELINE.md); the recorded baseline is the
 north-star target of 1e7 evals/sec/chip, so vs_baseline = evals_per_sec / 1e7.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "rows"} — the
+headline value plus every matrix row (the driver keys on the first four fields).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+N_STARS = 10_000
+N_WALKERS = 16_384
+N_STEPS = 300
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
+def _mock_catalog(n_stars, rng):
     from mcmc_dynamics_tpu import units as u
-    from mcmc_dynamics_tpu.models import ConstantFit
-    from mcmc_dynamics_tpu.sampler import init_state, run_ensemble
     from mcmc_dynamics_tpu.utils import DataReader
 
-    n_stars = 10_000
-    n_walkers = 16384
-    n_steps = 300
-
     ra_c, dec_c = 56.345, -26.675
-    rng = np.random.default_rng(0)
-    data = DataReader({
+    return DataReader({
         "ra": u.Quantity(ra_c + 0.03 * rng.normal(size=n_stars), "deg"),
         "dec": u.Quantity(dec_c + 0.03 * rng.normal(size=n_stars), "deg"),
         "v": u.Quantity(5.0 * rng.normal(size=n_stars), "km/s"),
         "verr": u.Quantity(0.5 + 0.5 * rng.random(n_stars), "km/s"),
-    })
+    }), ra_c, dec_c
+
+
+def _measure(lnprob, pos, dtype, n_steps=N_STEPS, store_chain=True, repeats=2):
+    """Best-of-N rate for one jitted chain run; completion forced via a host fetch
+    (jax.block_until_ready may return early through the axon tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcmc_dynamics_tpu.sampler import init_state, run_ensemble
+
+    state = init_state(lnprob, jnp.asarray(pos, dtype=dtype),
+                       jax.random.PRNGKey(0), batched=True)
+    walkers = pos.shape[0]
+    # warm-up compiles the scan at this (n_steps, store_chain) signature
+    res = run_ensemble(lnprob, state, n_steps=n_steps, store_chain=store_chain,
+                       batched=True)
+    _ = np.asarray(res.final.coords)
+    best = 0.0
+    for _i in range(repeats):
+        t0 = time.perf_counter()
+        res = run_ensemble(lnprob, res.final, n_steps=n_steps,
+                           store_chain=store_chain, batched=True)
+        _ = np.asarray(res.final.coords)
+        best = max(best, walkers * n_steps / (time.perf_counter() - t0))
+    return best
+
+
+def bench_constant(rows):
+    import jax.numpy as jnp  # noqa: F401  (ensures jax initialised once)
+
+    from mcmc_dynamics_tpu.models import ConstantFit
+
+    rng = np.random.default_rng(0)
+    data, ra_c, dec_c = _mock_catalog(N_STARS, rng)
     params = ConstantFit.default_parameters()
     params["ra_center"].set(value=ra_c, fixed=True)
     params["dec_center"].set(value=dec_c, fixed=True)
     fit = ConstantFit(data, parameters=params)
 
     pos = np.column_stack([
-        rng.normal(0, 1, n_walkers),
-        np.exp(rng.normal(1.8, 0.2, n_walkers)),
-        rng.normal(0, 3, n_walkers),
-        rng.normal(0, 3, n_walkers),
+        rng.normal(0, 1, N_WALKERS),
+        np.exp(rng.normal(1.8, 0.2, N_WALKERS)),
+        rng.normal(0, 3, N_WALKERS),
+        rng.normal(0, 3, N_WALKERS),
     ])
 
-    def measure(lnprob, walkers=n_walkers):
-        reps = max(1, walkers // n_walkers)
-        pos_w = np.concatenate([pos] * reps, axis=0)[:walkers]
-        state = init_state(lnprob, jnp.asarray(pos_w, dtype=fit.dtype),
-                           jax.random.PRNGKey(0), batched=True)
-        # warm-up compiles the scan (store only final state: pure throughput)
-        res = run_ensemble(lnprob, state, n_steps=n_steps, store_chain=False,
-                           batched=True)
-        _ = np.asarray(res.final.coords)
-        t0 = time.perf_counter()
-        res = run_ensemble(lnprob, res.final, n_steps=n_steps, store_chain=False,
-                           batched=True)
-        _ = np.asarray(res.final.coords)
-        return walkers * n_steps / (time.perf_counter() - t0)
-
-    # A/B/C the production paths; report the best (selection is a config knob):
-    # - sufficient: exact weighted-moment tables, O(1)/walker (the default)
-    # - pallas:     fused walker x star VMEM kernel
-    # - xla:        broadcast + XLA fusion
-    import os
-    import sys
-    rates = {}
-    # the O(1)-per-walker path is sampler-machinery bound: give it a bigger ensemble
-    rates["sufficient"] = measure(fit.build_lnprob_sufficient(), walkers=131072)
+    rows["constant/sufficient"] = _measure(fit.build_lnprob_sufficient(), pos,
+                                           fit.dtype)
     os.environ["MCMC_TPU_LNPROB"] = "direct"
-    rates["pallas"] = measure(fit.build_lnprob_batched())
     os.environ["MCMC_TPU_DISABLE_PALLAS"] = "1"
-    rates["xla"] = measure(fit.build_lnprob_batched())
+    rows["constant/xla"] = _measure(fit.build_lnprob_batched(), pos, fit.dtype)
     del os.environ["MCMC_TPU_DISABLE_PALLAS"], os.environ["MCMC_TPU_LNPROB"]
-    print({k: round(v, 1) for k, v in rates.items()}, file=sys.stderr)
-    evals_per_sec = max(rates.values())
+
+    # fixed-background mixture: the ConstantFit case the sufficient tier cannot
+    # absorb — served by the fused Pallas mixture kernel
+    from mcmc_dynamics_tpu.background import Gaussian
+    rng2 = np.random.default_rng(7)
+    bdata, _, _ = _mock_catalog(N_STARS, rng2)
+    bdata.data["pmember"] = 0.5 + 0.5 * rng2.random(N_STARS)
+    bparams = ConstantFit.default_parameters()
+    bparams["ra_center"].set(value=ra_c, fixed=True)
+    bparams["dec_center"].set(value=dec_c, fixed=True)
+    from mcmc_dynamics_tpu import units as u
+    bg = Gaussian(mean=u.Quantity(0.0, "km/s"), sigma=u.Quantity(80.0, "km/s"))
+    bfit = ConstantFit(bdata, parameters=bparams, background=bg)
+    if bfit._pallas_eligible():
+        rows["constant-bg/pallas"] = _measure(bfit.build_lnprob_batched(), pos,
+                                              bfit.dtype)
+    os.environ["MCMC_TPU_DISABLE_PALLAS"] = "1"
+    rows["constant-bg/xla"] = _measure(bfit.build_lnprob_batched(), pos, bfit.dtype)
+    del os.environ["MCMC_TPU_DISABLE_PALLAS"]
+
+    # headline: peak machine throughput — O(1)/walker tier at a big ensemble,
+    # sampler-machinery bound, no chain stored
+    reps = 131072 // N_WALKERS
+    big = np.concatenate([pos] * reps, axis=0)
+    rows["constant/sufficient@131k"] = _measure(
+        fit.build_lnprob_sufficient(), big, fit.dtype, store_chain=False)
+
+
+def bench_model(rows):
+    from mcmc_dynamics_tpu.models import ModelFit
+
+    rng = np.random.default_rng(1)
+    data, ra_c, dec_c = _mock_catalog(N_STARS, rng)
+    params = ModelFit.default_parameters()
+    params["ra_center"].set(value=ra_c, fixed=True)
+    params["dec_center"].set(value=dec_c, fixed=True)
+    params["r_peak"].set(min=1.0, max=300.0)
+    params["a"].set(min=1.0, max=300.0)
+    fit = ModelFit(data, parameters=params)
+
+    pos = np.column_stack([
+        rng.normal(0, 1, N_WALKERS),             # v_sys
+        np.exp(rng.normal(1.8, 0.2, N_WALKERS)),  # sigma_max
+        rng.uniform(20, 60, N_WALKERS),           # a (arcsec)
+        rng.normal(0, 3, N_WALKERS),              # v_maxx
+        rng.normal(0, 3, N_WALKERS),              # v_maxy
+        rng.uniform(30, 90, N_WALKERS),           # r_peak (arcsec)
+    ])
+
+    # N-independent table tier at the canonical catalog (direct wins here; the
+    # row documents the crossover) ...
+    rows["model/sufficient"] = _measure(fit.build_lnprob_sufficient(), pos,
+                                        fit.dtype)
+    os.environ["MCMC_TPU_LNPROB"] = "direct"
+    if fit._pallas_eligible():
+        rows["model/pallas"] = _measure(fit.build_lnprob_batched(), pos, fit.dtype)
+    os.environ["MCMC_TPU_DISABLE_PALLAS"] = "1"
+    rows["model/xla"] = _measure(fit.build_lnprob_batched(), pos, fit.dtype)
+    del os.environ["MCMC_TPU_DISABLE_PALLAS"], os.environ["MCMC_TPU_LNPROB"]
+
+    # ... and at a 10x catalog, where the table tier overtakes the O(N) kernels
+    rng5 = np.random.default_rng(3)
+    data5, _, _ = _mock_catalog(100_000, rng5)
+    params5 = ModelFit.default_parameters()
+    params5["ra_center"].set(value=ra_c, fixed=True)
+    params5["dec_center"].set(value=dec_c, fixed=True)
+    params5["r_peak"].set(min=1.0, max=300.0)
+    params5["a"].set(min=1.0, max=300.0)
+    fit5 = ModelFit(data5, parameters=params5)
+    rows["model/sufficient@1e5stars"] = _measure(fit5.build_lnprob_sufficient(),
+                                                 pos, fit5.dtype)
+    os.environ["MCMC_TPU_LNPROB"] = "direct"
+    if fit5._pallas_eligible():
+        rows["model/pallas@1e5stars"] = _measure(fit5.build_lnprob_batched(), pos,
+                                                 fit5.dtype, n_steps=30)
+    del os.environ["MCMC_TPU_LNPROB"]
+
+
+def bench_jam(rows):
+    from mcmc_dynamics_tpu import units as u
+    from mcmc_dynamics_tpu.models import Axisymmetric
+    from mcmc_dynamics_tpu.utils import MgeReader, Table
+
+    n_stars, n_walkers, n_steps = 1000, 64, 50
+    rng = np.random.default_rng(2)
+    data, ra_c, dec_c = _mock_catalog(n_stars, rng)
+
+    lum = MgeReader(Table({"i": u.Quantity([5000.0, 1000.0], "solLum/pc2"),
+                           "s": u.Quantity([10.0, 40.0], "arcsec"),
+                           "q": [0.9, 0.85]}), lum=True)
+    mass = MgeReader(Table({"i": u.Quantity([5000.0, 1000.0], "solMass/pc2"),
+                            "s": u.Quantity([10.0, 40.0], "arcsec"),
+                            "q": [0.9, 0.85]}), lum=False)
+
+    params = Axisymmetric.default_parameters()
+    for name, val in dict(d=5.0, beta=0.0, mbh=0.0, ra_center=ra_c,
+                          dec_center=dec_c, rbh=1.0, delta_v=0.0).items():
+        params[name].set(value=val, fixed=True)
+    params["mlr"].set(value=2.0, min=0.1, max=10.0, fixed=False)
+    params["barq"].set(value=0.4, fixed=False)
+    params["kappa_x"].set(value=0.5, min=-2.0, max=2.0, fixed=False)
+    params["kappa_y"].set(value=0.0, min=-2.0, max=2.0, fixed=False)
+    fit = Axisymmetric(data, mge_mass=mass, mge_lum=lum, parameters=params)
+
+    free = fit.compiled.free_names
+    draws = {"mlr": rng.uniform(1.5, 2.5, n_walkers),
+             "barq": rng.uniform(0.41, 0.45, n_walkers),
+             "kappa_x": rng.uniform(0.3, 0.7, n_walkers),
+             "kappa_y": rng.uniform(-0.1, 0.1, n_walkers)}
+    pos = np.column_stack([draws[n] for n in free])
+    rows["jam/xla"] = _measure(fit.build_lnprob_batched(), pos, fit.dtype,
+                               n_steps=n_steps)
+
+
+def main():
+    rows = {}
+    bench_constant(rows)
+    bench_model(rows)
+    try:
+        bench_jam(rows)
+    except Exception as exc:  # JAM row is diagnostic; never sink the bench
+        print(f"jam row failed: {exc!r}", file=sys.stderr)
+
+    print({k: round(v, 1) for k, v in rows.items()}, file=sys.stderr)
+    headline = max(rows.values())
     print(json.dumps({
-        "metric": "lnprob evals/sec/chip (ConstantFit on 1e4 stars; best of sufficient/pallas/xla paths)",
-        "value": round(evals_per_sec, 1),
+        "metric": ("lnprob evals/sec/chip (best tier; matrix of "
+                   "ConstantFit/ModelFit x sufficient/pallas/xla @16k walkers "
+                   "x 1e4 stars, chain stored, + JAM @64x1e3 in 'rows')"),
+        "value": round(headline, 1),
         "unit": "evals/s",
-        "vs_baseline": round(evals_per_sec / 1.0e7, 4),
+        "vs_baseline": round(headline / 1.0e7, 4),
+        "rows": {k: round(v, 1) for k, v in rows.items()},
     }))
 
 

@@ -74,13 +74,15 @@ class ConstantFit(Runner):
                                                  "v_maxx", "v_maxy"])
 
     def _pallas_eligible(self) -> bool:
-        """The fused kernel covers exactly this class's likelihood with a fixed
-        centre and the canonical free-parameter layout."""
+        """The fused *mixture* kernel: canonical layout with a fixed per-star
+        background.  (A plain ConstantFit kernel existed in round 1 but tied
+        XLA exactly and was superseded by the sufficient tier — deleted.)"""
         import os
         import jax
         if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
             return False
-        return jax.default_backend() == "tpu" and self._canonical_layout()
+        return (jax.default_backend() == "tpu" and self._canonical_layout()
+                and "lnlike_background" in self._data_arrays)
 
     def _sufficient_eligible(self) -> bool:
         """The O(1)-per-walker sufficient-statistics path: canonical layout, no
@@ -99,9 +101,7 @@ class ConstantFit(Runner):
         from ..ops.sufficient import ConstantSufficientStats
 
         data = self.prepare_data(dict(self._data_arrays))
-        sigma_hi = self.parameters["sigma_max"].max
-        s_max = float(min(1e8, max(1e4, (2.0 * sigma_hi) ** 2))) \
-            if jnp.isfinite(sigma_hi) else 1.0e6
+        s_max = self._sufficient_s_max()
         stats = ConstantSufficientStats.build(
             data["gx"], data["gy"], data["v"], data["verr"] * data["verr"],
             mask=data.get("mask"), s_max=s_max)
@@ -125,8 +125,7 @@ class ConstantFit(Runner):
         if not self._pallas_eligible():
             return super().build_lnprob_batched()
 
-        from ..ops.lnlike_kernels import (constant_lnlike_batched,
-                                          constant_mixture_lnlike_batched)
+        from ..ops.lnlike_kernels import constant_mixture_lnlike_batched
 
         data = self.prepare_data(dict(self._data_arrays))
         gx, gy = data["gx"], data["gy"]
@@ -136,22 +135,16 @@ class ConstantFit(Runner):
         compiled = self.compiled
         lnprior_batched = jax.vmap(compiled.lnprior)
 
-        if "lnlike_background" in data:
-            pm = np.clip(np.asarray(data["pmember"], dtype=np.float64), 1e-300, 1.0)
-            lgp = jnp.asarray(np.log(pm), self.dtype)
-            lg1mp = jnp.asarray(np.log1p(-np.clip(pm, 0.0, 1.0 - 1e-16)), self.dtype)
-            lnb = data["lnlike_background"]
+        pm = np.clip(np.asarray(data["pmember"], dtype=np.float64), 1e-300, 1.0)
+        lgp = jnp.asarray(np.log(pm), self.dtype)
+        lg1mp = jnp.asarray(np.log1p(-np.clip(pm, 0.0, 1.0 - 1e-16)), self.dtype)
+        lnb = data["lnlike_background"]
 
-            def batched(thetas):
-                lp = lnprior_batched(thetas)
-                ll = constant_mixture_lnlike_batched(thetas, gx, gy, v, verr2,
-                                                     lgp, lg1mp, lnb, mask)
-                return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
-        else:
-            def batched(thetas):
-                lp = lnprior_batched(thetas)
-                ll = constant_lnlike_batched(thetas, gx, gy, v, verr2, mask)
-                return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+        def batched(thetas):
+            lp = lnprior_batched(thetas)
+            ll = constant_mixture_lnlike_batched(thetas, gx, gy, v, verr2,
+                                                 lgp, lg1mp, lnb, mask)
+            return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
 
         return batched
 

@@ -54,6 +54,19 @@ class ChemoProfiles(AnalyticalProfiles):
         if parameters is None:
             parameters = self.default_parameters(n_pops)
 
+        # grid mode is an AnalyticalProfiles feature the multi-population mixture
+        # does not support: the per-pop spatial priors and kappa anchors are
+        # derived from ONE population-tagged MGE at build time (VERDICT r1 weak 6)
+        if kwargs.get("mge_files") is not None:
+            raise ValueError(
+                "ChemoProfiles does not support the centre-offset MGE grid "
+                "('mge_files'); pass explicit mge_mass/mge_lum readers with a "
+                "'pop' column on the luminous MGE.")
+        if mge_lum is None or mge_mass is None:
+            raise ValueError(
+                "ChemoProfiles requires explicit mge_mass and mge_lum readers "
+                "(the luminous one carrying per-component 'pop' tags).")
+
         # population tags on the tracer MGE
         if "pop" not in mge_lum.data:
             raise IOError('Missing population tags (column "pop") in luminosity MGE.')

@@ -79,22 +79,87 @@ class ModelFit(Runner):
                                          data["pmember"])
         return terms
 
-    # ------------------------------------------------------------------ fused path
-    def _pallas_eligible(self) -> bool:
-        import os
-        import jax
-        if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
-            return False
+    # ------------------------------------------------------------------ fast paths
+    def _canonical_layout(self) -> bool:
         return (type(self) is ModelFit
-                and jax.default_backend() == "tpu"
                 and self.center_is_fixed()
                 and "lnlike_background" not in self._data_arrays
                 and self.compiled.free_names == ["v_sys", "sigma_max", "a",
                                                  "v_maxx", "v_maxy", "r_peak"])
 
+    def _pallas_eligible(self) -> bool:
+        import os
+        import jax
+        if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
+            return False
+        return jax.default_backend() == "tpu" and self._canonical_layout()
+
+    def _sufficient_eligible(self) -> bool:
+        """The O(n_bins)-per-walker radially-binned sufficient-statistics path
+        (ops/model_sufficient.py): canonical layout, no per-star mixture.
+
+        In ``auto`` mode on TPU the tier is picked only for large catalogs:
+        its per-walker cost is O(n_bins x n_coef x 61) independent of N, which
+        out-runs the direct O(N) kernel once N is a few x 10^4."""
+        import os
+
+        import jax
+
+        mode = os.environ.get("MCMC_TPU_LNPROB", "auto")
+        if mode not in ("auto", "sufficient"):
+            return False
+        if not self._canonical_layout():
+            return False
+        if mode == "auto" and jax.default_backend() == "tpu":
+            return int(self._data_arrays["v"].shape[0]) >= 32768
+        return True
+
+    def _internal_col_scale(self):
+        """Static per-column conversion factors to internal units (km/s, arcmin)."""
+        a_scale = self.compiled.scale_factors({"a": "arcmin"})["a"]
+        rp_scale = self.compiled.scale_factors({"r_peak": "arcmin"})["r_peak"]
+        return jnp.asarray([1.0, 1.0, a_scale, 1.0, 1.0, rp_scale], self.dtype)
+
+    def build_lnprob_sufficient(self):
+        """Batched lnprob through the radially-binned Chebyshev moment tables:
+        the star catalog is read once at build; each walker evaluation contracts
+        a Chebyshev basis with the (n_bins, n_coef, 61) table — MXU work with no
+        per-star reads (see ops.model_sufficient)."""
+        import jax
+        import numpy as np
+
+        from ..ops.model_sufficient import ModelSufficientStats
+
+        data = self.prepare_data(dict(self._data_arrays))
+        s_max = self._sufficient_s_max()
+        stats = ModelSufficientStats.build(
+            data["dxm"], data["dym"], data["v"], data["verr"] * data["verr"],
+            mask=data.get("mask"), s_max=s_max, dtype=self.dtype)
+        col_scale = self._internal_col_scale()
+        lnprior_batched = jax.vmap(self.compiled.lnprior)
+
+        import os
+        use_kernel = (jax.default_backend() == "tpu"
+                      and not os.environ.get("MCMC_TPU_DISABLE_PALLAS"))
+        if use_kernel:
+            from ..ops.model_sufficient import model_sufficient_lnlike_pallas
+            eval_ll = lambda t: model_sufficient_lnlike_pallas(stats, t)
+        else:
+            eval_ll = stats.lnlike
+
+        def batched(thetas):
+            lp = lnprior_batched(thetas)
+            ll = eval_ll(thetas * col_scale[None, :])
+            in_grid = thetas[:, 1] * thetas[:, 1] <= s_max
+            return jnp.where(jnp.isfinite(lp) & in_grid, lp + ll, -jnp.inf)
+
+        return batched
+
     def build_lnprob_batched(self):
         import jax
 
+        if self._sufficient_eligible():
+            return self.build_lnprob_sufficient()
         if not self._pallas_eligible():
             return super().build_lnprob_batched()
 
@@ -107,9 +172,7 @@ class ModelFit(Runner):
         verr2 = data["verr"] * data["verr"]
         mask = data.get("mask", jnp.ones_like(v))
         # fold the arcsec->arcmin conversions of a / r_peak into the walker params
-        a_scale = self.compiled.scale_factors({"a": "arcmin"})["a"]
-        rp_scale = self.compiled.scale_factors({"r_peak": "arcmin"})["r_peak"]
-        col_scale = jnp.asarray([1.0, 1.0, a_scale, 1.0, 1.0, rp_scale], self.dtype)
+        col_scale = self._internal_col_scale()
         lnprior_batched = jax.vmap(self.compiled.lnprior)
 
         def batched(thetas):

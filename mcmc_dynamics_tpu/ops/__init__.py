@@ -1,11 +1,10 @@
-from .lnlike_kernels import (constant_lnlike_batched,
-                             constant_mixture_lnlike_batched,
+from .lnlike_kernels import (constant_mixture_lnlike_batched,
                              model_lnlike_batched)
 from .background_kernel import background_logsumexp
-
-__all__ = ["constant_lnlike_batched", "constant_mixture_lnlike_batched",
-           "model_lnlike_batched",
-           "background_logsumexp"]
 from .sufficient import ConstantSufficientStats
+from .model_sufficient import ModelSufficientStats
 
-__all__.append("ConstantSufficientStats")
+__all__ = ["constant_mixture_lnlike_batched",
+           "model_lnlike_batched",
+           "background_logsumexp",
+           "ConstantSufficientStats", "ModelSufficientStats"]

@@ -109,6 +109,17 @@ class TestChemoProfiles:
         with pytest.raises(IOError):
             ChemoProfiles(data, mge_mass=mass, mge_lum=lum, n_pops=2)
 
+    def test_mge_grid_mode_rejected_with_clear_error(self):
+        """The AnalyticalProfiles centre-offset MGE grid is unsupported here and
+        must fail at construction with an explanation, not an opaque crash."""
+        data = _data()
+        lum, mass = _tagged_mges()
+        with pytest.raises(ValueError, match="mge_files"):
+            ChemoProfiles(data, mge_mass=mass, mge_lum=lum, n_pops=2,
+                          mge_files={"fake": "grid"})
+        with pytest.raises(ValueError, match="explicit mge_mass and mge_lum"):
+            ChemoProfiles(data, mge_mass=None, mge_lum=None, n_pops=2)
+
     def test_create_profiles_per_population(self):
         data = _data(n=80)
         lum, mass = _tagged_mges()

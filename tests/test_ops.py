@@ -35,29 +35,9 @@ def _reference_lnlike(params, gx, gy, v, verr2, mask):
 
 
 class TestConstantKernel:
-    def test_matches_reference(self):
-        from jax.experimental.pallas import tpu as pltpu
-        from mcmc_dynamics_tpu.ops.lnlike_kernels import constant_lnlike_batched
-
-        params, gx, gy, v, verr2, mask = _inputs()
-        args = [jnp.asarray(a) for a in (params, gx, gy, v, verr2, mask)]
-        with pltpu.force_tpu_interpret_mode():
-            got = np.asarray(constant_lnlike_batched(*args))
-        expected = _reference_lnlike(params, gx, gy, v, verr2, mask)
-        np.testing.assert_allclose(got, expected, rtol=1e-10)
-
-    def test_padding_both_axes(self):
-        """Walker count not a tile multiple AND star count not a chunk multiple."""
-        from jax.experimental.pallas import tpu as pltpu
-        from mcmc_dynamics_tpu.ops.lnlike_kernels import constant_lnlike_batched
-
-        params, gx, gy, v, verr2, mask = _inputs(n_walkers=10, n_stars=333)
-        args = [jnp.asarray(a) for a in (params, gx, gy, v, verr2, mask)]
-        with pltpu.force_tpu_interpret_mode():
-            got = np.asarray(constant_lnlike_batched(*args, walker_tile=8,
-                                                     star_chunk=128))
-        expected = _reference_lnlike(params, gx, gy, v, verr2, mask)
-        np.testing.assert_allclose(got, expected, rtol=1e-10)
+    # NOTE: the plain ConstantFit kernel was deleted in round 2 (it tied XLA's
+    # fusion and the sufficient-statistics tier supersedes both); only the
+    # fixed-background mixture kernel remains.
 
     def test_mixture_kernel(self):
         from jax.experimental.pallas import tpu as pltpu
@@ -208,3 +188,142 @@ class TestModelKernel:
             t = np.log(2 * np.pi * norm) + (v - v_los) ** 2 / norm
             expected[w] = -0.5 * np.sum(t * mask)
         np.testing.assert_allclose(got, expected, rtol=1e-8)
+
+
+def _model_inputs(n_stars=1500, seed=11):
+    rng = np.random.default_rng(seed)
+    dxm = 0.5 * rng.normal(size=n_stars)
+    dym = 0.5 * rng.normal(size=n_stars)
+    v = 5.0 * rng.normal(size=n_stars)
+    verr2 = (0.5 + 2.0 * rng.random(n_stars)) ** 2
+    mask = np.ones(n_stars)
+    return dxm, dym, v, verr2, mask
+
+
+def _model_reference_lnlike(params, dxm, dym, v, verr2, mask):
+    out = np.zeros(params.shape[0])
+    u = dxm ** 2 + dym ** 2
+    for w in range(params.shape[0]):
+        v_sys, sig, a, vx, vy, rp = params[w]
+        v_los = v_sys + 2.0 * rp * (dym * vx - dxm * vy) / (rp ** 2 + u)
+        s2 = sig ** 2 / np.sqrt(1 + u / a ** 2)
+        norm = verr2 + s2
+        t = np.log(2 * np.pi * norm) + (v - v_los) ** 2 / norm
+        out[w] = -0.5 * np.sum(t * mask)
+    return out
+
+
+def _model_box(n_walkers, seed=12):
+    rng = np.random.default_rng(seed)
+    return np.column_stack([
+        rng.uniform(-10, 10, n_walkers),
+        np.exp(rng.uniform(np.log(0.3), np.log(100.0), n_walkers)),
+        np.exp(rng.uniform(np.log(0.05), np.log(10.0), n_walkers)),  # a (arcmin)
+        rng.uniform(-10, 10, n_walkers),
+        rng.uniform(-10, 10, n_walkers),
+        np.exp(rng.uniform(np.log(0.05), np.log(10.0), n_walkers)),  # r_peak
+    ])
+
+
+class TestModelSufficientStats:
+    """Radially-binned Chebyshev moment tables for the ModelFit likelihood."""
+
+    def test_matches_direct_lnlike(self):
+        from mcmc_dynamics_tpu.ops import ModelSufficientStats
+
+        dxm, dym, v, verr2, mask = _model_inputs()
+        stats = ModelSufficientStats.build(dxm, dym, v, verr2, mask, s_max=1e6)
+        params = _model_box(256)
+        got = np.asarray(stats.lnlike(jnp.asarray(params)))
+        expected = _model_reference_lnlike(params, dxm, dym, v, verr2, mask)
+        err = np.abs(got - expected)
+        # 2nd-order radial binning: small absolute bias, tiny relative error
+        assert err.max() < 0.05, err.max()
+        assert np.median(err) < 1e-3
+        np.testing.assert_allclose(got, expected, rtol=5e-5)
+
+    def test_respects_mask(self):
+        from mcmc_dynamics_tpu.ops import ModelSufficientStats
+
+        dxm, dym, v, verr2, mask = _model_inputs(n_stars=600, seed=13)
+        mask[300:] = 0.0
+        stats = ModelSufficientStats.build(dxm, dym, v, verr2, mask)
+        params = _model_box(16, seed=14)
+        got = np.asarray(stats.lnlike(jnp.asarray(params)))
+        expected = _model_reference_lnlike(params, dxm[:300], dym[:300], v[:300],
+                                           verr2[:300], np.ones(300))
+        np.testing.assert_allclose(got, expected, rtol=5e-5, atol=0.02)
+
+    def test_modelfit_dispatch_and_equality(self):
+        """ModelFit.build_lnprob_batched picks the sufficient tier by default and
+        agrees with the direct (XLA) tier."""
+        import os
+
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.models import ModelFit
+        from mcmc_dynamics_tpu.utils import DataReader
+
+        ra_c, dec_c = 56.345, -26.675
+        rng = np.random.default_rng(15)
+        n = 400
+        data = DataReader({
+            "ra": u.Quantity(ra_c + 0.03 * rng.normal(size=n), "deg"),
+            "dec": u.Quantity(dec_c + 0.03 * rng.normal(size=n), "deg"),
+            "v": u.Quantity(5.0 * rng.normal(size=n), "km/s"),
+            "verr": u.Quantity(0.5 + 0.5 * rng.random(n), "km/s"),
+        })
+        params = ModelFit.default_parameters()
+        params["ra_center"].set(value=ra_c, fixed=True)
+        params["dec_center"].set(value=dec_c, fixed=True)
+        params["r_peak"].set(min=1.0, max=600.0)
+        params["a"].set(min=1.0, max=600.0)
+        fit = ModelFit(data, parameters=params)
+        assert fit._sufficient_eligible()
+
+        thetas = np.column_stack([
+            rng.normal(0, 2, 32),
+            np.exp(rng.uniform(np.log(1.0), np.log(60.0), 32)),
+            rng.uniform(30, 500, 32),   # a (arcsec, declared unit)
+            rng.normal(0, 3, 32),
+            rng.normal(0, 3, 32),
+            rng.uniform(30, 500, 32),   # r_peak (arcsec)
+        ])
+        thetas = jnp.asarray(thetas, fit.dtype)
+
+        fast = fit.build_lnprob_batched()          # default tier = sufficient
+        os.environ["MCMC_TPU_LNPROB"] = "direct"
+        os.environ["MCMC_TPU_DISABLE_PALLAS"] = "1"
+        try:
+            assert not fit._sufficient_eligible()
+            direct = fit.build_lnprob_batched()
+        finally:
+            del os.environ["MCMC_TPU_LNPROB"], os.environ["MCMC_TPU_DISABLE_PALLAS"]
+        np.testing.assert_allclose(np.asarray(fast(thetas)),
+                                   np.asarray(direct(thetas)),
+                                   rtol=1e-5, atol=5e-3)
+
+    def test_jit_and_scan_compatible(self):
+        from mcmc_dynamics_tpu.ops import ModelSufficientStats
+        from mcmc_dynamics_tpu.sampler import init_state, run_ensemble
+
+        dxm, dym, v, verr2, mask = _model_inputs(n_stars=500, seed=16)
+        stats = ModelSufficientStats.build(dxm, dym, v, verr2, mask)
+        rng = np.random.default_rng(17)
+        pos = np.column_stack([
+            rng.normal(0, 1, 32), np.exp(rng.normal(1.5, 0.2, 32)),
+            0.3 + rng.random(32), rng.normal(0, 3, 32), rng.normal(0, 3, 32),
+            0.5 + rng.random(32)])
+
+        def batched(thetas):
+            ok = (thetas[:, 1] > 0) & (thetas[:, 2] > 0) & (thetas[:, 5] > 0)
+            return jnp.where(ok, stats.lnlike(thetas), -jnp.inf)
+
+        state = init_state(batched, jnp.asarray(pos), jax.random.PRNGKey(0),
+                           batched=True)
+        res = run_ensemble(batched, state, n_steps=100, batched=True)
+        chain = np.asarray(res.chain)
+        assert np.isfinite(np.asarray(res.log_prob)).all()
+        lp_direct = _model_reference_lnlike(chain[:, -1, :], dxm, dym, v, verr2,
+                                            mask)
+        np.testing.assert_allclose(np.asarray(res.log_prob[:, -1]), lp_direct,
+                                   rtol=1e-5, atol=5e-3)

@@ -105,6 +105,67 @@ class TestPosteriorParity:
                         - np.quantile(ref_flat, q, axis=0))
             assert np.all(dq < 6 * mc_err + 1e-3)
 
+    def test_exact_conjugate_gaussian_posterior(self):
+        """Ground truth with NO reference sampler: with sigma_max fixed and flat
+        priors, the ConstantFit posterior over beta = (v_sys, v_maxx, v_maxy) is
+        exactly Gaussian — v_i ~ N(phi_i . beta, n_i) with known n_i, so
+
+            Lambda = sum_i phi_i phi_i^T / n_i,   mu = Lambda^{-1} sum_i phi_i v_i / n_i.
+
+        Sampler moments and quantiles must match the closed form within
+        Monte-Carlo error (VERDICT r1 item 6)."""
+        fit = _fit(seed=3)
+        sigma = 7.0
+        fit.parameters["sigma_max"].set(value=sigma, fixed=True)
+        fit.parameters["v_sys"].set(min=-math.inf, max=math.inf)
+        fit.parameters["v_maxx"].set(min=-math.inf, max=math.inf)
+        fit.parameters["v_maxy"].set(min=-math.inf, max=math.inf)
+        assert fit.fitted_parameters == ["v_sys", "v_maxx", "v_maxy"]
+
+        # closed-form posterior from the design matrix (independent numpy math)
+        data = fit.data.data
+        v = data.value("v")
+        verr = data.value("verr")
+        ra, dec = data.value("ra"), data.value("dec")
+        dx = -(ra - RA_C) * math.cos(math.radians(DEC_C)) * 60.0
+        dy = (dec - DEC_C) * 60.0
+        r = np.hypot(dx, dy)
+        phi = np.column_stack([np.ones_like(v), dy / r, -dx / r])
+        n = verr ** 2 + sigma ** 2
+        lam = (phi.T / n) @ phi
+        cov_true = np.linalg.inv(lam)
+        mu_true = cov_true @ (phi.T @ (v / n))
+
+        lnprob_jax = fit.build_lnprob()
+        pos = fit.get_initials(128)
+        state = init_state(lnprob_jax, jnp.asarray(pos), jax.random.PRNGKey(9))
+        res = run_ensemble(lnprob_jax, state, n_steps=1500)
+        chain = np.asarray(res.chain)[:, 500:, :]
+        flat = chain.reshape(-1, 3)
+
+        tau = np.maximum(autocorr_time(chain), 1.0)
+        n_eff = flat.shape[0] / tau
+        mc_err = flat.std(axis=0) / np.sqrt(n_eff)
+
+        # means against the analytic posterior mean
+        assert np.all(np.abs(flat.mean(axis=0) - mu_true) < 5 * mc_err), \
+            (flat.mean(axis=0), mu_true, mc_err)
+        # marginal standard deviations against the analytic covariance
+        sd_true = np.sqrt(np.diag(cov_true))
+        assert np.all(np.abs(flat.std(axis=0) - sd_true) / sd_true < 0.1), \
+            (flat.std(axis=0), sd_true)
+        # analytic Gaussian quantiles
+        from scipy import stats
+        for q in (0.16, 0.5, 0.84):
+            want = mu_true + stats.norm.ppf(q) * sd_true
+            got = np.quantile(flat, q, axis=0)
+            assert np.all(np.abs(got - want) < 6 * mc_err + 0.02 * sd_true), \
+                (q, got, want)
+        # full covariance (correlations) within 15%
+        cov_got = np.cov(flat.T)
+        scale = np.sqrt(np.outer(np.diag(cov_true), np.diag(cov_true)))
+        assert np.all(np.abs(cov_got - cov_true) / scale < 0.15)
+
     def test_acceptance_rates_match(self):
         fit = _fit(seed=2)
         lnprob_jax = fit.build_lnprob()
