@@ -91,6 +91,49 @@ def build_background(cfg):
     raise ValueError(f"Unknown background type '{cfg['type']}'.")
 
 
+def make_overlay_plot(profile, binned, filename):
+    """Model-vs-binned overlay (reference bin/run.py:107-143): the posterior
+    model profile with 1-sigma bands, the per-bin ConstantFit measurements on
+    top, and the per-bin rotation-axis angles in the polar panel.
+
+    ``profile``: Table from ``create_profiles`` (r in arcsec);
+    ``binned``: Table from ``BinnedFitResult.summary`` (radii in arcmin).
+    """
+    from ..utils.plots import ProfilePlot
+
+    plot = ProfilePlot()
+
+    r = np.asarray(profile.value("r"))                      # arcsec
+    v = np.asarray(profile.value("v_rot"))
+    plot.add_rotation_profile(
+        r, v, fill_between=True, c="g",
+        yerr=(v - np.asarray(profile.value("v_rot_lower_1s")),
+              np.asarray(profile.value("v_rot_upper_1s")) - v))
+    s = np.asarray(profile.value("sigma"))
+    plot.add_dispersion_profile(
+        r, s, fill_between=True, c="g",
+        yerr=(s - np.asarray(profile.value("sigma_lower_1s")),
+              np.asarray(profile.value("sigma_upper_1s")) - s))
+
+    rb = np.asarray(binned.value("r mean")) * 60.0          # arcmin -> arcsec
+    rb_lo = rb - np.asarray(binned.value("r min")) * 60.0
+    rb_hi = np.asarray(binned.value("r max")) * 60.0 - rb
+    for panel, name in (("add_rotation_profile", "v_max"),
+                        ("add_dispersion_profile", "sigma_max")):
+        y = np.asarray(binned.value(f"{name} median"))
+        ylo = np.asarray(binned.value(f"{name} low"))
+        yhi = np.asarray(binned.value(f"{name} high"))
+        getattr(plot, panel)(rb, y, xerr=(rb_lo, rb_hi), yerr=(ylo, yhi),
+                             c="k", marker="o", ls="none")
+    theta = np.asarray(binned.value("theta_0 median"))
+    terr = 0.5 * (np.asarray(binned.value("theta_0 low"))
+                  + np.asarray(binned.value("theta_0 high")))
+    plot.add_theta_profile(rb, theta, yerr=terr, c="k", marker="o", ls="none")
+    plot.savefig(filename)
+    import matplotlib.pyplot as plt
+    plt.close(plot.figure)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Run a full kinematics analysis.")
     parser.add_argument("config", help="JSON run-configuration file.")
@@ -152,6 +195,7 @@ def main(argv=None):
     fit.create_triangle_plot(sampler.chain, n_burn=n_burn,
                              filename=f"{prefix}_corner.png")
 
+    profile = None
     if not args.skip_profiles and hasattr(fit, "create_profiles"):
         prof_cfg = cfg.get("profiles", {})
         profile = fit.create_profiles(sampler.chain, n_burn=n_burn,
@@ -183,6 +227,12 @@ def main(argv=None):
         table = binned.summary(n_burn=bcfg.get("n_steps", 300) // 2)
         table.to_pandas().to_csv(f"{prefix}_binned.csv", index=False)
         logger.info("binned radial profile written to %s_binned.csv", prefix)
+
+        # the headline diagnostic of the reference workflow (bin/run.py:107-143):
+        # posterior model bands with the binned measurements overlaid
+        if profile is not None and "v_rot" in profile:
+            make_overlay_plot(profile, table, f"{prefix}_overlay.png")
+            logger.info("model-vs-binned overlay written to %s_overlay.png", prefix)
 
     logger.info("done.")
     return 0

@@ -1,0 +1,98 @@
+"""Bundled omega-Cen production recipes, golden-checked end to end.
+
+The working replacement for the reference's stale ``bin/run_test_5139_*`` scripts
+(run_test_5139_fixed.py:43-163, run_test_5139_center.py:101-102): a fixed-centre
+global ModelFit + binned ConstantFit + profiles + overlay, and a free-centre
+ConstantFit offset fit — both driven through ``cli.run`` on the bundled catalog
+and asserted against stored posterior goldens (example/goldens/).
+"""
+
+import json
+import math
+import pathlib
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+GOLDENS = json.loads((REPO / "example" / "goldens" / "omega_cen_goldens.json")
+                     .read_text())
+
+
+def _run_recipe(name, tmp_path, monkeypatch, extra_args=()):
+    from mcmc_dynamics_tpu.cli.run import main
+
+    cfg = json.loads((REPO / "example" / f"{name}.json").read_text())
+    cfg["data"]["file"] = str(REPO / cfg["data"]["file"])
+    cfg_file = tmp_path / f"{name}.json"
+    cfg_file.write_text(json.dumps(cfg))
+    monkeypatch.chdir(tmp_path)
+    assert main([str(cfg_file), *extra_args]) == 0
+    return cfg
+
+
+def _bestfit(prefix, model_cls, cfg, tmp_path):
+    """Recompute best-fit medians from the recipe's own checkpoint."""
+    from mcmc_dynamics_tpu.models import Runner
+
+    chain = Runner.read_chain(str(tmp_path / f"{prefix}_chain.npz"))
+    n_burn = cfg["sampling"]["n_burn"]
+    return chain, chain[:, n_burn:, :].reshape(-1, chain.shape[-1])
+
+
+def _check_goldens(flat, names, golden):
+    values = dict(zip(names, np.median(flat, axis=0)))
+    if "v_maxx" in values and "v_max" in golden:
+        values["v_max"] = math.hypot(values["v_maxx"], values["v_maxy"])
+        values["theta_0"] = math.atan2(values["v_maxy"], values["v_maxx"])
+    for key, (lo, hi) in golden.items():
+        assert key in values, key
+        assert lo <= values[key] <= hi, (key, values[key], (lo, hi))
+
+
+class TestOmegaCenFixed:
+    def test_fixed_centre_recipe(self, tmp_path, monkeypatch):
+        from mcmc_dynamics_tpu.models import ModelFit
+
+        cfg = _run_recipe("omega_cen_fixed", tmp_path, monkeypatch)
+        prefix = cfg["prefix"]
+
+        # every artifact of the production workflow must exist
+        for suffix in ("_chain.npz", "_chains.png", "_corner.png",
+                       "_profile.ecsv", "_binned.csv", "_overlay.png"):
+            f = tmp_path / f"{prefix}{suffix}"
+            assert f.exists() and f.stat().st_size > 0, suffix
+
+        chain, flat = _bestfit(prefix, ModelFit, cfg, tmp_path)
+        names = ["v_sys", "sigma_max", "a", "v_maxx", "v_maxy", "r_peak"]
+        _check_goldens(flat, names, GOLDENS["omega_cen_fixed"])
+
+        # the binned ConstantFit profile must bracket the global dispersion
+        import pandas as pd
+        binned = pd.read_csv(tmp_path / f"{prefix}_binned.csv")
+        assert len(binned) >= 4
+        assert np.all(binned["sigma_max median"] > 12.0)
+        assert np.all(binned["sigma_max median"] < 30.0)
+        # dispersion falls with radius (Plummer-like catalog)
+        assert binned["sigma_max median"].iloc[0] > \
+            binned["sigma_max median"].iloc[-1]
+
+        # the model profile table carries the 1- and 3-sigma bands
+        from mcmc_dynamics_tpu.utils import Table
+        prof = Table.read(str(tmp_path / f"{prefix}_profile.ecsv"),
+                          fmt="ascii.ecsv")
+        for col in ("v_rot", "v_rot_lower_1s", "sigma", "sigma_upper_3s"):
+            assert np.isfinite(prof.value(col)).all(), col
+
+
+class TestOmegaCenCenter:
+    def test_free_centre_recipe(self, tmp_path, monkeypatch):
+        from mcmc_dynamics_tpu.models import ConstantFit
+
+        cfg = _run_recipe("omega_cen_center", tmp_path, monkeypatch,
+                          extra_args=("--skip-binned",))
+        prefix = cfg["prefix"]
+        chain, flat = _bestfit(prefix, ConstantFit, cfg, tmp_path)
+        names = ["v_sys", "sigma_max", "v_maxx", "v_maxy",
+                 "ra_center", "dec_center"]
+        _check_goldens(flat, names, GOLDENS["omega_cen_center"])
