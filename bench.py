@@ -209,10 +209,46 @@ def bench_jam(rows):
                                n_steps=n_steps)
 
 
+def bench_binned_pipeline(rows):
+    """The reference's production workload (bin/run.py:146-259): every radial
+    bin's ConstantFit posterior, all ensembles advanced in ONE jitted program."""
+    import pathlib
+    import time
+
+    from mcmc_dynamics_tpu import units as u
+    from mcmc_dynamics_tpu.cli.run import load_catalog
+    from mcmc_dynamics_tpu.pipelines import fit_radial_bins
+
+    catalog = pathlib.Path(__file__).parent / "example" / "data" / "omega_cen_like.csv"
+    if not catalog.exists():
+        return
+    n_walkers, n_steps = 64, 300
+    data = load_catalog({"file": str(catalog), "format": "csv", "v_sys": 0.0})
+
+    def run():
+        return fit_radial_bins(data, 201.697 * u.deg, -47.48 * u.deg,
+                               nstars=400, dlogr=0.05,
+                               n_walkers=n_walkers, n_steps=n_steps, seed=0)
+
+    res = run()                      # warm-up (compile + binning)
+    n_bins = res.n_per_bin.shape[0]
+    t0 = time.perf_counter()
+    res = run()
+    _ = np.asarray(res.chains)
+    dt = time.perf_counter() - t0
+    rows["pipeline/binned-constant"] = n_bins * n_walkers * n_steps / dt
+    print(f"binned pipeline: {n_bins} bins x {n_walkers} walkers x {n_steps} "
+          f"steps in {dt:.3f}s", file=sys.stderr)
+
+
 def main():
     rows = {}
     bench_constant(rows)
     bench_model(rows)
+    try:
+        bench_binned_pipeline(rows)
+    except Exception as exc:
+        print(f"binned pipeline row failed: {exc!r}", file=sys.stderr)
     try:
         bench_jam(rows)
     except Exception as exc:  # JAM row is diagnostic; never sink the bench

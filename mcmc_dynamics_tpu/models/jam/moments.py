@@ -38,10 +38,13 @@ TPU formulation
 ---------------
 All Gaussian pair exponentials factor as exp(-a R^2 - A z^2) =
 E_j(R,z) * E_k(R,z;u) with E_j independent of (k,u).  The double quadrature
-(Gauss-Legendre in u) x mass-component sum therefore becomes a single matrix
-contraction  S[j, p] = C[j, t] @ E_t[t, p]  over t = (u-node, mass-component) pairs
-and p = (star, LOS-node) points — an MXU matmul, not a scalar loop.  The LOS integral
-is Gauss-Legendre under a per-star tangent map.  The black hole enters as an extra
+(Gauss-Legendre in u) x mass-component sum therefore becomes a single contraction
+S[j, p] = sum_t C[j, t] E_t[t, p]  over t = (u-node, mass-component) pairs and
+p = (star, LOS-node) points — one matrix contraction per batch, not a scalar
+loop.  The u-quadrature runs in the substituted variable s = u/sqrt(1-e^2 u^2),
+whose Jacobian absorbs the near-singular homoeoid factor exactly (see the pair-
+table section), so ~16 nodes suffice even for flattened components.  The LOS
+integral is Gauss-Legendre under a per-star tangent map.  The black hole enters as an extra
 near-point-mass Gaussian of width ``rbh`` (the reference's fiducial BH radius).
 
 Everything is pure and jit/vmap-safe; invalid configurations (deprojection failure,
@@ -81,10 +84,9 @@ def _gauss_legendre(n: int):
     return nodes, weights
 
 
-@partial(jax.jit, static_argnames=("n_u", "n_zeta"))
 def jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
                     d, beta, kappa, mscale, incl, mbh=0.0, rbh=1.0,
-                    n_u: int = 24, n_zeta: int = 40) -> JamMoments:
+                    n_u: int = 16, n_zeta: int = 40) -> JamMoments:
     """LOS velocity moments of an axisymmetric JAM model.
 
     Parameters (all plain arrays/scalars; no units inside jit):
@@ -102,6 +104,20 @@ def jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
 
     Returns vz [km/s], v2zz [km^2/s^2] at each (x, y), plus a validity flag.
     """
+    # Decide the black-hole branch *statically*: when mbh is a concrete zero
+    # (a fixed parameter at trace time), the erfcx chain over (L, P) is dead
+    # weight and is compiled out entirely.
+    with_bh = not (isinstance(mbh, (int, float, np.floating))
+                   and float(mbh) == 0.0)
+    return _jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
+                            d, beta, kappa, mscale, incl, mbh, rbh,
+                            n_u=n_u, n_zeta=n_zeta, with_bh=with_bh)
+
+
+@partial(jax.jit, static_argnames=("n_u", "n_zeta", "with_bh"))
+def _jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
+                     d, beta, kappa, mscale, incl, mbh, rbh,
+                     n_u: int, n_zeta: int, with_bh: bool) -> JamMoments:
     dtype = jnp.result_type(jnp.asarray(x).dtype, jnp.float32)
     x = jnp.atleast_1d(jnp.asarray(x, dtype))
     y = jnp.atleast_1d(jnp.asarray(y, dtype))
@@ -168,14 +184,27 @@ def jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     safe_R2 = jnp.maximum(R2, 1e-12)
 
     # -------------------------------------------------------------- pair tables
+    # The u-integrand carries the near-singular homoeoid factor
+    # (1 - e_k^2 u^2)^(-3/2), which makes plain Gauss-Legendre in u converge
+    # slowly for flattened components (e_k -> 1).  Substituting
+    #     s = u / sqrt(1 - e_k^2 u^2)      (ds = (1 - e_k^2 u^2)^(-3/2) du)
+    # absorbs that factor EXACTLY into the measure: the quadrature runs over
+    # s in [0, 1/q_k] with per-component node placement and a uniformly smooth
+    # integrand, so ~8-16 nodes reach the accuracy plain u-quadrature needs
+    # 50+ for.  (The force integrand's (1-e^2 u^2)^(-1/2) becomes a benign
+    # extra factor of (1 - e_k^2 u^2) on the transformed weights.)
     u_nodes, u_weights = _gauss_legendre(n_u)
-    u = jnp.asarray(0.5 * (u_nodes + 1.0), dtype)            # map to [0, 1]
-    wu = jnp.asarray(0.5 * u_weights, dtype)
+    x01 = jnp.asarray(0.5 * (u_nodes + 1.0), dtype)          # (U,) on [0, 1]
+    w01 = jnp.asarray(0.5 * u_weights, dtype)
 
     e2 = 1.0 - mass_qi * mass_qi                             # (M,)
-    u2 = u * u                                               # (U,)
-    one_m_e2u2 = 1.0 - e2[:, None] * u2[None, :]             # (M, U)
-    bk = u2[None, :] / (2.0 * mass_s[:, None] ** 2)          # beta_k(u)   (M, U)
+    s_hi = 1.0 / mass_qi                                     # (M,) upper edge
+    s_nodes = s_hi[:, None] * x01[None, :]                   # (M, U)
+    ws = s_hi[:, None] * w01[None, :]
+    u_mk = s_nodes * jax.lax.rsqrt(1.0 + e2[:, None] * s_nodes * s_nodes)
+    u2 = u_mk * u_mk                                         # (M, U)
+    one_m_e2u2 = 1.0 - e2[:, None] * u2
+    bk = u2 / (2.0 * mass_s[:, None] ** 2)                   # beta_k(u)   (M, U)
     bk_t = bk / one_m_e2u2                                   # beta~_k(u)  (M, U)
 
     alpha = 1.0 / (2.0 * lum_s ** 2)                         # (L,)
@@ -185,30 +214,36 @@ def jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     T = mass_s.shape[0] * n_u
     bk_f = bk.reshape(T)
     bkt_f = bk_t.reshape(T)
-    e_f = one_m_e2u2.reshape(T)
     qrho = (mass_qi * rho0)[:, None]
-    w_pair = (qrho * wu[None, :] * u2[None, :]).reshape(T)   # w_u u^2 q_k rho0_k
+    w_pair = (qrho * ws * u2).reshape(T)     # w_s u^2 q_k rho0_k (measure in s)
 
     a_jt = alpha[:, None] + bk_f[None, :]                    # (L, T)
     A_jt = alpha_t[:, None] + bkt_f[None, :]                 # (L, T)
 
-    coef_sz = w_pair[None, :] * e_f[None, :] ** -1.5 / (2.0 * A_jt)   # (L, T)
+    coef_sz = w_pair[None, :] / (2.0 * A_jt)                 # (L, T)
     coef_sz_a = coef_sz * a_jt                               # for R d/dR term
-    coef_fr = w_pair * e_f ** -0.5                           # (T,) force integrand
+    coef_fr = w_pair * one_m_e2u2.reshape(T)                 # (T,) force integrand
 
     # -------------------------------------------------------------- contractions
-    # E_t[t, p]: exp(-beta_k R^2 - beta~_k z^2) over points p = (star, LOS-node)
+    # S[r, p] = sum_t C[r, t] exp(-beta_k(t) R_p^2 - beta~_k(t) z_p^2) over the
+    # t = (u-node, mass-component) pair axis, plus the tracer factor E_j.
+    # A fused Pallas kernel that avoided materialising the (T, P) pair table was
+    # tried in round 2 and LOST to this dot formulation (2.7 ms vs 2.0 ms per
+    # 64-walker batch): both are bounded by exponential throughput, and XLA
+    # overlaps the table's HBM traffic with compute better than the hand-written
+    # kernel pipelined its chunks — so the straightforward dot stays.
     P = R2.size
     R2f = R2.reshape(P)
     z2f = z2.reshape(P)
+    coef_rows = jnp.concatenate([coef_sz, coef_sz_a, coef_fr[None, :]], axis=0)
+
     E_t = jnp.exp(-(bk_f[:, None] * R2f[None, :] + bkt_f[:, None] * z2f[None, :]))
-
-    S_sz = coef_sz @ E_t        # (L, P): Jeans u,k-contraction      [MXU]
-    S_sz_a = coef_sz_a @ E_t    # (L, P)
-    S_fr = coef_fr @ E_t        # (P,)
-
-    # E_j[l, p]: the tracer-Gaussian factor
-    E_j = jnp.exp(-(alpha[:, None] * R2f[None, :] + alpha_t[:, None] * z2f[None, :]))
+    S_rows = coef_rows @ E_t                                       # (2L+1, P)
+    E_j = jnp.exp(-(alpha[:, None] * R2f[None, :]
+                    + alpha_t[:, None] * z2f[None, :]))
+    S_sz = S_rows[:n_lum]       # (L, P)
+    S_sz_a = S_rows[n_lum:2 * n_lum]
+    S_fr = S_rows[2 * n_lum]    # (P,)
 
     four_pi_g = 4.0 * jnp.pi * G_PC
     nu_sz2 = four_pi_g * nu0[:, None] * E_j * S_sz                        # (L, P)
@@ -226,32 +261,35 @@ def jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     # function (sympy-verified; a near-point-mass Gaussian would be unresolvable
     # by the shared pair quadrature at u ~ 0, hence the dedicated treatment).
     # Large x0 uses the asymptotic series to dodge catastrophic cancellation.
-    gm = G_PC * jnp.asarray(mbh, dtype)
-    a_bh = (lum_s * lum_qi) ** 2                                          # (L,)
-    C = R2f + z2f + rbh_pc * rbh_pc                                       # (P,)
-    x0 = C[None, :] / (2.0 * a_bh[:, None])                               # (L, P)
+    # (skipped statically when the caller passed a concrete mbh == 0)
+    if with_bh:
+        gm = G_PC * jnp.asarray(mbh, dtype)
+        a_bh = (lum_s * lum_qi) ** 2                                      # (L,)
+        C = R2f + z2f + rbh_pc * rbh_pc                                   # (P,)
+        x0 = C[None, :] / (2.0 * a_bh[:, None])                           # (L, P)
 
-    sqrt_pi = math.sqrt(math.pi)
-    x0_safe = jnp.minimum(x0, 50.0)
-    F = jnp.exp(x0_safe) * jax.scipy.special.erfc(jnp.sqrt(x0_safe))      # erfcx
-    inv_sq = jax.lax.rsqrt(x0)
-    small32 = 2.0 * inv_sq - 2.0 * sqrt_pi * F
-    small52 = (2.0 / 3.0) * (inv_sq ** 3 - 2.0 * inv_sq + sqrt_pi * 2.0 * F)
-    ix = 1.0 / x0
-    large32 = inv_sq ** 3 * (1.0 + ix * (-1.5 + ix * (3.75 + ix * (
-        -13.125 + ix * 59.0625))))
-    large52 = inv_sq ** 5 * (1.0 + ix * (-2.5 + ix * (8.75 + ix * (
-        -39.375 + ix * 216.5625))))
-    use_small = x0 < 50.0
-    two_a = (2.0 * a_bh[:, None]) ** -1.5
-    i32 = two_a * jnp.where(use_small, small32, large32)
-    i52 = two_a / (2.0 * a_bh[:, None]) * jnp.where(use_small, small52, large52)
+        sqrt_pi = math.sqrt(math.pi)
+        x0_safe = jnp.minimum(x0, 50.0)
+        F = jnp.exp(x0_safe) * jax.scipy.special.erfc(jnp.sqrt(x0_safe))  # erfcx
+        inv_sq = jax.lax.rsqrt(x0)
+        small32 = 2.0 * inv_sq - 2.0 * sqrt_pi * F
+        small52 = (2.0 / 3.0) * (inv_sq ** 3 - 2.0 * inv_sq + sqrt_pi * 2.0 * F)
+        ix = 1.0 / x0
+        large32 = inv_sq ** 3 * (1.0 + ix * (-1.5 + ix * (3.75 + ix * (
+            -13.125 + ix * 59.0625))))
+        large52 = inv_sq ** 5 * (1.0 + ix * (-2.5 + ix * (8.75 + ix * (
+            -39.375 + ix * 216.5625))))
+        use_small = x0 < 50.0
+        two_a = (2.0 * a_bh[:, None]) ** -1.5
+        i32 = two_a * jnp.where(use_small, small32, large32)
+        i52 = two_a / (2.0 * a_bh[:, None]) * jnp.where(use_small, small52,
+                                                        large52)
 
-    nu_sz2 = nu_sz2 + nu_j * gm * a_bh[:, None] * i32
-    r_dr = r_dr + nu_j * gm * a_bh[:, None] * (
-        -(R2f[None, :] / (lum_s ** 2)[:, None]) * i32
-        - 3.0 * R2f[None, :] * i52)
-    nu_rfr = nu_rfr + nu_j * gm * R2f[None, :] * C[None, :] ** -1.5
+        nu_sz2 = nu_sz2 + nu_j * gm * a_bh[:, None] * i32
+        r_dr = r_dr + nu_j * gm * a_bh[:, None] * (
+            -(R2f[None, :] / (lum_s ** 2)[:, None]) * i32
+            - 3.0 * R2f[None, :] * i52)
+        nu_rfr = nu_rfr + nu_j * gm * R2f[None, :] * C[None, :] ** -1.5
 
     nu_vphi2 = b[:, None] * (nu_sz2 + r_dr) + nu_rfr                      # (L, P)
 

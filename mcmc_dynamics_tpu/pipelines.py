@@ -29,6 +29,10 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["fit_radial_bins", "BinnedFitResult"]
 
+# jitted batched-bin programs keyed by (model, parameters, tier, shapes, mesh);
+# see fit_radial_bins — avoids recompiling identical binned analyses
+_PROGRAM_CACHE: Dict[tuple, object] = {}
+
 
 class BinnedFitResult:
     """Chains and summary statistics of a batched per-bin fit."""
@@ -213,7 +217,21 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
             out = run_ensemble(fn, state, n_steps=n_steps)
             return out.chain, out.log_prob
 
-    run_all = jax.jit(jax.vmap(run_one))
+    # cache the jitted program: a fresh closure per call would force XLA to
+    # recompile identical binned fits (the closure's behaviour is fully
+    # determined by the key below — model class, parameter fingerprint, tier,
+    # shapes, sharding)
+    cache_key = (model_cls.__qualname__, parameters.fingerprint(), n_walkers,
+                 n_steps, use_sufficient, background is not None,
+                 None if mesh is None else (tuple(mesh.shape.items()), bin_axis),
+                 tuple(sorted((k, v.shape, str(v.dtype))
+                              for k, v in stacked.items())))
+    run_all = _PROGRAM_CACHE.get(cache_key)
+    if run_all is None:
+        if len(_PROGRAM_CACHE) >= 8:
+            _PROGRAM_CACHE.clear()
+        run_all = jax.jit(jax.vmap(run_one))
+        _PROGRAM_CACHE[cache_key] = run_all
     chains, log_probs = run_all(stacked, jnp.asarray(coords, dtype=dtype), keys)
     chains = chains[:n_bins]
     log_probs = log_probs[:n_bins]

@@ -88,3 +88,34 @@ class TestModelFitBins:
                               n_walkers=32, n_steps=80, seed=2)
         assert res.n_bins >= 2
         assert np.isfinite(res.log_probs[:, :, -1]).all()
+
+
+class TestProgramCache:
+    def test_identical_calls_hit_cache_and_match(self):
+        """A second identical binned fit reuses the jitted program (no recompile)
+        and reproduces the same chains bitwise."""
+        from mcmc_dynamics_tpu import pipelines
+
+        data, _ = _mock_cluster(n=300, seed=9)
+        pipelines._PROGRAM_CACHE.clear()
+        kw = dict(nstars=80, dlogr=0.01, n_walkers=16, n_steps=40, seed=5)
+        a = fit_radial_bins(data, RA_C * u.deg, DEC_C * u.deg, **kw)
+        assert len(pipelines._PROGRAM_CACHE) == 1
+        data2, _ = _mock_cluster(n=300, seed=9)
+        b = fit_radial_bins(data2, RA_C * u.deg, DEC_C * u.deg, **kw)
+        assert len(pipelines._PROGRAM_CACHE) == 1
+        np.testing.assert_array_equal(np.asarray(a.chains), np.asarray(b.chains))
+
+    def test_different_parameters_do_not_share_programs(self):
+        from mcmc_dynamics_tpu import pipelines
+        from mcmc_dynamics_tpu.models import ConstantFit
+
+        data, _ = _mock_cluster(n=300, seed=9)
+        pipelines._PROGRAM_CACHE.clear()
+        kw = dict(nstars=80, dlogr=0.01, n_walkers=16, n_steps=40, seed=5)
+        fit_radial_bins(data, RA_C * u.deg, DEC_C * u.deg, **kw)
+        params = ConstantFit.default_parameters()
+        params["sigma_max"].set(max=50.0)   # different prior -> different program
+        data2, _ = _mock_cluster(n=300, seed=9)
+        fit_radial_bins(data2, RA_C * u.deg, DEC_C * u.deg, parameters=params, **kw)
+        assert len(pipelines._PROGRAM_CACHE) == 2
