@@ -155,6 +155,29 @@ def bench_model(rows):
     rows["model/xla"] = _measure(fit.build_lnprob_batched(), pos, fit.dtype)
     del os.environ["MCMC_TPU_DISABLE_PALLAS"], os.environ["MCMC_TPU_LNPROB"]
 
+    # density-mixture variant (parametric Gaussian background, reference
+    # model.py:391-456) — fused kernel vs XLA
+    from mcmc_dynamics_tpu.models import ModelFitGB
+    rng3 = np.random.default_rng(9)
+    gdata, _, _ = _mock_catalog(N_STARS, rng3)
+    gdata.data["density"] = 10.0 ** rng3.uniform(-1, 2, N_STARS)
+    gparams = ModelFitGB.default_parameters()
+    gparams["ra_center"].set(value=ra_c, fixed=True)
+    gparams["dec_center"].set(value=dec_c, fixed=True)
+    gfit = ModelFitGB(gdata, parameters=gparams)
+    gpos = np.column_stack([
+        pos,
+        rng3.normal(0, 20, N_WALKERS),
+        np.exp(rng3.uniform(3, 4, N_WALKERS)),
+        10.0 ** rng3.uniform(-1, 1, N_WALKERS),
+    ])
+    if gfit._pallas_eligible():
+        rows["model-gb/pallas"] = _measure(gfit.build_lnprob_batched(), gpos,
+                                           gfit.dtype)
+    os.environ["MCMC_TPU_DISABLE_PALLAS"] = "1"
+    rows["model-gb/xla"] = _measure(gfit.build_lnprob_batched(), gpos, gfit.dtype)
+    del os.environ["MCMC_TPU_DISABLE_PALLAS"]
+
     # ... and at a 10x catalog, where the table tier overtakes the O(N) kernels
     rng5 = np.random.default_rng(3)
     data5, _, _ = _mock_catalog(100_000, rng5)

@@ -255,11 +255,67 @@ class _GaussianBackgroundMixin:
         return num / (num + (1.0 - m) * np.exp(lnl_b - peak))
 
 
-class ModelFitGB(_GaussianBackgroundMixin, ModelFit):
+class _ModelMixtureKernelMixin:
+    """Fused-kernel dispatch shared by the two density-mixture ModelFit variants."""
+
+    _KERNEL_FREE_NAMES: list  # canonical free layout served by the kernel
+    _PARAMETRIC_BG: bool
+
+    def _pallas_eligible(self) -> bool:
+        import os
+        import jax
+        if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
+            return False
+        return (jax.default_backend() == "tpu"
+                and self.center_is_fixed()
+                and self.compiled.free_names == self._KERNEL_FREE_NAMES)
+
+    def _sufficient_eligible(self) -> bool:
+        return False  # density mixtures are not quadratic in theta
+
+    def build_lnprob_batched(self):
+        import jax
+
+        if not self._pallas_eligible():
+            return Runner.build_lnprob_batched(self)
+
+        from ..ops.lnlike_kernels import model_mixture_lnlike_batched
+
+        data = self.prepare_data(dict(self._data_arrays))
+        dxm, dym = data["dxm"], data["dym"]
+        r2 = dxm * dxm + dym * dym
+        v = data["v"]
+        verr2 = data["verr"] * data["verr"]
+        mask = data.get("mask", jnp.ones_like(v))
+        dens = np.maximum(np.asarray(data["density"], np.float64), 1e-300)
+        density = jnp.asarray(dens, self.dtype)
+        ln_density = jnp.asarray(np.log(dens), self.dtype)
+        lnb = data.get("lnlike_fixed_background", jnp.zeros_like(v))
+        n_model = 6
+        col_scale = jnp.concatenate([
+            self._internal_col_scale(),
+            jnp.ones(len(self._KERNEL_FREE_NAMES) - n_model, self.dtype)])
+        lnprior_batched = jax.vmap(self.compiled.lnprior)
+        parametric = self._PARAMETRIC_BG
+
+        def batched(thetas):
+            lp = lnprior_batched(thetas)
+            ll = model_mixture_lnlike_batched(
+                thetas * col_scale[None, :], dxm, dym, r2, v, verr2,
+                density, ln_density, lnb, mask, parametric_bg=parametric)
+            return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
+        return batched
+
+
+class ModelFitGB(_ModelMixtureKernelMixin, _GaussianBackgroundMixin, ModelFit):
     MODEL_PARAMETERS = ModelFit.MODEL_PARAMETERS + ["v_back", "sigma_back", "f_back"]
     OBSERVABLES = dict(ModelFit.OBSERVABLES, density=None)
     INTERNAL_UNITS = dict(ModelFit.INTERNAL_UNITS, v_back="km/s", sigma_back="km/s")
     parameters_file = "model_with_background.json"
+    _KERNEL_FREE_NAMES = ["v_sys", "sigma_max", "a", "v_maxx", "v_maxy", "r_peak",
+                          "v_back", "sigma_back", "f_back"]
+    _PARAMETRIC_BG = True
 
     def __init__(self, data, parameters=None, **kwargs):
         background = kwargs.pop("background", None)
@@ -269,7 +325,7 @@ class ModelFitGB(_GaussianBackgroundMixin, ModelFit):
         super().__init__(data=data, parameters=parameters, **kwargs)
 
 
-class ModelFitConstantBackground(ModelFit):
+class ModelFitConstantBackground(_ModelMixtureKernelMixin, ModelFit):
     """ModelFit + non-parametric fixed background: per-star background likelihoods are
     precomputed once from a background callable; only the mixing weight ``f_back`` is
     sampled (reference model.py:513-623)."""
@@ -277,6 +333,9 @@ class ModelFitConstantBackground(ModelFit):
     MODEL_PARAMETERS = ModelFit.MODEL_PARAMETERS + ["f_back"]
     OBSERVABLES = dict(ModelFit.OBSERVABLES, density=None)
     parameters_file = "model_with_background.json"
+    _KERNEL_FREE_NAMES = ["v_sys", "sigma_max", "a", "v_maxx", "v_maxy", "r_peak",
+                          "f_back"]
+    _PARAMETRIC_BG = False
 
     def __init__(self, data, background, parameters=None, **kwargs):
         super().__init__(data=data, parameters=parameters, **kwargs)

@@ -31,7 +31,8 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["constant_mixture_lnlike_batched", "model_lnlike_batched"]
+__all__ = ["constant_mixture_lnlike_batched", "model_lnlike_batched",
+           "model_mixture_lnlike_batched"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -219,6 +220,122 @@ def model_lnlike_batched(params, dxm, dym, r2, v, verr2, mask,
             flops=20 * w_padded * n_padded,
             bytes_accessed=4 * (6 * n_padded + 7 * w_padded),
             transcendentals=2 * w_padded * n_padded,
+        ),
+    )(params, stars)
+    return out[:n_walkers, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("parametric_bg", "walker_tile",
+                                             "star_chunk"))
+def model_mixture_lnlike_batched(params, dxm, dym, r2, v, verr2, density,
+                                 ln_density, lnb, mask, parametric_bg: bool,
+                                 walker_tile: int = 512, star_chunk: int = 2048):
+    """Fused ModelFit + background-mixture log-likelihood -> (W,).
+
+    Membership prior m_i = density_i / (density_i + f_back) (reference
+    constant.py:339 / model.py:391-456), so the mixture weights depend on the
+    sampled ``f_back`` and must be built per (walker, star):
+
+        lnL_i = logaddexp(ln D_i + lnL_member, ln f + lnL_back) - log(D_i + f)
+
+    ``parametric_bg=True`` (ModelFitGB): params columns are
+    (v_sys, sigma_max, a, v_maxx, v_maxy, r_peak, v_back, sigma_back, f_back)
+    and the background Gaussian is evaluated in-kernel (``lnb`` ignored).
+    ``parametric_bg=False`` (ModelFitConstantBackground): params columns are
+    (v_sys, sigma_max, a, v_maxx, v_maxy, r_peak, f_back) and ``lnb`` carries
+    the precomputed per-star background log-likelihood.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = params.dtype
+    (dxm, dym, r2, v, verr2, density, ln_density, lnb, mask), n_stars = \
+        _pad_stars([dxm, dym, r2, v, verr2, density, ln_density, lnb, mask],
+                   star_chunk)
+    n_padded = dxm.shape[0]
+    params, n_walkers = _pad_walkers(params, walker_tile)
+    w_padded = params.shape[0]
+    n_chunks = n_padded // star_chunk
+
+    stars = jnp.stack([dxm, dym, r2, v, verr2, density, ln_density,
+                       lnb, mask], axis=0)
+
+    def kernel(p_ref, s_ref, out_ref):
+        p = p_ref[:]
+        v_sys = p[:, 0:1]
+        sigma2 = p[:, 1:2] * p[:, 1:2]
+        inv_a2 = 1.0 / (p[:, 2:3] * p[:, 2:3])
+        vx2 = 2.0 * p[:, 3:4]
+        vy2 = 2.0 * p[:, 4:5]
+        r_peak = p[:, 5:6]
+        inv_rp = 1.0 / r_peak
+        if parametric_bg:
+            v_back = p[:, 6:7]
+            sb2 = p[:, 7:8] * p[:, 7:8]
+            f_back = p[:, 8:9]
+        else:
+            f_back = p[:, 6:7]
+        ln_f = jnp.log(f_back)
+
+        def body(c, acc):
+            sl = pl.ds(c * star_chunk, star_chunk)
+            dx_c = s_ref[0, sl][None, :]
+            dy_c = s_ref[1, sl][None, :]
+            r2_c = s_ref[2, sl][None, :]
+            v_c = s_ref[3, sl][None, :]
+            e2_c = s_ref[4, sl][None, :]
+            d_c = s_ref[5, sl][None, :]
+            lnd_c = s_ref[6, sl][None, :]
+            lnb_c = s_ref[7, sl][None, :]
+            m_c = s_ref[8, sl][None, :]
+
+            # member (cluster) branch — same restructuring as the plain kernel
+            q = r_peak + r2_c * inv_rp
+            num = dy_c * vx2 - dx_c * vy2
+            d2 = q * (v_sys - v_c) + num
+            sig2 = sigma2 * jax.lax.rsqrt(1.0 + r2_c * inv_a2)
+            norm = e2_c + sig2
+            rs = jax.lax.rsqrt(norm)
+            rq = jax.lax.rsqrt(q * q)
+            dr = d2 * rs * rq
+            ln_c = jnp.log(rs) - 0.5 * (dr * dr + _LOG_2PI)
+
+            if parametric_bg:
+                nb = e2_c + sb2
+                rb = jax.lax.rsqrt(nb)
+                db = (v_c - v_back) * rb
+                lnl_b = jnp.log(rb) - 0.5 * (db * db + _LOG_2PI)
+            else:
+                lnl_b = lnb_c
+
+            # mixture: logaddexp(lnD + ln_c, ln f + lnl_b) - log(D + f)
+            a_ = lnd_c + ln_c
+            b_ = ln_f + lnl_b
+            hi = jnp.maximum(a_, b_)
+            ln_s = jnp.log(d_c + f_back)
+            t = (hi + jnp.log1p(jnp.exp(-jnp.abs(a_ - b_))) - ln_s) * m_c
+            return acc + jnp.sum(t, axis=1, keepdims=True)
+
+        acc = jax.lax.fori_loop(0, n_chunks, body,
+                                jnp.zeros((p.shape[0], 1), dtype))
+        out_ref[:] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(w_padded // walker_tile,),
+        in_specs=[
+            pl.BlockSpec((walker_tile, params.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, n_padded), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((walker_tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w_padded, 1), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * w_padded * n_padded,
+            bytes_accessed=4 * (8 * n_padded + 10 * w_padded),
+            transcendentals=6 * w_padded * n_padded,
         ),
     )(params, stars)
     return out[:n_walkers, 0]

@@ -327,3 +327,101 @@ class TestModelSufficientStats:
                                             mask)
         np.testing.assert_allclose(np.asarray(res.log_prob[:, -1]), lp_direct,
                                    rtol=1e-5, atol=5e-3)
+
+
+class TestModelMixtureKernel:
+    """Fused ModelFit + density-mixture kernel vs the pure-JAX tier."""
+
+    def _fit(self, cls, seed=21, **kwargs):
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.utils import DataReader
+
+        ra_c, dec_c = 56.345, -26.675
+        rng = np.random.default_rng(seed)
+        n = 300
+        data = DataReader({
+            "ra": u.Quantity(ra_c + 0.03 * rng.normal(size=n), "deg"),
+            "dec": u.Quantity(dec_c + 0.03 * rng.normal(size=n), "deg"),
+            "v": u.Quantity(5.0 * rng.normal(size=n), "km/s"),
+            "verr": u.Quantity(0.5 + 0.5 * rng.random(n), "km/s"),
+            "density": 10.0 ** rng.uniform(-1, 2, n),
+        })
+        params = cls.default_parameters()
+        params["ra_center"].set(value=ra_c, fixed=True)
+        params["dec_center"].set(value=dec_c, fixed=True)
+        return cls(data, parameters=params, **kwargs)
+
+    def _thetas(self, with_bg_cols, n=16, seed=22):
+        rng = np.random.default_rng(seed)
+        cols = [rng.normal(0, 2, n),
+                np.exp(rng.uniform(np.log(3.0), np.log(30.0), n)),
+                rng.uniform(30, 300, n),      # a (arcsec)
+                rng.normal(0, 3, n),
+                rng.normal(0, 3, n),
+                rng.uniform(30, 300, n)]      # r_peak (arcsec)
+        if with_bg_cols:
+            cols += [rng.normal(0, 30, n), np.exp(rng.uniform(2, 4, n))]
+        cols += [10.0 ** rng.uniform(-1, 1, n)]  # f_back
+        return np.column_stack(cols)
+
+    def test_parametric_gb_matches_pure_jax(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from mcmc_dynamics_tpu.models import ModelFitGB
+        from mcmc_dynamics_tpu.ops.lnlike_kernels import \
+            model_mixture_lnlike_batched
+
+        fit = self._fit(ModelFitGB)
+        assert fit.compiled.free_names == fit._KERNEL_FREE_NAMES
+        thetas = self._thetas(with_bg_cols=True)
+        want = np.array([float(fit.lnlike(t)) for t in thetas])
+
+        data = fit.prepare_data(dict(fit._data_arrays))
+        dxm, dym = data["dxm"], data["dym"]
+        r2 = dxm * dxm + dym * dym
+        dens = np.asarray(data["density"], np.float64)
+        col_scale = np.ones(9)
+        col_scale[2] = col_scale[5] = 1.0 / 60.0  # arcsec -> arcmin
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(model_mixture_lnlike_batched(
+                jnp.asarray(thetas * col_scale), dxm, dym, r2, data["v"],
+                data["verr"] * data["verr"], jnp.asarray(dens),
+                jnp.asarray(np.log(dens)), jnp.zeros_like(data["v"]),
+                jnp.ones_like(data["v"]), parametric_bg=True,
+                walker_tile=8, star_chunk=128))
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    def test_fixed_background_matches_pure_jax(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.background import Gaussian
+        from mcmc_dynamics_tpu.models import ModelFitConstantBackground
+        from mcmc_dynamics_tpu.ops.lnlike_kernels import \
+            model_mixture_lnlike_batched
+
+        bg = Gaussian(u.Quantity(20.0, "km/s"), u.Quantity(60.0, "km/s"))
+        fit = self._fit(ModelFitConstantBackground, background=bg)
+        # the kernel layout requires the unused parametric-background
+        # parameters of the shared defaults file to be fixed
+        fit.parameters["v_back"].set(value=0.0, fixed=True)
+        fit.parameters["sigma_back"].set(value=50.0, fixed=True)
+        fit._compiled = None  # force recompile after mutation
+        assert fit.compiled.free_names == fit._KERNEL_FREE_NAMES
+
+        thetas = self._thetas(with_bg_cols=False)
+        want = np.array([float(fit.lnlike(t)) for t in thetas])
+
+        data = fit.prepare_data(dict(fit._data_arrays))
+        dxm, dym = data["dxm"], data["dym"]
+        r2 = dxm * dxm + dym * dym
+        dens = np.asarray(data["density"], np.float64)
+        col_scale = np.ones(7)
+        col_scale[2] = col_scale[5] = 1.0 / 60.0
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(model_mixture_lnlike_batched(
+                jnp.asarray(thetas * col_scale), dxm, dym, r2, data["v"],
+                data["verr"] * data["verr"], jnp.asarray(dens),
+                jnp.asarray(np.log(dens)),
+                data["lnlike_fixed_background"],
+                jnp.ones_like(data["v"]), parametric_bg=False,
+                walker_tile=8, star_chunk=128))
+        np.testing.assert_allclose(got, want, rtol=1e-9)
