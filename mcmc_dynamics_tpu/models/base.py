@@ -349,8 +349,16 @@ class Runner:
         a capability the reference's pickle restart lacks (runner.py:415-419).
         """
         del n_threads
+        mesh = kwargs.pop("mesh", None)
+        dp_axis = kwargs.pop("dp_axis", "dp")
+        sp_axis = kwargs.pop("sp_axis", "sp")
         if kwargs:
             logger.warning("Ignoring unsupported keyword arguments: %s", list(kwargs))
+        if mesh is not None:
+            return self._call_sharded(mesh, dp_axis, sp_axis, n_walkers=n_walkers,
+                                      n_steps=n_steps, n_out=n_out, pos=pos, a=a,
+                                      seed=seed, prefix=prefix,
+                                      telemetry=telemetry)
 
         lnprob = self.build_lnprob_batched()
 
@@ -420,6 +428,71 @@ class Runner:
                            filename=f"{prefix}_chains.png" if prefix else None)
             except Exception as err:  # plotting must never kill a fit
                 logger.warning("Chain plotting failed: %s", err)
+        return sampler
+
+    def _call_sharded(self, mesh, dp_axis, sp_axis, n_walkers, n_steps, n_out,
+                      pos, a, seed, prefix, telemetry):
+        """Multi-chip production loop: the chunked/checkpointed analysis of
+        ``__call__`` driven through the shard_map SPMD sampler (walkers over
+        ``dp_axis``, stars over ``sp_axis`` when present in the mesh)."""
+        from ..parallel import run_ensemble_sharded
+        from ..sampler import EnsembleState
+
+        if pos is None:
+            pos = self.get_initials(n_walkers)
+        pos = np.asarray(pos, dtype=np.float64)
+        assert pos.shape == (n_walkers, self.n_fitted_parameters), \
+            "Array with starting values has invalid shape."
+        lnprior_v = jax.jit(jax.vmap(self.compiled.lnprior))
+        bad = ~np.isfinite(np.asarray(lnprior_v(jnp.asarray(pos, self.dtype))))
+        if bad.any():
+            i = int(np.argmax(bad))
+            raise ValueError(f"Invalid initial guesses for walker {i}: "
+                             f"{self.fitted_parameters}={pos[i]}")
+
+        if telemetry is not None:
+            telemetry.n_walkers = n_walkers
+        key = make_key(self.seed if seed is None else seed)
+        coords = jnp.asarray(pos, self.dtype)
+        chain_parts, lnp_parts = [], []
+        chunk = n_out if n_out else n_steps
+        done = 0
+        result = None
+        while done < n_steps:
+            steps = min(chunk, n_steps - done)
+            if telemetry is not None:
+                with telemetry.chunk(steps):
+                    result = run_ensemble_sharded(self, coords, key,
+                                                  n_steps=steps, mesh=mesh,
+                                                  dp_axis=dp_axis,
+                                                  sp_axis=sp_axis, a=a)
+                    jax.block_until_ready(result.final_coords)
+            else:
+                result = run_ensemble_sharded(self, coords, key, n_steps=steps,
+                                              mesh=mesh, dp_axis=dp_axis,
+                                              sp_axis=sp_axis, a=a)
+            chain_parts.append(np.asarray(result.chain))
+            lnp_parts.append(np.asarray(result.log_prob))
+            coords = result.final_coords
+            key = result.final_key
+            done += steps
+            if n_out:
+                logger.info("step %5d  <lnP> = %12.5e", done,
+                            float(lnp_parts[-1][:, -1].mean()))
+
+        chain = np.concatenate(chain_parts, axis=1)
+        lnprobability = np.concatenate(lnp_parts, axis=1)
+        state = EnsembleState(coords=jnp.asarray(coords),
+                              log_prob=jnp.asarray(result.final_log_prob),
+                              key=key,
+                              accepted=jnp.zeros(n_walkers, dtype=jnp.int32),
+                              step=jnp.asarray(done, dtype=jnp.int32))
+        sampler = SamplerResult(chain=chain, lnprobability=lnprobability,
+                                final_state=state,
+                                acceptance_fraction=np.asarray(
+                                    result.acceptance_fraction))
+        if prefix is not None and n_out:
+            self.save_current_status(sampler, prefix=prefix)
         return sampler
 
     # ------------------------------------------------------------------ persistence

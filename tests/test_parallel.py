@@ -199,3 +199,29 @@ class TestJamSharding:
         for w in (0, 5):
             assert math.isclose(float(np.asarray(result.final_log_prob)[w]),
                                 float(fit.lnprob(coords[w])), rel_tol=1e-9)
+
+
+class TestRunnerMeshIntegration:
+    """Production shell: Runner.__call__(mesh=...) drives the full chunked,
+    checkpointed analysis through the SPMD sampler."""
+
+    def test_call_with_mesh_end_to_end(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        fit = _fit(n=120, seed=6)
+        mesh = make_mesh(("dp", "sp"), (4, 2))
+        sampler = fit(n_walkers=16, n_steps=40, n_out=20, prefix="meshrun",
+                      seed=3, mesh=mesh)
+        assert sampler.chain.shape == (16, 40, 4)
+        assert np.isfinite(sampler.lnprobability).all()
+        # checkpoint written and consistent
+        chain = fit.read_chain("meshrun_chain.npz")
+        np.testing.assert_array_equal(chain, sampler.chain)
+        # final lnp equals lnprob of the final coordinates
+        coords = np.asarray(sampler.final_state.coords)
+        for w in (0, 15):
+            assert math.isclose(float(np.asarray(sampler.final_state.log_prob)[w]),
+                                float(fit.lnprob(coords[w])), rel_tol=1e-9)
+        # post-processing works on the sharded chain
+        best = fit.compute_bestfit_values(sampler.chain, n_burn=20)
+        for name in ("v_sys", "sigma_max", "v_maxx", "v_maxy"):
+            assert np.isfinite(best.value(name)).all()
