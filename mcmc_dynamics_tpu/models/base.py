@@ -355,10 +355,24 @@ class Runner:
         if kwargs:
             logger.warning("Ignoring unsupported keyword arguments: %s", list(kwargs))
         if mesh is not None:
-            return self._call_sharded(mesh, dp_axis, sp_axis, n_walkers=n_walkers,
-                                      n_steps=n_steps, n_out=n_out, pos=pos, a=a,
-                                      seed=seed, prefix=prefix,
-                                      telemetry=telemetry)
+            if thin != 1:
+                raise NotImplementedError(
+                    "thin= is not supported with mesh= (the sharded sampler "
+                    "records every step).")
+            sampler = self._call_sharded(mesh, dp_axis, sp_axis,
+                                         n_walkers=n_walkers, n_steps=n_steps,
+                                         n_out=n_out, pos=pos, a=a, seed=seed,
+                                         prefix=prefix, telemetry=telemetry,
+                                         state=state)
+            if plot:
+                try:
+                    from ..utils.plots import plot_chain
+                    plot_chain(sampler.chain, labels=self.labels,
+                               true_values=true_values,
+                               filename=f"{prefix}_chains.png" if prefix else None)
+                except Exception as err:  # plotting must never kill a fit
+                    logger.warning("Chain plotting failed: %s", err)
+            return sampler
 
         lnprob = self.build_lnprob_batched()
 
@@ -431,29 +445,38 @@ class Runner:
         return sampler
 
     def _call_sharded(self, mesh, dp_axis, sp_axis, n_walkers, n_steps, n_out,
-                      pos, a, seed, prefix, telemetry):
+                      pos, a, seed, prefix, telemetry, state=None):
         """Multi-chip production loop: the chunked/checkpointed analysis of
         ``__call__`` driven through the shard_map SPMD sampler (walkers over
-        ``dp_axis``, stars over ``sp_axis`` when present in the mesh)."""
+        ``dp_axis``, stars over ``sp_axis`` when present in the mesh).
+
+        ``state=`` continues from a checkpointed EnsembleState (coordinates and
+        PRNG key; the per-device key folding makes the continuation
+        deterministic, though not bitwise-identical to an unsharded run)."""
         from ..parallel import run_ensemble_sharded
         from ..sampler import EnsembleState
 
-        if pos is None:
-            pos = self.get_initials(n_walkers)
-        pos = np.asarray(pos, dtype=np.float64)
-        assert pos.shape == (n_walkers, self.n_fitted_parameters), \
-            "Array with starting values has invalid shape."
-        lnprior_v = jax.jit(jax.vmap(self.compiled.lnprior))
-        bad = ~np.isfinite(np.asarray(lnprior_v(jnp.asarray(pos, self.dtype))))
-        if bad.any():
-            i = int(np.argmax(bad))
-            raise ValueError(f"Invalid initial guesses for walker {i}: "
-                             f"{self.fitted_parameters}={pos[i]}")
+        if state is not None:
+            coords = jnp.asarray(state.coords, self.dtype)
+            n_walkers = coords.shape[0]
+            key = state.key
+        else:
+            if pos is None:
+                pos = self.get_initials(n_walkers)
+            pos = np.asarray(pos, dtype=np.float64)
+            assert pos.shape == (n_walkers, self.n_fitted_parameters), \
+                "Array with starting values has invalid shape."
+            lnprior_v = jax.jit(jax.vmap(self.compiled.lnprior))
+            bad = ~np.isfinite(np.asarray(lnprior_v(jnp.asarray(pos, self.dtype))))
+            if bad.any():
+                i = int(np.argmax(bad))
+                raise ValueError(f"Invalid initial guesses for walker {i}: "
+                                 f"{self.fitted_parameters}={pos[i]}")
+            key = make_key(self.seed if seed is None else seed)
+            coords = jnp.asarray(pos, self.dtype)
 
         if telemetry is not None:
             telemetry.n_walkers = n_walkers
-        key = make_key(self.seed if seed is None else seed)
-        coords = jnp.asarray(pos, self.dtype)
         chain_parts, lnp_parts = [], []
         chunk = n_out if n_out else n_steps
         done = 0
@@ -476,19 +499,30 @@ class Runner:
             coords = result.final_coords
             key = result.final_key
             done += steps
+
+            def snapshot():
+                return EnsembleState(
+                    coords=jnp.asarray(coords),
+                    log_prob=jnp.asarray(result.final_log_prob),
+                    key=key,
+                    accepted=jnp.zeros(n_walkers, dtype=jnp.int32),
+                    step=jnp.asarray(done, dtype=jnp.int32))
+
             if n_out:
                 logger.info("step %5d  <lnP> = %12.5e", done,
                             float(lnp_parts[-1][:, -1].mean()))
+                if prefix is not None:
+                    # per-chunk checkpoint — crash/preemption loses at most
+                    # one chunk, matching the unsharded loop
+                    self.save_current_status_arrays(
+                        np.concatenate(chain_parts, axis=1),
+                        np.concatenate(lnp_parts, axis=1), snapshot(),
+                        prefix=prefix)
 
         chain = np.concatenate(chain_parts, axis=1)
         lnprobability = np.concatenate(lnp_parts, axis=1)
-        state = EnsembleState(coords=jnp.asarray(coords),
-                              log_prob=jnp.asarray(result.final_log_prob),
-                              key=key,
-                              accepted=jnp.zeros(n_walkers, dtype=jnp.int32),
-                              step=jnp.asarray(done, dtype=jnp.int32))
         sampler = SamplerResult(chain=chain, lnprobability=lnprobability,
-                                final_state=state,
+                                final_state=snapshot(),
                                 acceptance_fraction=np.asarray(
                                     result.acceptance_fraction))
         if prefix is not None and n_out:

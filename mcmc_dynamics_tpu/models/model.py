@@ -98,19 +98,20 @@ class ModelFit(Runner):
         """The O(n_bins)-per-walker radially-binned sufficient-statistics path
         (ops/model_sufficient.py): canonical layout, no per-star mixture.
 
-        In ``auto`` mode on TPU the tier is picked only for large catalogs:
-        its per-walker cost is O(n_bins x n_coef x 61) independent of N, which
-        out-runs the direct O(N) kernel once N is a few x 10^4."""
+        In ``auto`` mode the tier is picked only for large catalogs: its
+        per-walker cost is O(n_bins x n_coef x 61) independent of N, which
+        out-runs the direct O(N) paths once N is a few x 10^4 — and unlike
+        them it is approximate (~1e-4 in lnL), so it must never silently
+        replace the exact likelihood for ordinary catalogs on ANY backend.
+        ``MCMC_TPU_LNPROB=sufficient`` forces it regardless of size."""
         import os
-
-        import jax
 
         mode = os.environ.get("MCMC_TPU_LNPROB", "auto")
         if mode not in ("auto", "sufficient"):
             return False
         if not self._canonical_layout():
             return False
-        if mode == "auto" and jax.default_backend() == "tpu":
+        if mode == "auto":
             return int(self._data_arrays["v"].shape[0]) >= 32768
         return True
 

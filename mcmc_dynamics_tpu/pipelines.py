@@ -176,16 +176,18 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
 
     lnprior_batched = jax.vmap(compiled.lnprior)
 
-    use_sufficient = (hasattr(template, "_sufficient_eligible")
+    # the in-jit table branch below builds *ConstantFit* sufficient statistics;
+    # it must never trigger for other model classes even if they expose their
+    # own sufficient tier (their theta layout and moments differ)
+    use_sufficient = (isinstance(template, ConstantFit)
+                      and type(template) is ConstantFit
                       and template._sufficient_eligible())
     if use_sufficient:
         # O(1)-per-walker tier: each bin's weighted-moment tables are built once
         # inside the same jitted program (see ops.sufficient)
         from .ops.sufficient import ConstantSufficientStats
 
-        sigma_hi = parameters["sigma_max"].max
-        s_max = float(min(1e8, max(1e4, (2.0 * sigma_hi) ** 2))) \
-            if np.isfinite(sigma_hi) else 1.0e6
+        s_max = template._sufficient_s_max()
 
         def run_one(bin_data, pos, key):
             stats = ConstantSufficientStats.build(

@@ -278,7 +278,9 @@ class TestModelSufficientStats:
         params["r_peak"].set(min=1.0, max=600.0)
         params["a"].set(min=1.0, max=600.0)
         fit = ModelFit(data, parameters=params)
-        assert fit._sufficient_eligible()
+        # auto mode applies a catalog-size threshold (the table tier is
+        # approximate): not eligible at 400 stars, forced via the env knob
+        assert not fit._sufficient_eligible()
 
         thetas = np.column_stack([
             rng.normal(0, 2, 32),
@@ -290,10 +292,12 @@ class TestModelSufficientStats:
         ])
         thetas = jnp.asarray(thetas, fit.dtype)
 
-        fast = fit.build_lnprob_batched()          # default tier = sufficient
-        os.environ["MCMC_TPU_LNPROB"] = "direct"
-        os.environ["MCMC_TPU_DISABLE_PALLAS"] = "1"
         try:
+            os.environ["MCMC_TPU_LNPROB"] = "sufficient"
+            assert fit._sufficient_eligible()
+            fast = fit.build_lnprob_batched()       # forced tier = sufficient
+            os.environ["MCMC_TPU_LNPROB"] = "direct"
+            os.environ["MCMC_TPU_DISABLE_PALLAS"] = "1"
             assert not fit._sufficient_eligible()
             direct = fit.build_lnprob_batched()
         finally:

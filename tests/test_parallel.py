@@ -225,3 +225,25 @@ class TestRunnerMeshIntegration:
         best = fit.compute_bestfit_values(sampler.chain, n_burn=20)
         for name in ("v_sys", "sigma_max", "v_maxx", "v_maxy"):
             assert np.isfinite(best.value(name)).all()
+
+    def test_call_with_mesh_resumes_from_state(self, tmp_path, monkeypatch):
+        """state= continues a sharded run from the checkpointed coordinates."""
+        monkeypatch.chdir(tmp_path)
+        fit = _fit(n=80, seed=8)
+        mesh = make_mesh(("dp", "sp"), (4, 2))
+        first = fit(n_walkers=16, n_steps=20, n_out=10, prefix="part1",
+                    seed=4, mesh=mesh)
+        state = fit.load_state("part1_chain.npz")
+        second = fit(n_steps=10, mesh=mesh, state=state, prefix=None)
+        assert second.chain.shape == (16, 10, 4)
+        # the continuation starts where the first run ended
+        np.testing.assert_allclose(
+            np.asarray(state.coords),
+            np.asarray(first.final_state.coords), rtol=0, atol=0)
+        assert np.isfinite(second.lnprobability).all()
+
+    def test_call_with_mesh_rejects_thin(self):
+        fit = _fit(n=40, seed=9)
+        mesh = make_mesh(("dp",), (8,))
+        with pytest.raises(NotImplementedError, match="thin"):
+            fit(n_walkers=16, n_steps=10, mesh=mesh, thin=2, prefix=None)

@@ -89,6 +89,21 @@ class TestModelFitBins:
         assert res.n_bins >= 2
         assert np.isfinite(res.log_probs[:, :, -1]).all()
 
+        # the recorded per-bin log-probs must equal the TRUE ModelFit lnprob of
+        # that bin's data (regression guard: a tier-dispatch bug once routed
+        # ModelFit thetas through the ConstantFit sufficient statistics)
+        import math
+        cmp_params = params.copy()
+        cmp_params["ra_center"].set(value=RA_C, fixed=True)
+        cmp_params["dec_center"].set(value=DEC_C, fixed=True)
+        for b in range(res.n_bins):
+            bin_data = data.fetch_radial_bin(b)
+            bin_fit = ModelFit(bin_data, parameters=cmp_params.copy())
+            theta = np.asarray(res.chains[b, 0, -1, :])
+            want = float(bin_fit.lnprob(theta))
+            got = float(res.log_probs[b, 0, -1])
+            assert math.isclose(got, want, rel_tol=1e-8), (b, got, want)
+
 
 class TestProgramCache:
     def test_identical_calls_hit_cache_and_match(self):
