@@ -41,40 +41,73 @@ class AnalyticalProfiles(Axisymmetric):
         super().__init__(data=data, parameters=parameters, mge_mass=mge_mass,
                          mge_lum=mge_lum, mge_files=mge_files, **kwargs)
 
-        # profile anchor radii per component: where each Gaussian dominates
+        # profile anchor radii per component: where each Gaussian dominates.
+        # In grid mode the anchors are precomputed PER GRID POINT (host-side, no
+        # file I/O in the hot loop) and selected by the same nearest-offset
+        # argmin as the MGE itself (see jam_parameters) — the reference reloads
+        # the MGE file and re-derives anchors each call (radial_profiles.py +
+        # axisymmetric.py:245-254).
         if self.use_mge_grid:
-            lum_s = self._grid_lum_s[0][self._grid_lum_i[0] > 0]
-            lum_i = self._grid_lum_i[0][self._grid_lum_i[0] > 0]
-            mass_s, mass_i = lum_s, lum_i
+            n_grid = self._grid_lum_i.shape[0]
+            self._x_mlr = np.stack([
+                self.calculate_x_values(self._grid_mass_i[g], self._grid_mass_s[g])
+                for g in range(n_grid)])
+            self._x_kappa = np.stack([
+                self.calculate_x_values(self._grid_lum_i[g], self._grid_lum_s[g])
+                for g in range(n_grid)])
+            live_mass = self._grid_mass_s[self._grid_mass_i > 0]
+            live_lum = self._grid_lum_s[self._grid_lum_i > 0]
+            mass_lo, mass_hi = float(live_mass.min()), float(live_mass.max())
+            lum_lo, lum_hi = float(live_lum.min()), float(live_lum.max())
         else:
             lum_i, lum_s, _ = self.mge_lum.as_arrays()
             mass_i, mass_s, _ = self.mge_mass.as_arrays()
-        # mlr scales the MASS components, kappa rotates the TRACER components
-        self._x_mlr = self.calculate_x_values(mass_i, mass_s)
-        self._x_kappa = self.calculate_x_values(lum_i, lum_s)
+            # mlr scales the MASS components, kappa rotates the TRACER components
+            self._x_mlr = self.calculate_x_values(mass_i, mass_s)
+            self._x_kappa = self.calculate_x_values(lum_i, lum_s)
+            mass_lo, mass_hi = float(mass_s.min()), float(mass_s.max())
+            lum_lo, lum_hi = float(lum_s.min()), float(lum_s.max())
 
         # keep the profile scale radii within the MGE sigma range
         # (reference radial_profiles.py:168-172); subclasses (chemo) may
         # parametrise the kappa radius differently
-        self.parameters["r_mlr"].set(min=float(mass_s.min()), max=float(mass_s.max()))
+        self.parameters["r_mlr"].set(min=mass_lo, max=mass_hi)
         if "r_kappa" in self.parameters:
-            self.parameters["r_kappa"].set(min=float(lum_s.min()),
-                                           max=float(lum_s.max()))
+            self.parameters["r_kappa"].set(min=lum_lo, max=lum_hi)
         self._compiled = None
+
+    def _anchor_arrays(self, p):
+        """Per-component anchor radii for the current parameters (grid mode picks
+        the grid point nearest the proposed centre, matching _select_mge)."""
+        x_mlr = jnp.asarray(self._x_mlr, self.dtype)
+        x_kappa = jnp.asarray(self._x_kappa, self.dtype)
+        if not self.use_mge_grid:
+            return x_mlr, x_kappa
+        offs = jnp.asarray(self._grid_offsets, self.dtype)
+        ra_deg = p["ra_center"] * (180.0 / jnp.pi)
+        dec_deg = p["dec_center"] * (180.0 / jnp.pi)
+        idx = jnp.argmin((offs[:, 0] - ra_deg) ** 2 + (offs[:, 1] - dec_deg) ** 2)
+        return x_mlr[idx], x_kappa[idx]
 
     @staticmethod
     def calculate_x_values(intensity, sigma) -> np.ndarray:
         """Radii where each MGE component contributes maximally to the composite
         profile; innermost anchored to 0, outermost pushed out 10x
-        (reference radial_profiles.py:174-204)."""
+        (reference radial_profiles.py:174-204).
+
+        Zero-intensity components (grid-padding slots from stack_mge_grid) are
+        ignored for the innermost/outermost bookkeeping and contribute nothing.
+        """
         intensity = np.asarray(intensity, dtype=np.float64)
         sigma = np.asarray(sigma, dtype=np.float64)
-        x = np.logspace(np.log10(sigma.min()), np.log10(sigma.max()), 100)
+        live = intensity > 0
+        s_live = sigma[live]
+        x = np.logspace(np.log10(s_live.min()), np.log10(s_live.max()), 100)
         weights = intensity[None, :] * np.exp(-0.5 * (x[:, None] / sigma[None, :]) ** 2)
         weights = weights / weights.sum(axis=1, keepdims=True)
         xn = x[weights.argmax(axis=0)]
-        xn[np.argmin(sigma)] = 0.0
-        xn[np.argmax(sigma)] *= 10.0
+        xn[np.argmin(np.where(live, sigma, np.inf))] = 0.0
+        xn[np.argmax(np.where(live, sigma, -np.inf))] *= 10.0
         return xn
 
     @staticmethod
@@ -89,8 +122,7 @@ class AnalyticalProfiles(Axisymmetric):
         return 2.0 * kappa_max * x / (1.0 + x * x)
 
     def jam_parameters(self, p):
-        x_mlr = jnp.asarray(self._x_mlr, self.dtype)
-        x_kappa = jnp.asarray(self._x_kappa, self.dtype)
+        x_mlr, x_kappa = self._anchor_arrays(p)
         mscale = self.mlr_profile(x_mlr, p["mlr_0"], p["mlr_t"], p["mlr_inf"],
                                   p["r_mlr"])
         kappa_max = jnp.sqrt(p["kappa_x"] ** 2 + p["kappa_y"] ** 2)
@@ -100,7 +132,7 @@ class AnalyticalProfiles(Axisymmetric):
     def extra_lnprior_fn(self, p):
         """Radially varying M/L must stay positive at every anchor radius (the analog
         of the reference's RadialProfiles mlr > 0 prior, radial_profiles.py:98-116)."""
-        x_mlr = jnp.asarray(self._x_mlr, self.dtype)
+        x_mlr, _ = self._anchor_arrays(p)
         mscale = self.mlr_profile(x_mlr, p["mlr_0"], p["mlr_t"], p["mlr_inf"],
                                   p["r_mlr"])
         return jnp.where(jnp.all(mscale > 0.0), 0.0, -jnp.inf)

@@ -259,3 +259,51 @@ class TestAxisymmetricWithBackground:
         fit2.n_u, fit2.n_zeta = 12, 16
         without = float(fit2.lnlike(np.array([2.0])))
         assert not math.isclose(with_bg, without)
+
+
+class TestAnalyticalProfilesGridAnchors:
+    """Grid mode must select the profile anchor radii of the SAME grid point as
+    the MGE itself (previously grid point 0's anchors were used everywhere)."""
+
+    def _grid_files(self, tmp_path):
+        from mcmc_dynamics_tpu.utils import Table
+        files = {}
+        # grid point 1 has a very different outer width -> different anchors
+        for k, (dra, widths) in enumerate([(0.0, (10.0, 40.0)),
+                                           (0.002, (5.0, 120.0))]):
+            t = Table({"n": np.array([1, 2]),
+                       "i": u.Quantity([5000.0, 1000.0], "solLum/pc2"),
+                       "s": u.Quantity(list(widths), "arcsec"),
+                       "q": np.array([0.9, 0.85])})
+            fname = tmp_path / f"apmge_{k}.ecsv"
+            t.write(fname)
+            files[(RA_C + dra, DEC_C)] = str(fname)
+        return files
+
+    def test_anchors_follow_selected_grid_point(self, tmp_path):
+        data, _, _ = _mock_jam_data(n=40)
+        files = self._grid_files(tmp_path)
+        params = AnalyticalProfiles.default_parameters()
+        for name, val in dict(d=5.0, mlr_0=2.0, mlr_t=2.0, mlr_inf=2.0,
+                              r_mlr=30.0, barq=0.6, kappa_x=0.2, kappa_y=0.0,
+                              r_kappa=40.0, beta=0.0, mbh=0.0, rbh=1.0,
+                              delta_v=0.0).items():
+            params[name].set(value=val, fixed=True)
+        params["ra_center"].set(value=RA_C, min=RA_C - 0.01, max=RA_C + 0.01)
+        params["dec_center"].set(value=DEC_C, fixed=True)
+        fit = AnalyticalProfiles(data, parameters=params, mge_files=files)
+        fit.n_u, fit.n_zeta = 8, 12
+
+        assert fit._x_kappa.shape[0] == 2  # per-grid-point anchors
+        assert not np.allclose(fit._x_kappa[0], fit._x_kappa[1])
+
+        p0 = fit.scaled_values(jnp.asarray([RA_C + 0.0001], fit.dtype))
+        p1 = fit.scaled_values(jnp.asarray([RA_C + 0.0019], fit.dtype))
+        _, xk0 = fit._anchor_arrays(p0)
+        _, xk1 = fit._anchor_arrays(p1)
+        np.testing.assert_allclose(np.asarray(xk0), fit._x_kappa[0], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(xk1), fit._x_kappa[1], rtol=1e-6)
+
+        # likelihood stays finite with either grid point selected
+        assert np.isfinite(float(fit.lnlike(np.array([RA_C + 0.0001]))))
+        assert np.isfinite(float(fit.lnlike(np.array([RA_C + 0.0019]))))
