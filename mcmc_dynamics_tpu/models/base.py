@@ -335,7 +335,8 @@ class Runner:
 
     def __call__(self, n_walkers: int = 100, n_steps: int = 500, n_burn: int = 100,
                  n_out: Optional[int] = None, pos=None, a: float = 2.0,
-                 thin: int = 1, seed: Optional[int] = None, plot: bool = False,
+                 thin: int = 1, move: str = "stretch",
+                 seed: Optional[int] = None, plot: bool = False,
                  prefix: Optional[str] = "sampler", true_values=None,
                  state=None, telemetry=None,
                  n_threads: Optional[int] = None, **kwargs):
@@ -359,6 +360,9 @@ class Runner:
                 raise NotImplementedError(
                     "thin= is not supported with mesh= (the sharded sampler "
                     "records every step).")
+            if move != "stretch":
+                raise NotImplementedError(
+                    "move= is not supported with mesh= yet (stretch only).")
             sampler = self._call_sharded(mesh, dp_axis, sp_axis,
                                          n_walkers=n_walkers, n_steps=n_steps,
                                          n_out=n_out, pos=pos, a=a, seed=seed,
@@ -410,11 +414,11 @@ class Runner:
             if telemetry is not None:
                 with telemetry.chunk(steps):
                     result = run_ensemble(lnprob, state, n_steps=steps, a=a,
-                                          thin=thin, batched=True)
+                                          thin=thin, move=move, batched=True)
                     jax.block_until_ready(result.final.coords)
             else:
                 result = run_ensemble(lnprob, state, n_steps=steps, a=a, thin=thin,
-                                      batched=True)
+                                      move=move, batched=True)
             chain_parts.append(np.asarray(result.chain))
             lnp_parts.append(np.asarray(result.log_prob))
             state = result.final

@@ -21,6 +21,7 @@ supported by ``vmap`` — see :func:`run_ensemble`'s ``batch_axes`` handling.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Callable, NamedTuple, Optional
 
@@ -122,19 +123,63 @@ def _half_update(batched_lnprob, active_coords, active_lnp, other_coords, key, a
     return coords, lnp, accept
 
 
+def _half_update_de(batched_lnprob, active_coords, active_lnp, other_coords, key,
+                    gamma0: float, jitter: float):
+    """Differential-evolution update of one half against the other (ter Braak
+    2006; the parallelisable red-blue variant of emcee v3's DEMove).
+
+    Proposal y = x + gamma (a - b) + eps with a != b drawn from the opposite
+    half; every 10th-ish proposal uses gamma = 1 ("mode-jumping") via a random
+    bernoulli so long-range moves between modes stay possible.  The proposal is
+    symmetric, so acceptance is plain Metropolis.
+    """
+    n_active, ndim = active_coords.shape
+    n_other = other_coords.shape[0]
+    un = jax.random.uniform(key, (4, n_active), dtype=active_coords.dtype)
+    eps = jax.random.normal(jax.random.fold_in(key, 1),
+                            (n_active, ndim), dtype=active_coords.dtype)
+
+    idx1 = jnp.minimum((un[0] * n_other).astype(jnp.int32), n_other - 1)
+    # distinct second partner: shift by 1 + u*(n-1) modulo n
+    off = 1 + jnp.minimum((un[1] * (n_other - 1)).astype(jnp.int32), n_other - 2)
+    idx2 = (idx1 + off) % n_other
+
+    gamma = jnp.where(un[2] < 0.1, 1.0, gamma0).astype(active_coords.dtype)
+    diff = other_coords[idx1] - other_coords[idx2]
+    proposals = active_coords + gamma[:, None] * diff + jitter * eps
+    new_lnp = batched_lnprob(proposals)
+
+    ln_u = jnp.log(un[3])
+    accept = (ln_u < new_lnp - active_lnp) & jnp.isfinite(new_lnp)
+    coords = jnp.where(accept[:, None], proposals, active_coords)
+    lnp = jnp.where(accept, new_lnp, active_lnp)
+    return coords, lnp, accept
+
+
 def stretch_step(lnprob_fn: Callable, state: EnsembleState, a: float = 2.0,
-                 batched: bool = False) -> EnsembleState:
-    """One full ensemble step: update first half against second, then vice versa."""
+                 batched: bool = False, move: str = "stretch") -> EnsembleState:
+    """One full ensemble step: update first half against second, then vice versa.
+
+    ``move``: ``"stretch"`` (Goodman & Weare, the emcee default) or ``"de"``
+    (differential evolution, ter Braak 2006 / emcee v3 DEMove — better mixing
+    for strongly correlated, banana-shaped posteriors such as (a, r_peak))."""
     fn = lnprob_fn if batched else as_batched(lnprob_fn)
-    n_walkers = state.coords.shape[0]
+    n_walkers, ndim = state.coords.shape
     half = n_walkers // 2
     key_next, key0, key1 = jax.random.split(state.key, 3)
 
     c0, c1 = state.coords[:half], state.coords[half:]
     p0, p1 = state.log_prob[:half], state.log_prob[half:]
 
-    c0, p0, acc0 = _half_update(fn, c0, p0, c1, key0, a)
-    c1, p1, acc1 = _half_update(fn, c1, p1, c0, key1, a)
+    if move == "stretch":
+        c0, p0, acc0 = _half_update(fn, c0, p0, c1, key0, a)
+        c1, p1, acc1 = _half_update(fn, c1, p1, c0, key1, a)
+    elif move == "de":
+        gamma0 = 2.38 / math.sqrt(2.0 * ndim)
+        c0, p0, acc0 = _half_update_de(fn, c0, p0, c1, key0, gamma0, 1e-5)
+        c1, p1, acc1 = _half_update_de(fn, c1, p1, c0, key1, gamma0, 1e-5)
+    else:
+        raise ValueError(f"Unknown move '{move}' (use 'stretch' or 'de').")
 
     return EnsembleState(
         coords=jnp.concatenate([c0, c1], axis=0),
@@ -156,11 +201,11 @@ class EnsembleResult(NamedTuple):
     acceptance_fraction: jnp.ndarray
 
 
-@partial(jax.jit, static_argnums=(0, 2, 4, 5))
+@partial(jax.jit, static_argnums=(0, 2, 4, 5, 6))
 def _scan_chain(batched_lnprob, state: EnsembleState, n_steps: int, a: float,
-                thin: int, store_chain: bool):
+                thin: int, store_chain: bool, move: str):
     def body(carry, _):
-        new = stretch_step(batched_lnprob, carry, a=a, batched=True)
+        new = stretch_step(batched_lnprob, carry, a=a, batched=True, move=move)
         out = (new.coords, new.log_prob) if store_chain else None
         return new, out
 
@@ -169,7 +214,8 @@ def _scan_chain(batched_lnprob, state: EnsembleState, n_steps: int, a: float,
     else:
         def thinned_body(carry, _):
             inner, _ = jax.lax.scan(
-                lambda c, __: (stretch_step(batched_lnprob, c, a=a, batched=True),
+                lambda c, __: (stretch_step(batched_lnprob, c, a=a, batched=True,
+                                            move=move),
                                None),
                 carry, None, length=thin)
             out = (inner.coords, inner.log_prob) if store_chain else None
@@ -185,7 +231,8 @@ def run_ensemble(lnprob_fn: Callable,
                  a: float = 2.0,
                  thin: int = 1,
                  store_chain: bool = True,
-                 batched: bool = False) -> EnsembleResult:
+                 batched: bool = False,
+                 move: str = "stretch") -> EnsembleResult:
     """Advance the ensemble ``n_steps`` steps inside one XLA computation.
 
     ``lnprob_fn(theta: f[K]) -> f[]`` must be pure/trace-safe (or, with
@@ -200,7 +247,7 @@ def run_ensemble(lnprob_fn: Callable,
 
     fn = lnprob_fn if batched else as_batched(lnprob_fn)
     final, traj = _scan_chain(fn, initial, int(n_steps), float(a),
-                              int(thin), bool(store_chain))
+                              int(thin), bool(store_chain), str(move))
     if store_chain:
         coords, lnp = traj  # (S, W, K), (S, W)
         chain = jnp.swapaxes(coords, 0, 1)          # -> (W, S, K) emcee layout
