@@ -153,6 +153,13 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         total = lp + runner.extra_lnprior_fn(p) + ll
         return jnp.where(jnp.isfinite(lp), total, -jnp.inf)
 
+    # dp-only meshes replicate the catalog per device, so each shard can run the
+    # model's fastest batched tier (sufficient tables / fused Pallas kernels)
+    # instead of vmapping the generic per-walker likelihood — multi-chip scaling
+    # at full per-chip throughput.  Star-sharded meshes need the psum reduction
+    # and keep the generic path.
+    batched_tier = None if use_sp else runner.build_lnprob_batched()
+
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
              check_vma=False)
     def sharded_run(coords_local, key, *shards):
@@ -161,7 +168,10 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         # identical stream across sp ranks of a dp row; distinct across dp
         key = jax.random.fold_in(key, dp_idx)
 
-        batched_lnprob = jax.vmap(lambda t: local_lnprob(t, local))
+        if batched_tier is not None:
+            batched_lnprob = batched_tier
+        else:
+            batched_lnprob = jax.vmap(lambda t: local_lnprob(t, local))
 
         def half_update(active, active_lnp, other_local, subkey):
             n_active = active.shape[0]
