@@ -86,12 +86,18 @@ class ModelSufficientStats(NamedTuple):
 
     @classmethod
     def build(cls, dxm, dym, v, verr2, mask=None, n_bins: int = 192,
-              n_coef: int = 48, s_max: float = 1.0e6,
+              n_coef: Optional[int] = None, s_max: float = 1.0e6,
               dtype=None) -> "ModelSufficientStats":
         """Precompute the tables from the star catalog (host-side, float64).
 
         ``dxm``/``dym``: arcmin offsets from the (fixed) centre; ``verr2`` in
         (km/s)^2.  ``s_max`` bounds S = sigma_max^2 g <= sigma_max^2.
+
+        ``n_coef=None`` picks the Chebyshev degree from the pole geometry: in
+        t = log(S + E_min) the pole lattice sits a distance pi off the real
+        interval of half-length L, giving a convergence factor
+        rho = eta + sqrt(1 + eta^2), eta = pi/L; the degree is sized for
+        ~1e-9 relative truncation (tighter sigma_max priors need fewer terms).
         """
         dxm = np.asarray(dxm, np.float64)
         dym = np.asarray(dym, np.float64)
@@ -119,6 +125,11 @@ class ModelSufficientStats(NamedTuple):
         off = max(e_min, 1e-12)
         t_lo = math.log(off)
         t_hi = math.log(s_max + off)
+        if n_coef is None:
+            half_len = 0.5 * (t_hi - t_lo)
+            eta = math.pi / max(half_len, 1e-6)
+            rho = eta + math.sqrt(1.0 + eta * eta)
+            n_coef = int(np.clip(math.ceil(math.log(1e9) / math.log(rho)), 16, 64))
         xi = _chebyshev_nodes(n_coef)                       # (K,)
         t_nodes = 0.5 * (t_hi + t_lo) + 0.5 * (t_hi - t_lo) * xi
         s_nodes = np.exp(t_nodes) - off                     # (K,) in S-space
