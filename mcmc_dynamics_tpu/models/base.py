@@ -360,14 +360,11 @@ class Runner:
                 raise NotImplementedError(
                     "thin= is not supported with mesh= (the sharded sampler "
                     "records every step).")
-            if move != "stretch":
-                raise NotImplementedError(
-                    "move= is not supported with mesh= yet (stretch only).")
             sampler = self._call_sharded(mesh, dp_axis, sp_axis,
                                          n_walkers=n_walkers, n_steps=n_steps,
-                                         n_out=n_out, pos=pos, a=a, seed=seed,
-                                         prefix=prefix, telemetry=telemetry,
-                                         state=state)
+                                         n_out=n_out, pos=pos, a=a, move=move,
+                                         seed=seed, prefix=prefix,
+                                         telemetry=telemetry, state=state)
             if plot:
                 try:
                     from ..utils.plots import plot_chain
@@ -449,7 +446,8 @@ class Runner:
         return sampler
 
     def _call_sharded(self, mesh, dp_axis, sp_axis, n_walkers, n_steps, n_out,
-                      pos, a, seed, prefix, telemetry, state=None):
+                      pos, a, seed, prefix, telemetry, state=None,
+                      move: str = "stretch"):
         """Multi-chip production loop: the chunked/checkpointed analysis of
         ``__call__`` driven through the shard_map SPMD sampler (walkers over
         ``dp_axis``, stars over ``sp_axis`` when present in the mesh).
@@ -492,12 +490,12 @@ class Runner:
                     result = run_ensemble_sharded(self, coords, key,
                                                   n_steps=steps, mesh=mesh,
                                                   dp_axis=dp_axis,
-                                                  sp_axis=sp_axis, a=a)
+                                                  sp_axis=sp_axis, a=a, move=move)
                     jax.block_until_ready(result.final_coords)
             else:
                 result = run_ensemble_sharded(self, coords, key, n_steps=steps,
                                               mesh=mesh, dp_axis=dp_axis,
-                                              sp_axis=sp_axis, a=a)
+                                              sp_axis=sp_axis, a=a, move=move)
             chain_parts.append(np.asarray(result.chain))
             lnp_parts.append(np.asarray(result.log_prob))
             coords = result.final_coords

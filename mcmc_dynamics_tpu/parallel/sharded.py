@@ -106,7 +106,7 @@ class ShardedResult:
 
 def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
                          dp_axis: str = "dp", sp_axis: Optional[str] = "sp",
-                         a: float = 2.0) -> ShardedResult:
+                         a: float = 2.0, move: str = "stretch") -> ShardedResult:
     """Advance a walker-sharded ensemble ``n_steps`` steps on a device mesh.
 
     ``coords``: (W, K) with W a multiple of ``2 * mesh.shape[dp_axis]``.  Each device
@@ -175,17 +175,36 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
 
         def half_update(active, active_lnp, other_local, subkey):
             n_active = active.shape[0]
-            un = jax.random.uniform(subkey, (3, n_active), dtype=active.dtype)
-            z = ((a - 1.0) * un[0] + 1.0) ** 2 / a
             # partner pool: the full opposite half across all dp shards
             pool = jax.lax.all_gather(other_local, dp_axis, tiled=True)
-            idx = jnp.minimum((un[1] * pool.shape[0]).astype(jnp.int32),
-                              pool.shape[0] - 1)
-            partners = pool[idx]
-            proposals = partners + z[:, None] * (active - partners)
+            n_pool = pool.shape[0]
+            if move == "stretch":
+                un = jax.random.uniform(subkey, (3, n_active), dtype=active.dtype)
+                z = ((a - 1.0) * un[0] + 1.0) ** 2 / a
+                idx = jnp.minimum((un[1] * n_pool).astype(jnp.int32), n_pool - 1)
+                partners = pool[idx]
+                proposals = partners + z[:, None] * (active - partners)
+                ln_bias = (ndim - 1.0) * jnp.log(z)
+                ln_u = jnp.log(un[2])
+            elif move == "de":
+                # differential evolution (ter Braak 2006); symmetric proposal
+                gamma0 = 2.38 / np.sqrt(2.0 * ndim)
+                un = jax.random.uniform(subkey, (4, n_active), dtype=active.dtype)
+                eps = jax.random.normal(jax.random.fold_in(subkey, 1),
+                                        (n_active, ndim), dtype=active.dtype)
+                idx1 = jnp.minimum((un[0] * n_pool).astype(jnp.int32), n_pool - 1)
+                off = 1 + jnp.minimum((un[1] * (n_pool - 1)).astype(jnp.int32),
+                                      n_pool - 2)
+                idx2 = (idx1 + off) % n_pool
+                gamma = jnp.where(un[2] < 0.1, 1.0, gamma0).astype(active.dtype)
+                proposals = active + gamma[:, None] * (pool[idx1] - pool[idx2]) \
+                    + 1e-5 * eps
+                ln_bias = jnp.zeros(n_active, dtype=active.dtype)
+                ln_u = jnp.log(un[3])
+            else:
+                raise ValueError(f"Unknown move '{move}' (use 'stretch' or 'de').")
             new_lnp = batched_lnprob(proposals)
-            ln_accept = (ndim - 1.0) * jnp.log(z) + new_lnp - active_lnp
-            ln_u = jnp.log(un[2])
+            ln_accept = ln_bias + new_lnp - active_lnp
             accept = (ln_u < ln_accept) & jnp.isfinite(new_lnp)
             return (jnp.where(accept[:, None], proposals, active),
                     jnp.where(accept, new_lnp, active_lnp),

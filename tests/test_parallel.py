@@ -247,3 +247,12 @@ class TestRunnerMeshIntegration:
         mesh = make_mesh(("dp",), (8,))
         with pytest.raises(NotImplementedError, match="thin"):
             fit(n_walkers=16, n_steps=10, mesh=mesh, thin=2, prefix=None)
+
+    def test_call_with_mesh_de_move(self):
+        """DE proposals work under sharding (all-gathered partner pool)."""
+        fit = _fit(n=60, seed=10)
+        mesh = make_mesh(("dp", "sp"), (2, 4))
+        sampler = fit(n_walkers=16, n_steps=60, move="de", mesh=mesh, prefix=None)
+        assert np.isfinite(sampler.lnprobability[:, -1]).all()
+        acc = np.asarray(sampler.acceptance_fraction)
+        assert acc.mean() > 0.1
