@@ -124,6 +124,15 @@ class Axisymmetric(Runner):
             data["dyr"] = jnp.asarray(dy * _ARCSEC_PER_RAD, self.dtype)
         return data
 
+    def _grid_index(self, p):
+        """Nearest grid point to the proposed centre (THE grid selection: every
+        centre-dependent grid lookup — MGE arrays, profile anchors — must go
+        through this one function so they can never disagree)."""
+        offs = jnp.asarray(self._grid_offsets, self.dtype)
+        ra_deg = p["ra_center"] * (180.0 / jnp.pi)
+        dec_deg = p["dec_center"] * (180.0 / jnp.pi)
+        return jnp.argmin((offs[:, 0] - ra_deg) ** 2 + (offs[:, 1] - dec_deg) ** 2)
+
     def _select_mge(self, p):
         """Current MGE component arrays (single profile, or in-jit grid selection)."""
         if not self.use_mge_grid:
@@ -131,10 +140,7 @@ class Axisymmetric(Runner):
             mi, ms, mq = self.mge_mass.as_arrays()
             to = lambda a: jnp.asarray(a, self.dtype)
             return to(li), to(ls), to(lq), to(mi), to(ms), to(mq)
-        offs = jnp.asarray(self._grid_offsets, self.dtype)
-        ra_deg = p["ra_center"] * (180.0 / jnp.pi)
-        dec_deg = p["dec_center"] * (180.0 / jnp.pi)
-        idx = jnp.argmin((offs[:, 0] - ra_deg) ** 2 + (offs[:, 1] - dec_deg) ** 2)
+        idx = self._grid_index(p)
         take = lambda a: jnp.asarray(a, self.dtype)[idx]
         return (take(self._grid_lum_i), take(self._grid_lum_s),
                 take(self._grid_lum_q), take(self._grid_mass_i),

@@ -83,10 +83,7 @@ class AnalyticalProfiles(Axisymmetric):
         x_kappa = jnp.asarray(self._x_kappa, self.dtype)
         if not self.use_mge_grid:
             return x_mlr, x_kappa
-        offs = jnp.asarray(self._grid_offsets, self.dtype)
-        ra_deg = p["ra_center"] * (180.0 / jnp.pi)
-        dec_deg = p["dec_center"] * (180.0 / jnp.pi)
-        idx = jnp.argmin((offs[:, 0] - ra_deg) ** 2 + (offs[:, 1] - dec_deg) ** 2)
+        idx = self._grid_index(p)   # same selection as _select_mge
         return x_mlr[idx], x_kappa[idx]
 
     @staticmethod
@@ -108,6 +105,10 @@ class AnalyticalProfiles(Axisymmetric):
         xn = x[weights.argmax(axis=0)]
         xn[np.argmin(np.where(live, sigma, np.inf))] = 0.0
         xn[np.argmax(np.where(live, sigma, -np.inf))] *= 10.0
+        # padded slots carry the innermost anchor (r = 0): their profile values
+        # are multiplied by zero intensity downstream, and the mscale > 0 prior
+        # check at r = 0 merely duplicates the real innermost anchor's condition
+        xn[~live] = 0.0
         return xn
 
     @staticmethod

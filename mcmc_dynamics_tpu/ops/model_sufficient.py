@@ -129,7 +129,15 @@ class ModelSufficientStats(NamedTuple):
             half_len = 0.5 * (t_hi - t_lo)
             eta = math.pi / max(half_len, 1e-6)
             rho = eta + math.sqrt(1.0 + eta * eta)
-            n_coef = int(np.clip(math.ceil(math.log(1e9) / math.log(rho)), 16, 64))
+            needed = math.ceil(math.log(1e9) / math.log(rho))
+            n_coef = int(np.clip(needed, 16, 96))
+            if needed > 96:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "Chebyshev degree capped at 96 (pole geometry wants %d for "
+                    "1e-9 truncation; expect ~%.0e relative instead). Tighten "
+                    "the sigma_max prior or raise the minimum velocity error.",
+                    needed, rho ** -96.0)
         xi = _chebyshev_nodes(n_coef)                       # (K,)
         t_nodes = 0.5 * (t_hi + t_lo) + 0.5 * (t_hi - t_lo) * xi
         s_nodes = np.exp(t_nodes) - off                     # (K,) in S-space

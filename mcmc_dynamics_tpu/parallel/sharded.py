@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..sampler.stretch import propose_de, propose_stretch
+
 __all__ = ["pad_star_axis", "star_sharded_lnprob", "run_ensemble_sharded",
            "ShardedResult"]
 
@@ -174,33 +176,15 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
             batched_lnprob = jax.vmap(lambda t: local_lnprob(t, local))
 
         def half_update(active, active_lnp, other_local, subkey):
-            n_active = active.shape[0]
-            # partner pool: the full opposite half across all dp shards
+            # partner pool: the full opposite half across all dp shards; the
+            # proposal math is SHARED with the single-device sampler
+            # (sampler/stretch.py propose_stretch/propose_de) so the two can
+            # never drift apart
             pool = jax.lax.all_gather(other_local, dp_axis, tiled=True)
-            n_pool = pool.shape[0]
             if move == "stretch":
-                un = jax.random.uniform(subkey, (3, n_active), dtype=active.dtype)
-                z = ((a - 1.0) * un[0] + 1.0) ** 2 / a
-                idx = jnp.minimum((un[1] * n_pool).astype(jnp.int32), n_pool - 1)
-                partners = pool[idx]
-                proposals = partners + z[:, None] * (active - partners)
-                ln_bias = (ndim - 1.0) * jnp.log(z)
-                ln_u = jnp.log(un[2])
+                proposals, ln_bias, ln_u = propose_stretch(active, pool, subkey, a)
             elif move == "de":
-                # differential evolution (ter Braak 2006); symmetric proposal
-                gamma0 = 2.38 / np.sqrt(2.0 * ndim)
-                un = jax.random.uniform(subkey, (4, n_active), dtype=active.dtype)
-                eps = jax.random.normal(jax.random.fold_in(subkey, 1),
-                                        (n_active, ndim), dtype=active.dtype)
-                idx1 = jnp.minimum((un[0] * n_pool).astype(jnp.int32), n_pool - 1)
-                off = 1 + jnp.minimum((un[1] * (n_pool - 1)).astype(jnp.int32),
-                                      n_pool - 2)
-                idx2 = (idx1 + off) % n_pool
-                gamma = jnp.where(un[2] < 0.1, 1.0, gamma0).astype(active.dtype)
-                proposals = active + gamma[:, None] * (pool[idx1] - pool[idx2]) \
-                    + 1e-5 * eps
-                ln_bias = jnp.zeros(n_active, dtype=active.dtype)
-                ln_u = jnp.log(un[3])
+                proposals, ln_bias, ln_u = propose_de(active, pool, subkey)
             else:
                 raise ValueError(f"Unknown move '{move}' (use 'stretch' or 'de').")
             new_lnp = batched_lnprob(proposals)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["EnsembleState", "init_state", "stretch_step", "run_ensemble",
-           "EnsembleResult", "as_batched"]
+           "EnsembleResult", "as_batched", "propose_stretch", "propose_de"]
 
 
 class EnsembleState(NamedTuple):
@@ -96,64 +96,78 @@ def init_state(lnprob_fn: Callable, coords, key,
     )
 
 
-def _half_update(batched_lnprob, active_coords, active_lnp, other_coords, key, a):
-    """Stretch-move update of one half-ensemble against the (fixed) other half."""
+def propose_stretch(active_coords, pool, key, a: float):
+    """Stretch-move proposals for one half against a partner pool.
+
+    Returns (proposals, ln_bias, ln_u): the asymmetry correction
+    ln_bias = (K-1) ln z and the pre-drawn acceptance uniforms.  Shared by the
+    single-device and shard_map samplers so the proposal distribution can
+    never drift between them.
+    """
     n_active, ndim = active_coords.shape
     # single fused PRNG invocation per half-step (three tiny draws would each pay
     # the fixed threefry kernel cost on TPU)
     un = jax.random.uniform(key, (3, n_active), dtype=active_coords.dtype)
-
     z = ((a - 1.0) * un[0] + 1.0) ** 2 / a
-
-    n_other = other_coords.shape[0]
-    partner_idx = jnp.minimum((un[1] * n_other).astype(jnp.int32), n_other - 1)
-    partners = other_coords[partner_idx]
-
+    n_pool = pool.shape[0]
+    partner_idx = jnp.minimum((un[1] * n_pool).astype(jnp.int32), n_pool - 1)
+    partners = pool[partner_idx]
     proposals = partners + z[:, None] * (active_coords - partners)
-    new_lnp = batched_lnprob(proposals)
+    return proposals, (ndim - 1.0) * jnp.log(z), jnp.log(un[2])
 
-    ln_accept = (ndim - 1.0) * jnp.log(z) + new_lnp - active_lnp
-    ln_u = jnp.log(un[2])
+
+def propose_de(active_coords, pool, key, gamma0: float = None,
+               jitter: float = 1e-5, jump_prob: float = 0.1):
+    """Differential-evolution proposals (ter Braak 2006; emcee v3 DEMove).
+
+    y = x + gamma (a - b) + eps with a != b drawn from the pool; a fraction
+    ``jump_prob`` of proposals uses gamma = 1 ("mode-jumping") so long-range
+    moves between modes stay possible.  Symmetric proposal -> ln_bias = 0.
+    Returns (proposals, ln_bias, ln_u).  Shared by both samplers.
+    """
+    n_active, ndim = active_coords.shape
+    if gamma0 is None:
+        gamma0 = 2.38 / math.sqrt(2.0 * ndim)
+    n_pool = pool.shape[0]
+    un = jax.random.uniform(key, (4, n_active), dtype=active_coords.dtype)
+    eps = jax.random.normal(jax.random.fold_in(key, 1),
+                            (n_active, ndim), dtype=active_coords.dtype)
+    idx1 = jnp.minimum((un[0] * n_pool).astype(jnp.int32), n_pool - 1)
+    # distinct second partner: shift by 1 + u*(n-1) modulo n
+    off = 1 + jnp.minimum((un[1] * (n_pool - 1)).astype(jnp.int32), n_pool - 2)
+    idx2 = (idx1 + off) % n_pool
+    gamma = jnp.where(un[2] < jump_prob, 1.0, gamma0).astype(active_coords.dtype)
+    diff = pool[idx1] - pool[idx2]
+    proposals = active_coords + gamma[:, None] * diff + jitter * eps
+    return proposals, jnp.zeros(n_active, dtype=active_coords.dtype), jnp.log(un[3])
+
+
+def _accept_update(batched_lnprob, active_coords, active_lnp, proposals,
+                   ln_bias, ln_u):
+    new_lnp = batched_lnprob(proposals)
+    ln_accept = ln_bias + new_lnp - active_lnp
     # NaN-guard: a NaN lnprob never wins (failure containment analogous to the
     # reference returning -inf on invalid models, axisymmetric.py:292-310).
     accept = (ln_u < ln_accept) & jnp.isfinite(new_lnp)
-
     coords = jnp.where(accept[:, None], proposals, active_coords)
     lnp = jnp.where(accept, new_lnp, active_lnp)
     return coords, lnp, accept
+
+
+def _half_update(batched_lnprob, active_coords, active_lnp, other_coords, key, a):
+    """Stretch-move update of one half-ensemble against the (fixed) other half."""
+    proposals, ln_bias, ln_u = propose_stretch(active_coords, other_coords, key, a)
+    return _accept_update(batched_lnprob, active_coords, active_lnp, proposals,
+                          ln_bias, ln_u)
 
 
 def _half_update_de(batched_lnprob, active_coords, active_lnp, other_coords, key,
                     gamma0: float, jitter: float):
-    """Differential-evolution update of one half against the other (ter Braak
-    2006; the parallelisable red-blue variant of emcee v3's DEMove).
-
-    Proposal y = x + gamma (a - b) + eps with a != b drawn from the opposite
-    half; every 10th-ish proposal uses gamma = 1 ("mode-jumping") via a random
-    bernoulli so long-range moves between modes stay possible.  The proposal is
-    symmetric, so acceptance is plain Metropolis.
-    """
-    n_active, ndim = active_coords.shape
-    n_other = other_coords.shape[0]
-    un = jax.random.uniform(key, (4, n_active), dtype=active_coords.dtype)
-    eps = jax.random.normal(jax.random.fold_in(key, 1),
-                            (n_active, ndim), dtype=active_coords.dtype)
-
-    idx1 = jnp.minimum((un[0] * n_other).astype(jnp.int32), n_other - 1)
-    # distinct second partner: shift by 1 + u*(n-1) modulo n
-    off = 1 + jnp.minimum((un[1] * (n_other - 1)).astype(jnp.int32), n_other - 2)
-    idx2 = (idx1 + off) % n_other
-
-    gamma = jnp.where(un[2] < 0.1, 1.0, gamma0).astype(active_coords.dtype)
-    diff = other_coords[idx1] - other_coords[idx2]
-    proposals = active_coords + gamma[:, None] * diff + jitter * eps
-    new_lnp = batched_lnprob(proposals)
-
-    ln_u = jnp.log(un[3])
-    accept = (ln_u < new_lnp - active_lnp) & jnp.isfinite(new_lnp)
-    coords = jnp.where(accept[:, None], proposals, active_coords)
-    lnp = jnp.where(accept, new_lnp, active_lnp)
-    return coords, lnp, accept
+    """Differential-evolution update of one half against the other."""
+    proposals, ln_bias, ln_u = propose_de(active_coords, other_coords, key,
+                                          gamma0=gamma0, jitter=jitter)
+    return _accept_update(batched_lnprob, active_coords, active_lnp, proposals,
+                          ln_bias, ln_u)
 
 
 def stretch_step(lnprob_fn: Callable, state: EnsembleState, a: float = 2.0,
