@@ -177,6 +177,15 @@ def main(argv=None):
     seed = sampling.get("seed", 123)
     fit = model_cls(data, parameters=parameters, seed=seed, **kwargs)
 
+    # model tuning knobs (e.g. JAM quadrature orders) from the run config
+    _MODEL_OPTIONS = {"n_u", "n_zeta"}
+    for name, value in cfg.get("model_options", {}).items():
+        if name not in _MODEL_OPTIONS:
+            raise ValueError(f"Unknown model option '{name}' "
+                             f"(supported: {sorted(_MODEL_OPTIONS)})")
+        setattr(fit, name, int(value))
+        logger.info("model option %s = %s", name, value)
+
     pos = None
     if args.chain:
         pos = fit.read_final_chain(args.chain)

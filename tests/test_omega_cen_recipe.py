@@ -96,3 +96,78 @@ class TestOmegaCenCenter:
         names = ["v_sys", "sigma_max", "v_maxx", "v_maxy",
                  "ra_center", "dec_center"]
         _check_goldens(flat, names, GOLDENS["omega_cen_center"])
+
+
+class TestJamProductionPipeline:
+    """The flagship JAM workflow of cli.run (the reference's bin/run.py:392-522:
+    AnalyticalProfiles + MGE + sampling + mass posterior + binned + overlay) on a
+    reduced catalog with light quadrature (model_options in the run config)."""
+
+    def test_jam_config_end_to_end(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        rng = np.random.default_rng(20)
+        n = 300
+        ra_c, dec_c = 201.697, -47.48
+        r = np.abs(rng.normal(0, 120, n)) + 2.0   # arcsec
+        phi = rng.uniform(-np.pi, np.pi, n)
+        v = 12.0 * rng.normal(size=n)
+        verr = 0.8 + 0.8 * rng.random(n)
+        catalog = tmp_path / "cat.csv"
+        with open(catalog, "w") as f:
+            f.write("ra,dec,v,verr\n")
+            for i in range(n):
+                ra = ra_c - (r[i] / 3600) * np.cos(phi[i]) / np.cos(np.radians(dec_c))
+                dec = dec_c + (r[i] / 3600) * np.sin(phi[i])
+                f.write(f"{ra},{dec},{v[i]},{verr[i]}\n")
+
+        cfg = {
+            "prefix": "jamrun",
+            "data": {"file": str(catalog), "format": "csv", "v_sys": 0.0},
+            "model": "analytical_profiles",
+            "mge": str(REPO / "example" / "data" / "mge.ecsv"),
+            "model_options": {"n_u": 8, "n_zeta": 12},
+            "parameters": {
+                "d": {"value": 5.2, "fixed": True},
+                "mlr_0": {"value": 2.5, "min": 0.2, "max": 10.0,
+                          "initials": "rng.uniform(2.0, 3.0, size=n)"},
+                "mlr_t": {"value": 2.5, "min": 0.2, "max": 10.0,
+                          "initials": "rng.uniform(2.0, 3.0, size=n)"},
+                "mlr_inf": {"value": 2.5, "min": 0.2, "max": 10.0,
+                            "initials": "rng.uniform(2.0, 3.0, size=n)"},
+                "r_mlr": {"value": 60.0, "initials": "rng.uniform(40, 100, size=n)"},
+                "barq": {"value": 0.7, "initials": "rng.uniform(0.65, 0.8, size=n)"},
+                "kappa_x": {"value": 0.1,
+                            "initials": "rng.normal(loc=0.1, scale=0.05, size=n)"},
+                "kappa_y": {"value": 0.0,
+                            "initials": "rng.normal(loc=0, scale=0.05, size=n)"},
+                "r_kappa": {"value": 80.0,
+                            "initials": "rng.uniform(50, 150, size=n)"},
+                "beta": {"value": 0.0, "fixed": True},
+                "mbh": {"value": 0.0, "fixed": True},
+                "rbh": {"value": 1.0, "fixed": True},
+                "ra_center": {"value": ra_c, "fixed": True},
+                "dec_center": {"value": dec_c, "fixed": True},
+                "delta_v": {"value": 0.0,
+                            "initials": "rng.normal(loc=0, scale=0.5, size=n)"}
+            },
+            "sampling": {"n_walkers": 16, "n_steps": 20, "n_burn": 10,
+                         "n_out": 10, "seed": 2},
+            "binned": {"nstars": 150, "dlogr": 0.05, "n_walkers": 16,
+                       "n_steps": 40},
+            "profiles": {"n_samples": 6, "n_theta": 4}
+        }
+        import json as _json
+        cfg_file = tmp_path / "jam.json"
+        cfg_file.write_text(_json.dumps(cfg))
+        monkeypatch.chdir(tmp_path)
+
+        from mcmc_dynamics_tpu.cli.run import main
+        assert main([str(cfg_file)]) == 0
+
+        for suffix in ("_chain.npz", "_corner.png", "_profile.ecsv",
+                       "_binned.csv", "_overlay.png", "_mass_posterior.npy"):
+            f = tmp_path / f"jamrun{suffix}"
+            assert f.exists() and f.stat().st_size > 0, suffix
+        masses = np.load(tmp_path / "jamrun_mass_posterior.npy")
+        assert np.isfinite(masses).all() and (masses > 0).all()
