@@ -45,7 +45,7 @@ def _mock_catalog(n_stars, rng):
     }), ra_c, dec_c
 
 
-def _measure(lnprob, pos, dtype, n_steps=N_STEPS, store_chain=True, repeats=2):
+def _measure(lnprob, pos, dtype, n_steps=N_STEPS, store_chain=True, repeats=3):
     """Best-of-N rate for one jitted chain run; completion forced via a host fetch
     (jax.block_until_ready may return early through the axon tunnel)."""
     import jax

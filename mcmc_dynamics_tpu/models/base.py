@@ -200,6 +200,17 @@ class Runner:
         """Hook for model-specific joint priors in *internal units* (pure)."""
         return jnp.asarray(0.0, dtype=self.dtype)
 
+    def build_lnlike_partial_batched(self):
+        """Hook: fused per-shard partial log-likelihood, or None.
+
+        When a model has a fused batched kernel whose star reduction is a plain
+        sum, it can return ``fn(thetas, data_slice) -> (W,)`` computing the
+        partial lnlike sum over the GIVEN per-star slice (standard slice keys,
+        incl. ``mask``).  The sharded sampler then psums the partials over the
+        star axis and adds the prior once — star-parallel scaling at full
+        fused-kernel throughput.  Default: no fused partial path."""
+        return None
+
     def prepare_data(self, data: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         """Hook: models may add precomputed columns that are static given the set of
         *fixed* parameters (e.g. sky offsets when the centre is not sampled), removing

@@ -156,6 +156,26 @@ class ModelFit(Runner):
 
         return batched
 
+    def build_lnlike_partial_batched(self):
+        """Fused per-shard ModelFit partial sums (see Runner hook): the direct
+        kernel's star reduction is additive, so each sp-shard evaluates its
+        slice at kernel speed and the partials psum over ICI."""
+        if not self._pallas_eligible():
+            return None
+
+        from ..ops.lnlike_kernels import model_lnlike_batched
+
+        col_scale = self._internal_col_scale()
+
+        def fn(thetas, data):
+            dxm, dym = data["dxm"], data["dym"]
+            r2 = dxm * dxm + dym * dym
+            return model_lnlike_batched(thetas * col_scale[None, :], dxm, dym, r2,
+                                        data["v"], data["verr"] * data["verr"],
+                                        data["mask"])
+
+        return fn
+
     def build_lnprob_batched(self):
         import jax
 

@@ -158,9 +158,14 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
     # dp-only meshes replicate the catalog per device, so each shard can run the
     # model's fastest batched tier (sufficient tables / fused Pallas kernels)
     # instead of vmapping the generic per-walker likelihood — multi-chip scaling
-    # at full per-chip throughput.  Star-sharded meshes need the psum reduction
-    # and keep the generic path.
+    # at full per-chip throughput.  Star-sharded meshes psum per-shard partial
+    # sums; models with a fused partial path (build_lnlike_partial_batched)
+    # keep kernel throughput there too.
     batched_tier = None if use_sp else runner.build_lnprob_batched()
+    partial_tier = runner.build_lnlike_partial_batched() if use_sp else None
+    lnprior_batched = jax.vmap(compiled.lnprior)
+    extra_batched = jax.vmap(lambda t: runner.extra_lnprior_fn(
+        runner.scaled_values(t)))
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
              check_vma=False)
@@ -172,6 +177,12 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
 
         if batched_tier is not None:
             batched_lnprob = batched_tier
+        elif partial_tier is not None:
+            def batched_lnprob(thetas):
+                ll = jax.lax.psum(partial_tier(thetas, local), sp_axis)
+                lp = lnprior_batched(thetas)
+                total = lp + extra_batched(thetas) + ll
+                return jnp.where(jnp.isfinite(lp), total, -jnp.inf)
         else:
             batched_lnprob = jax.vmap(lambda t: local_lnprob(t, local))
 
