@@ -23,6 +23,7 @@ import logging
 import numpy as np
 import jax.numpy as jnp
 
+from .base import Runner
 from .model import ModelFit, _GaussianBackgroundMixin
 from .. import units as u
 from ..utils.table import Table
@@ -60,6 +61,52 @@ class DoubleModelFit(ModelFit):
         ok = ((p["r_peak_c"] > 0.0) & (p["r_peak_c"] <= p["r_peak"])
               & (jnp.abs(p["v_maxx_c"]) <= 50.0) & (jnp.abs(p["v_maxy_c"]) <= 50.0))
         return jnp.where(ok, 0.0, -jnp.inf)
+
+    # ------------------------------------------------------------------ fast path
+    def _canonical_layout(self) -> bool:
+        return (type(self) is DoubleModelFit
+                and self.center_is_fixed()
+                and "lnlike_background" not in self._data_arrays
+                and self.compiled.free_names == [
+                    "v_sys", "sigma_max", "a", "v_maxx", "v_maxy", "r_peak",
+                    "v_maxx_c", "v_maxy_c", "r_peak_c"])
+
+    def _sufficient_eligible(self) -> bool:
+        return False  # two coupled rotation components: not table-factorable
+
+    def _internal_col_scale(self):
+        a_scale = self.compiled.scale_factors({"a": "arcmin"})["a"]
+        rp_scale = self.compiled.scale_factors({"r_peak": "arcmin"})["r_peak"]
+        rpc_scale = self.compiled.scale_factors({"r_peak_c": "arcmin"})["r_peak_c"]
+        return jnp.asarray([1.0, 1.0, a_scale, 1.0, 1.0, rp_scale,
+                            1.0, 1.0, rpc_scale], self.dtype)
+
+    def build_lnprob_batched(self):
+        import jax
+
+        if not self._pallas_eligible():
+            return Runner.build_lnprob_batched(self)
+
+        from ..ops.lnlike_kernels import double_model_lnlike_batched
+
+        data = self.prepare_data(dict(self._data_arrays))
+        dxm, dym = data["dxm"], data["dym"]
+        r2 = dxm * dxm + dym * dym
+        v = data["v"]
+        verr2 = data["verr"] * data["verr"]
+        mask = data.get("mask", jnp.ones_like(v))
+        col_scale = self._internal_col_scale()
+        lnprior_batched = jax.vmap(self.compiled.lnprior)
+        extra_batched = jax.vmap(
+            lambda t: self.extra_lnprior_fn(self.scaled_values(t)))
+
+        def batched(thetas):
+            lp = lnprior_batched(thetas) + extra_batched(thetas)
+            ll = double_model_lnlike_batched(thetas * col_scale[None, :],
+                                             dxm, dym, r2, v, verr2, mask)
+            return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
+        return batched
 
     def create_profiles(self, chains, n_burn, radii=None, filename=None) -> Table:
         """Radial profile of the combined two-component rotation curve + dispersion

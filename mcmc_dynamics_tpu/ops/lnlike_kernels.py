@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["constant_mixture_lnlike_batched", "model_lnlike_batched",
-           "model_mixture_lnlike_batched"]
+           "model_mixture_lnlike_batched", "double_model_lnlike_batched"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -336,6 +336,105 @@ def model_mixture_lnlike_batched(params, dxm, dym, r2, v, verr2, density,
             flops=40 * w_padded * n_padded,
             bytes_accessed=4 * (8 * n_padded + 10 * w_padded),
             transcendentals=6 * w_padded * n_padded,
+        ),
+    )(params, stars)
+    return out[:n_walkers, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("walker_tile", "star_chunk"))
+def double_model_lnlike_batched(params, dxm, dym, r2, v, verr2, mask,
+                                walker_tile: int = 512, star_chunk: int = 2048):
+    """Fused two-component (DoubleModelFit) log-likelihood -> (W,).
+
+    ``params`` columns (canonical double_model.json free layout, centre fixed):
+    (v_sys, sigma_max, a, v_maxx, v_maxy, r_peak, v_maxx_c, v_maxy_c, r_peak_c).
+    Per star and component (reference double_model.py:99-159 — note the
+    reference's x_pa/r_peak denominator, NOT r/r_peak):
+
+        x_pa  = (dy vx - dx vy) / (r v_max) * r = (dy vx - dx vy) / v_max
+        rot   = 2 v_max r_peak x_pa / (r_peak^2 + x_pa^2)
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = params.dtype
+    (dxm, dym, r2, v, verr2, mask), n_stars = _pad_stars(
+        [dxm, dym, r2, v, verr2, mask], star_chunk)
+    n_padded = dxm.shape[0]
+    params, n_walkers = _pad_walkers(params, walker_tile)
+    w_padded = params.shape[0]
+    n_chunks = n_padded // star_chunk
+
+    stars = jnp.stack([dxm, dym, r2, v, verr2, mask], axis=0)
+
+    def kernel(p_ref, s_ref, out_ref):
+        p = p_ref[:]                                   # (TW, 9)
+        v_sys = p[:, 0:1]
+        sigma2 = p[:, 1:2] * p[:, 1:2]
+        inv_a2 = 1.0 / (p[:, 2:3] * p[:, 2:3])
+
+        def comp_scalars(vx, vy, rp):
+            vmax2 = vx * vx + vy * vy + 1e-30
+            inv_vmax = jax.lax.rsqrt(vmax2)
+            # rot = c * x / (rp^2 + x^2) with c = 2 vmax rp, x = num * inv_vmax
+            c = 2.0 * rp * vmax2 * inv_vmax
+            return inv_vmax, c, rp * rp
+
+        iv1, c1, rp1sq = comp_scalars(p[:, 3:4], p[:, 4:5], p[:, 5:6])
+        iv2, c2, rp2sq = comp_scalars(p[:, 6:7], p[:, 7:8], p[:, 8:9])
+        vx1, vy1 = p[:, 3:4], p[:, 4:5]
+        vx2_, vy2_ = p[:, 6:7], p[:, 7:8]
+        half = star_chunk // 2
+        quart = star_chunk // 4
+
+        def body(c, carry):
+            acc, cnt = carry
+            sl = pl.ds(c * star_chunk, star_chunk)
+            dx_c = s_ref[0, sl][None, :]
+            dy_c = s_ref[1, sl][None, :]
+            r2_c = s_ref[2, sl][None, :]
+            v_c = s_ref[3, sl][None, :]
+            e2_c = s_ref[4, sl][None, :]
+            m_c = s_ref[5, sl][None, :]
+
+            x1 = (dy_c * vx1 - dx_c * vy1) * iv1
+            rot1 = c1 * x1 / (rp1sq + x1 * x1)
+            x2 = (dy_c * vx2_ - dx_c * vy2_) * iv2
+            rot2 = c2 * x2 / (rp2sq + x2 * x2)
+            d = (v_sys - v_c) + rot1 + rot2
+
+            sig2 = sigma2 * jax.lax.rsqrt(1.0 + r2_c * inv_a2)
+            norm = e2_c + sig2
+            rs = jax.lax.rsqrt(norm)
+            quad = (d * rs) * (d * rs) * m_c
+            nm = jnp.where(m_c > 0, norm, 1.0)
+            logdet = jnp.log((nm[:, :quart] * nm[:, quart:half])
+                             * (nm[:, half:half + quart] * nm[:, half + quart:]))
+            acc = acc + jnp.sum(quad, axis=1, keepdims=True) \
+                + jnp.sum(logdet, axis=1, keepdims=True)
+            return acc, cnt + jnp.sum(m_c, axis=1, keepdims=True)
+
+        acc, cnt = jax.lax.fori_loop(
+            0, n_chunks, body,
+            (jnp.zeros((p.shape[0], 1), dtype), jnp.zeros((p.shape[0], 1), dtype)))
+        out_ref[:] = -0.5 * (acc + cnt * _LOG_2PI)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(w_padded // walker_tile,),
+        in_specs=[
+            pl.BlockSpec((walker_tile, params.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, n_padded), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((walker_tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w_padded, 1), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=35 * w_padded * n_padded,
+            bytes_accessed=4 * (6 * n_padded + 12 * w_padded),
+            transcendentals=3 * w_padded * n_padded,
         ),
     )(params, stars)
     return out[:n_walkers, 0]

@@ -429,3 +429,54 @@ class TestModelMixtureKernel:
                 jnp.ones_like(data["v"]), parametric_bg=False,
                 walker_tile=8, star_chunk=128))
         np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+class TestDoubleModelKernel:
+    def test_matches_pure_jax(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.models import DoubleModelFit
+        from mcmc_dynamics_tpu.ops.lnlike_kernels import \
+            double_model_lnlike_batched
+        from mcmc_dynamics_tpu.utils import DataReader
+
+        ra_c, dec_c = 56.345, -26.675
+        rng = np.random.default_rng(31)
+        n = 250
+        data = DataReader({
+            "ra": u.Quantity(ra_c + 0.03 * rng.normal(size=n), "deg"),
+            "dec": u.Quantity(dec_c + 0.03 * rng.normal(size=n), "deg"),
+            "v": u.Quantity(5.0 * rng.normal(size=n), "km/s"),
+            "verr": u.Quantity(0.5 + 0.5 * rng.random(n), "km/s"),
+        })
+        params = DoubleModelFit.default_parameters()
+        params["ra_center"].set(value=ra_c, fixed=True)
+        params["dec_center"].set(value=dec_c, fixed=True)
+        fit = DoubleModelFit(data, parameters=params)
+        assert fit._canonical_layout()
+
+        W = 12
+        thetas = np.column_stack([
+            rng.normal(0, 2, W),
+            np.exp(rng.uniform(np.log(3.0), np.log(30.0), W)),
+            rng.uniform(30, 300, W),      # a (arcsec)
+            rng.normal(0, 5, W),
+            rng.normal(0, 5, W),
+            rng.uniform(60, 300, W),      # r_peak (arcsec)
+            rng.normal(0, 2, W),
+            rng.normal(0, 2, W),
+            rng.uniform(10, 50, W),       # r_peak_c <= r_peak
+        ])
+        want = np.array([float(fit.lnlike(t)) for t in thetas])
+
+        d = fit.prepare_data(dict(fit._data_arrays))
+        dxm, dym = d["dxm"], d["dym"]
+        r2 = dxm * dxm + dym * dym
+        col_scale = np.ones(9)
+        col_scale[2] = col_scale[5] = col_scale[8] = 1.0 / 60.0
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(double_model_lnlike_batched(
+                jnp.asarray(thetas * col_scale), dxm, dym, r2, d["v"],
+                d["verr"] * d["verr"], jnp.ones_like(d["v"]),
+                walker_tile=8, star_chunk=128))
+        np.testing.assert_allclose(got, want, rtol=1e-9)
