@@ -81,6 +81,24 @@ class DoubleModelFit(ModelFit):
         return jnp.asarray([1.0, 1.0, a_scale, 1.0, 1.0, rp_scale,
                             1.0, 1.0, rpc_scale], self.dtype)
 
+    def build_lnlike_partial_batched(self):
+        """Per-shard partial sums through the double-component kernel."""
+        if not self._pallas_eligible():
+            return None
+
+        from ..ops.lnlike_kernels import double_model_lnlike_batched
+
+        col_scale = self._internal_col_scale()
+
+        def fn(thetas, data):
+            dxm, dym = data["dxm"], data["dym"]
+            r2 = dxm * dxm + dym * dym
+            return double_model_lnlike_batched(
+                thetas * col_scale[None, :], dxm, dym, r2, data["v"],
+                data["verr"] * data["verr"], data["mask"])
+
+        return fn
+
     def build_lnprob_batched(self):
         import jax
 

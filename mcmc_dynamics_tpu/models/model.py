@@ -294,6 +294,31 @@ class _ModelMixtureKernelMixin:
     def _sufficient_eligible(self) -> bool:
         return False  # density mixtures are not quadratic in theta
 
+    def build_lnlike_partial_batched(self):
+        """Per-shard mixture partial sums (the per-star logsumexp terms are
+        additive over stars, so sp-shards psum at kernel speed)."""
+        if not self._pallas_eligible():
+            return None
+
+        from ..ops.lnlike_kernels import model_mixture_lnlike_batched
+
+        col_scale = jnp.concatenate([
+            self._internal_col_scale(),
+            jnp.ones(len(self._KERNEL_FREE_NAMES) - 6, self.dtype)])
+        parametric = self._PARAMETRIC_BG
+
+        def fn(thetas, data):
+            dxm, dym = data["dxm"], data["dym"]
+            r2 = dxm * dxm + dym * dym
+            dens = jnp.maximum(data["density"], 1e-30)
+            lnb = data.get("lnlike_fixed_background", jnp.zeros_like(data["v"]))
+            return model_mixture_lnlike_batched(
+                thetas * col_scale[None, :], dxm, dym, r2, data["v"],
+                data["verr"] * data["verr"], dens, jnp.log(dens), lnb,
+                data["mask"], parametric_bg=parametric)
+
+        return fn
+
     def build_lnprob_batched(self):
         import jax
 
