@@ -201,3 +201,63 @@ class ConstantFitGB(ConstantFit):
         peak = np.maximum(lnl_c, lnl_b)
         num = m * np.exp(lnl_c - peak)
         return num / (num + (1.0 - m) * np.exp(lnl_b - peak))
+
+    # ------------------------------------------------------------------ fast path
+    def _canonical_layout(self) -> bool:
+        return (type(self) is ConstantFitGB
+                and self.center_is_fixed()
+                and self.compiled.free_names == [
+                    "v_sys", "sigma_max", "v_maxx", "v_maxy",
+                    "v_back", "sigma_back", "f_back"])
+
+    def _pallas_eligible(self) -> bool:
+        import os
+        import jax
+        if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
+            return False
+        return jax.default_backend() == "tpu" and self._canonical_layout()
+
+    def _sufficient_eligible(self) -> bool:
+        return False  # the density mixture is not quadratic in theta
+
+    def build_lnlike_partial_batched(self):
+        """Per-shard partial sums through the fused GB mixture kernel."""
+        if not self._pallas_eligible():
+            return None
+
+        from ..ops.lnlike_kernels import constant_gb_lnlike_batched
+
+        def fn(thetas, data):
+            dens = jnp.maximum(data["density"], 1e-30)
+            return constant_gb_lnlike_batched(
+                thetas, data["gx"], data["gy"], data["v"],
+                data["verr"] * data["verr"], dens, jnp.log(dens), data["mask"])
+
+        return fn
+
+    def build_lnprob_batched(self):
+        import jax
+        import numpy as np
+
+        if not self._pallas_eligible():
+            return super().build_lnprob_batched()
+
+        from ..ops.lnlike_kernels import constant_gb_lnlike_batched
+
+        data = self.prepare_data(dict(self._data_arrays))
+        gx, gy = data["gx"], data["gy"]
+        v = data["v"]
+        verr2 = data["verr"] * data["verr"]
+        mask = data.get("mask", jnp.ones_like(v))
+        dens = np.maximum(np.asarray(data["density"], np.float64), 1e-300)
+        density = jnp.asarray(dens, self.dtype)
+        ln_density = jnp.asarray(np.log(dens), self.dtype)
+        lnprior_batched = jax.vmap(self.compiled.lnprior)
+
+        def batched(thetas):
+            lp = lnprior_batched(thetas)
+            ll = constant_gb_lnlike_batched(thetas, gx, gy, v, verr2,
+                                            density, ln_density, mask)
+            return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
+        return batched

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["constant_mixture_lnlike_batched", "model_lnlike_batched",
-           "model_mixture_lnlike_batched", "double_model_lnlike_batched"]
+           "model_mixture_lnlike_batched", "double_model_lnlike_batched",
+           "constant_gb_lnlike_batched"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -435,6 +436,94 @@ def double_model_lnlike_batched(params, dxm, dym, r2, v, verr2, mask,
             flops=35 * w_padded * n_padded,
             bytes_accessed=4 * (6 * n_padded + 12 * w_padded),
             transcendentals=3 * w_padded * n_padded,
+        ),
+    )(params, stars)
+    return out[:n_walkers, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("walker_tile", "star_chunk"))
+def constant_gb_lnlike_batched(params, gx, gy, v, verr2, density, ln_density,
+                               mask, walker_tile: int = 512,
+                               star_chunk: int = 2048):
+    """Fused ConstantFitGB log-likelihood -> (W,): constant rotation/dispersion
+    mixed with a parametric Gaussian velocity background through per-star
+    density membership priors (reference constant.py:293-364).
+
+    ``params`` columns (constant_with_background.json free layout, centre
+    fixed): (v_sys, sigma_max, v_maxx, v_maxy, v_back, sigma_back, f_back).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = params.dtype
+    (gx, gy, v, verr2, density, ln_density, mask), n_stars = _pad_stars(
+        [gx, gy, v, verr2, density, ln_density, mask], star_chunk)
+    n_padded = gx.shape[0]
+    params, n_walkers = _pad_walkers(params, walker_tile)
+    w_padded = params.shape[0]
+    n_chunks = n_padded // star_chunk
+
+    stars = jnp.stack([gx, gy, v, verr2, density, ln_density, mask], axis=0)
+
+    def kernel(p_ref, s_ref, out_ref):
+        p = p_ref[:]
+        v_sys = p[:, 0:1]
+        sigma2 = p[:, 1:2] * p[:, 1:2]
+        vx = p[:, 2:3]
+        vy = p[:, 3:4]
+        v_back = p[:, 4:5]
+        sb2 = p[:, 5:6] * p[:, 5:6]
+        f_back = p[:, 6:7]
+        ln_f = jnp.log(f_back)
+
+        def body(c, acc):
+            sl = pl.ds(c * star_chunk, star_chunk)
+            gx_c = s_ref[0, sl][None, :]
+            gy_c = s_ref[1, sl][None, :]
+            v_c = s_ref[2, sl][None, :]
+            e2_c = s_ref[3, sl][None, :]
+            d_c = s_ref[4, sl][None, :]
+            lnd_c = s_ref[5, sl][None, :]
+            m_c = s_ref[6, sl][None, :]
+
+            norm = e2_c + sigma2
+            d = v_c - v_sys - gx_c * vx - gy_c * vy
+            rs = jax.lax.rsqrt(norm)
+            dr = d * rs
+            ln_c = jnp.log(rs) - 0.5 * (dr * dr + _LOG_2PI)
+
+            nb = e2_c + sb2
+            rb = jax.lax.rsqrt(nb)
+            db = (v_c - v_back) * rb
+            lnl_b = jnp.log(rb) - 0.5 * (db * db + _LOG_2PI)
+
+            a_ = lnd_c + ln_c
+            b_ = ln_f + lnl_b
+            hi = jnp.maximum(a_, b_)
+            ln_s = jnp.log(d_c + f_back)
+            t = (hi + jnp.log1p(jnp.exp(-jnp.abs(a_ - b_))) - ln_s) * m_c
+            return acc + jnp.sum(t, axis=1, keepdims=True)
+
+        acc = jax.lax.fori_loop(0, n_chunks, body,
+                                jnp.zeros((p.shape[0], 1), dtype))
+        out_ref[:] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(w_padded // walker_tile,),
+        in_specs=[
+            pl.BlockSpec((walker_tile, params.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, n_padded), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((walker_tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w_padded, 1), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=35 * w_padded * n_padded,
+            bytes_accessed=4 * (7 * n_padded + 8 * w_padded),
+            transcendentals=6 * w_padded * n_padded,
         ),
     )(params, stars)
     return out[:n_walkers, 0]

@@ -480,3 +480,51 @@ class TestDoubleModelKernel:
                 d["verr"] * d["verr"], jnp.ones_like(d["v"]),
                 walker_tile=8, star_chunk=128))
         np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+class TestConstantGBKernel:
+    def test_matches_pure_jax(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.models import ConstantFitGB
+        from mcmc_dynamics_tpu.ops.lnlike_kernels import \
+            constant_gb_lnlike_batched
+        from mcmc_dynamics_tpu.utils import DataReader
+
+        ra_c, dec_c = 56.345, -26.675
+        rng = np.random.default_rng(41)
+        n = 220
+        data = DataReader({
+            "ra": u.Quantity(ra_c + 0.03 * rng.normal(size=n), "deg"),
+            "dec": u.Quantity(dec_c + 0.03 * rng.normal(size=n), "deg"),
+            "v": u.Quantity(5.0 * rng.normal(size=n), "km/s"),
+            "verr": u.Quantity(0.5 + 0.5 * rng.random(n), "km/s"),
+            "density": 10.0 ** rng.uniform(-1, 2, n),
+        })
+        params = ConstantFitGB.default_parameters()
+        params["ra_center"].set(value=ra_c, fixed=True)
+        params["dec_center"].set(value=dec_c, fixed=True)
+        fit = ConstantFitGB(data, parameters=params)
+        assert fit._canonical_layout()
+
+        W = 10
+        thetas = np.column_stack([
+            rng.normal(0, 2, W),
+            np.exp(rng.uniform(np.log(3.0), np.log(30.0), W)),
+            rng.normal(0, 5, W),
+            rng.normal(0, 5, W),
+            rng.normal(0, 30, W),
+            np.exp(rng.uniform(2, 4, W)),
+            10.0 ** rng.uniform(-1, 1, W),
+        ])
+        want = np.array([float(fit.lnlike(t)) for t in thetas])
+
+        d = fit.prepare_data(dict(fit._data_arrays))
+        dens = np.asarray(d["density"], np.float64)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(constant_gb_lnlike_batched(
+                jnp.asarray(thetas), d["gx"], d["gy"], d["v"],
+                d["verr"] * d["verr"], jnp.asarray(dens),
+                jnp.asarray(np.log(dens)), jnp.ones_like(d["v"]),
+                walker_tile=8, star_chunk=128))
+        np.testing.assert_allclose(got, want, rtol=1e-9)
