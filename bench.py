@@ -115,6 +115,24 @@ def bench_constant(rows):
     rows["constant-bg/xla"] = _measure(bfit.build_lnprob_batched(), pos, bfit.dtype)
     del os.environ["MCMC_TPU_DISABLE_PALLAS"]
 
+    # parametric Gaussian background with density membership (ConstantFitGB)
+    from mcmc_dynamics_tpu.models import ConstantFitGB
+    gbdata, _, _ = _mock_catalog(N_STARS, np.random.default_rng(8))
+    gbdata.data["density"] = 10.0 ** np.random.default_rng(8).uniform(-1, 2, N_STARS)
+    gbparams = ConstantFitGB.default_parameters()
+    gbparams["ra_center"].set(value=ra_c, fixed=True)
+    gbparams["dec_center"].set(value=dec_c, fixed=True)
+    gbfit = ConstantFitGB(gbdata, parameters=gbparams)
+    gbpos = np.column_stack([
+        pos,
+        rng.normal(0, 20, N_WALKERS),
+        np.exp(rng.uniform(3, 4, N_WALKERS)),
+        10.0 ** rng.uniform(-1, 1, N_WALKERS),
+    ])
+    if gbfit._pallas_eligible():
+        rows["constant-gb/pallas"] = _measure(gbfit.build_lnprob_batched(), gbpos,
+                                              gbfit.dtype)
+
     # headline: peak machine throughput — O(1)/walker tier at a big ensemble,
     # sampler-machinery bound, no chain stored
     reps = 131072 // N_WALKERS

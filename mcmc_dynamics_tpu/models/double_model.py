@@ -194,3 +194,65 @@ class DoubleModelFitGB(_GaussianBackgroundMixin, DoubleModelFit):
         ok = ((p["f_back"] >= 0.0) & (p["f_back"] <= 1.0)
               & (p["sigma_back"] > 0.0) & (p["sigma_back"] <= 100.0))
         return base + jnp.where(ok, 0.0, -jnp.inf)
+
+    # ------------------------------------------------------------------ fast path
+    def _canonical_layout(self) -> bool:
+        return (type(self) is DoubleModelFitGB
+                and self.center_is_fixed()
+                and self.compiled.free_names == [
+                    "v_sys", "sigma_max", "a", "v_maxx", "v_maxy", "r_peak",
+                    "v_maxx_c", "v_maxy_c", "r_peak_c",
+                    "v_back", "sigma_back", "f_back"])
+
+    def _internal_col_scale(self):
+        return jnp.concatenate([DoubleModelFit._internal_col_scale(self),
+                                jnp.ones(3, self.dtype)])
+
+    def build_lnlike_partial_batched(self):
+        if not self._pallas_eligible():
+            return None
+
+        from ..ops.lnlike_kernels import double_model_gb_lnlike_batched
+
+        col_scale = self._internal_col_scale()
+
+        def fn(thetas, data):
+            dxm, dym = data["dxm"], data["dym"]
+            r2 = dxm * dxm + dym * dym
+            dens = jnp.maximum(data["density"], 1e-30)
+            return double_model_gb_lnlike_batched(
+                thetas * col_scale[None, :], dxm, dym, r2, data["v"],
+                data["verr"] * data["verr"], dens, jnp.log(dens), data["mask"])
+
+        return fn
+
+    def build_lnprob_batched(self):
+        import jax
+
+        if not self._pallas_eligible():
+            return Runner.build_lnprob_batched(self)
+
+        from ..ops.lnlike_kernels import double_model_gb_lnlike_batched
+
+        data = self.prepare_data(dict(self._data_arrays))
+        dxm, dym = data["dxm"], data["dym"]
+        r2 = dxm * dxm + dym * dym
+        v = data["v"]
+        verr2 = data["verr"] * data["verr"]
+        mask = data.get("mask", jnp.ones_like(v))
+        dens = np.maximum(np.asarray(data["density"], np.float64), 1e-300)
+        density = jnp.asarray(dens, self.dtype)
+        ln_density = jnp.asarray(np.log(dens), self.dtype)
+        col_scale = self._internal_col_scale()
+        lnprior_batched = jax.vmap(self.compiled.lnprior)
+        extra_batched = jax.vmap(
+            lambda t: self.extra_lnprior_fn(self.scaled_values(t)))
+
+        def batched(thetas):
+            lp = lnprior_batched(thetas) + extra_batched(thetas)
+            ll = double_model_gb_lnlike_batched(
+                thetas * col_scale[None, :], dxm, dym, r2, v, verr2,
+                density, ln_density, mask)
+            return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
+        return batched

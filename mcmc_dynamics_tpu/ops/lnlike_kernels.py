@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 __all__ = ["constant_mixture_lnlike_batched", "model_lnlike_batched",
            "model_mixture_lnlike_batched", "double_model_lnlike_batched",
-           "constant_gb_lnlike_batched"]
+           "constant_gb_lnlike_batched", "double_model_gb_lnlike_batched"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -524,6 +524,111 @@ def constant_gb_lnlike_batched(params, gx, gy, v, verr2, density, ln_density,
             flops=35 * w_padded * n_padded,
             bytes_accessed=4 * (7 * n_padded + 8 * w_padded),
             transcendentals=6 * w_padded * n_padded,
+        ),
+    )(params, stars)
+    return out[:n_walkers, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("walker_tile", "star_chunk"))
+def double_model_gb_lnlike_batched(params, dxm, dym, r2, v, verr2, density,
+                                   ln_density, mask, walker_tile: int = 512,
+                                   star_chunk: int = 2048):
+    """Fused DoubleModelFitGB log-likelihood -> (W,): two Lynden-Bell rotation
+    components + Plummer dispersion, mixed with a sampled parametric Gaussian
+    background through per-star density membership (reference
+    double_model.py:294-496).
+
+    ``params`` columns (centre fixed): (v_sys, sigma_max, a, v_maxx, v_maxy,
+    r_peak, v_maxx_c, v_maxy_c, r_peak_c, v_back, sigma_back, f_back).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = params.dtype
+    (dxm, dym, r2, v, verr2, density, ln_density, mask), n_stars = _pad_stars(
+        [dxm, dym, r2, v, verr2, density, ln_density, mask], star_chunk)
+    n_padded = dxm.shape[0]
+    params, n_walkers = _pad_walkers(params, walker_tile)
+    w_padded = params.shape[0]
+    n_chunks = n_padded // star_chunk
+
+    stars = jnp.stack([dxm, dym, r2, v, verr2, density, ln_density, mask], axis=0)
+
+    def kernel(p_ref, s_ref, out_ref):
+        p = p_ref[:]                                   # (TW, 12)
+        v_sys = p[:, 0:1]
+        sigma2 = p[:, 1:2] * p[:, 1:2]
+        inv_a2 = 1.0 / (p[:, 2:3] * p[:, 2:3])
+
+        def comp_scalars(vx, vy, rp):
+            vmax2 = vx * vx + vy * vy + 1e-30
+            inv_vmax = jax.lax.rsqrt(vmax2)
+            return inv_vmax, 2.0 * rp * vmax2 * inv_vmax, rp * rp
+
+        vx1, vy1 = p[:, 3:4], p[:, 4:5]
+        vx2_, vy2_ = p[:, 6:7], p[:, 7:8]
+        iv1, c1, rp1sq = comp_scalars(vx1, vy1, p[:, 5:6])
+        iv2, c2, rp2sq = comp_scalars(vx2_, vy2_, p[:, 8:9])
+        v_back = p[:, 9:10]
+        sb2 = p[:, 10:11] * p[:, 10:11]
+        f_back = p[:, 11:12]
+        ln_f = jnp.log(f_back)
+
+        def body(c, acc):
+            sl = pl.ds(c * star_chunk, star_chunk)
+            dx_c = s_ref[0, sl][None, :]
+            dy_c = s_ref[1, sl][None, :]
+            r2_c = s_ref[2, sl][None, :]
+            v_c = s_ref[3, sl][None, :]
+            e2_c = s_ref[4, sl][None, :]
+            d_c = s_ref[5, sl][None, :]
+            lnd_c = s_ref[6, sl][None, :]
+            m_c = s_ref[7, sl][None, :]
+
+            x1 = (dy_c * vx1 - dx_c * vy1) * iv1
+            rot1 = c1 * x1 / (rp1sq + x1 * x1)
+            x2 = (dy_c * vx2_ - dx_c * vy2_) * iv2
+            rot2 = c2 * x2 / (rp2sq + x2 * x2)
+            d = (v_sys - v_c) + rot1 + rot2
+
+            sig2 = sigma2 * jax.lax.rsqrt(1.0 + r2_c * inv_a2)
+            norm = e2_c + sig2
+            rs = jax.lax.rsqrt(norm)
+            dr = d * rs
+            ln_c = jnp.log(rs) - 0.5 * (dr * dr + _LOG_2PI)
+
+            nb = e2_c + sb2
+            rb = jax.lax.rsqrt(nb)
+            db = (v_c - v_back) * rb
+            lnl_b = jnp.log(rb) - 0.5 * (db * db + _LOG_2PI)
+
+            a_ = lnd_c + ln_c
+            b_ = ln_f + lnl_b
+            hi = jnp.maximum(a_, b_)
+            ln_s = jnp.log(d_c + f_back)
+            t = (hi + jnp.log1p(jnp.exp(-jnp.abs(a_ - b_))) - ln_s) * m_c
+            return acc + jnp.sum(t, axis=1, keepdims=True)
+
+        acc = jax.lax.fori_loop(0, n_chunks, body,
+                                jnp.zeros((p.shape[0], 1), dtype))
+        out_ref[:] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(w_padded // walker_tile,),
+        in_specs=[
+            pl.BlockSpec((walker_tile, params.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_padded), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((walker_tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w_padded, 1), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=50 * w_padded * n_padded,
+            bytes_accessed=4 * (8 * n_padded + 14 * w_padded),
+            transcendentals=7 * w_padded * n_padded,
         ),
     )(params, stars)
     return out[:n_walkers, 0]

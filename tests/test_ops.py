@@ -528,3 +528,60 @@ class TestConstantGBKernel:
                 jnp.asarray(np.log(dens)), jnp.ones_like(d["v"]),
                 walker_tile=8, star_chunk=128))
         np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+class TestDoubleModelGBKernel:
+    def test_matches_pure_jax(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.models import DoubleModelFitGB
+        from mcmc_dynamics_tpu.ops.lnlike_kernels import \
+            double_model_gb_lnlike_batched
+        from mcmc_dynamics_tpu.utils import DataReader
+
+        ra_c, dec_c = 56.345, -26.675
+        rng = np.random.default_rng(51)
+        n = 200
+        data = DataReader({
+            "ra": u.Quantity(ra_c + 0.03 * rng.normal(size=n), "deg"),
+            "dec": u.Quantity(dec_c + 0.03 * rng.normal(size=n), "deg"),
+            "v": u.Quantity(5.0 * rng.normal(size=n), "km/s"),
+            "verr": u.Quantity(0.5 + 0.5 * rng.random(n), "km/s"),
+            "density": 10.0 ** rng.uniform(-1, 2, n),
+        })
+        params = DoubleModelFitGB.default_parameters()
+        params["ra_center"].set(value=ra_c, fixed=True)
+        params["dec_center"].set(value=dec_c, fixed=True)
+        fit = DoubleModelFitGB(data, parameters=params)
+        assert fit._canonical_layout()
+
+        W = 10
+        thetas = np.column_stack([
+            rng.normal(0, 2, W),
+            np.exp(rng.uniform(np.log(3.0), np.log(30.0), W)),
+            rng.uniform(30, 300, W),      # a (arcsec)
+            rng.normal(0, 5, W),
+            rng.normal(0, 5, W),
+            rng.uniform(60, 300, W),      # r_peak
+            rng.normal(0, 2, W),
+            rng.normal(0, 2, W),
+            rng.uniform(10, 50, W),       # r_peak_c
+            rng.normal(0, 30, W),
+            np.exp(rng.uniform(2, 4, W)),
+            10.0 ** rng.uniform(-1, 0, W),
+        ])
+        want = np.array([float(fit.lnlike(t)) for t in thetas])
+
+        d = fit.prepare_data(dict(fit._data_arrays))
+        dxm, dym = d["dxm"], d["dym"]
+        r2 = dxm * dxm + dym * dym
+        dens = np.asarray(d["density"], np.float64)
+        col_scale = np.ones(12)
+        col_scale[2] = col_scale[5] = col_scale[8] = 1.0 / 60.0
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(double_model_gb_lnlike_batched(
+                jnp.asarray(thetas * col_scale), dxm, dym, r2, d["v"],
+                d["verr"] * d["verr"], jnp.asarray(dens),
+                jnp.asarray(np.log(dens)), jnp.ones_like(d["v"]),
+                walker_tile=8, star_chunk=128))
+        np.testing.assert_allclose(got, want, rtol=1e-9)
