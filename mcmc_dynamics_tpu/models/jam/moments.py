@@ -86,7 +86,7 @@ def _gauss_legendre(n: int):
 
 def jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
                     d, beta, kappa, mscale, incl, mbh=0.0, rbh=1.0,
-                    n_u: int = 16, n_zeta: int = 40) -> JamMoments:
+                    n_u: int = 16, n_zeta: int = 24) -> JamMoments:
     """LOS velocity moments of an axisymmetric JAM model.
 
     Parameters (all plain arrays/scalars; no units inside jit):
