@@ -228,10 +228,16 @@ def _jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     # S[r, p] = sum_t C[r, t] exp(-beta_k(t) R_p^2 - beta~_k(t) z_p^2) over the
     # t = (u-node, mass-component) pair axis, plus the tracer factor E_j.
     # A fused Pallas kernel that avoided materialising the (T, P) pair table was
-    # tried in round 2 and LOST to this dot formulation (2.7 ms vs 2.0 ms per
-    # 64-walker batch): both are bounded by exponential throughput, and XLA
-    # overlaps the table's HBM traffic with compute better than the hand-written
-    # kernel pipelined its chunks — so the straightforward dot stays.
+    # tried TWICE (rounds 2 and 2b) and LOST to this dot formulation both times
+    # (round 2b, v5e, W=64 N=1e3 n_zeta=24: 1.00 ms vs 0.76 ms per batch, plus
+    # a ~4 min Mosaic compile under vmap).  Why it cannot win: the VPU exp
+    # floor alone is ~0.5 ms for the (T+L) x P tables (measured 204 Gexp/s),
+    # the narrow (L, P)/(1, P) assembly rows run at 1/8-1/4 sublane occupancy
+    # in a (T, block) kernel layout, and XLA already overlaps the table's HBM
+    # traffic with compute (measured ~630-920 GB/s effective) — so the
+    # compiler path sits within ~25% of the exp roofline and the hand-written
+    # kernel's best case is < 1.3x.  The dot stays; the real lever was the
+    # LOS node count (n_zeta 40 -> 24, accuracy-neutral, 1.55x measured).
     P = R2.size
     R2f = R2.reshape(P)
     z2f = z2.reshape(P)
@@ -313,8 +319,12 @@ def _jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     num1 = jnp.sum(integrand1, axis=0).reshape(R2.shape)
     num2 = jnp.sum(num2 * w_zeta, axis=1)                   # (N,)
     num1 = jnp.sum(num1 * w_zeta, axis=1)
+    return _finish(num1, num2, x_pc, y_pc, lum_i, lum_s, lum_q, dtype, valid)
 
-    # analytic projected surface brightness of the tracer MGE
+
+def _finish(num1, num2, x_pc, y_pc, lum_i, lum_s, lum_q, dtype, valid):
+    """LOS-weighted numerators -> moments, normalised by the analytic projected
+    surface brightness of the tracer MGE."""
     surf = jnp.sum(lum_i[:, None]
                    * jnp.exp(-(x_pc[None, :] ** 2
                                + (y_pc[None, :] ** 2) / (lum_q[:, None] ** 2))
