@@ -119,6 +119,10 @@ def get_nearest_neighbour_idx(x, y, coords) -> int:
     return int(np.argmin(d))
 
 
+# reference-compatible spelling (mge_reader.py:154-157)
+get_nearest_neigbhbour_idx = get_nearest_neighbour_idx
+
+
 def get_nearest_neigbhbour_idx2(x, y, coords_dict):
     """Reference-compatible spelling: nearest offset key in an MGE-grid dict
     (mge_reader.py:154-161)."""
