@@ -249,6 +249,17 @@ def bench_jam(rows):
     rows["jam/xla"] = _measure(fit.build_lnprob_batched(), pos, fit.dtype,
                                n_steps=n_steps)
 
+    # IMBH production variant: mbh sampled, so the closed-form erfcx black-hole
+    # Jeans chain is live in the hot loop (reference run.py JAM workload)
+    params["mbh"].set(value=1e4, min=0.0, max=1e6, fixed=False,
+                      initials="rng.uniform(5e3, 5e4, size=n)")
+    bhfit = Axisymmetric(data, mge_mass=mass, mge_lum=lum, parameters=params)
+    bhfree = bhfit.compiled.free_names
+    draws["mbh"] = rng.uniform(5e3, 5e4, n_walkers)
+    bhpos = np.column_stack([draws[n] for n in bhfree])
+    rows["jam-bh/xla"] = _measure(bhfit.build_lnprob_batched(), bhpos,
+                                  bhfit.dtype, n_steps=n_steps)
+
 
 def bench_binned_pipeline(rows):
     """The reference's production workload (bin/run.py:146-259): every radial
