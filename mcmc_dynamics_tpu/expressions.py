@@ -53,16 +53,19 @@ def _validate(tree: ast.AST, source: str) -> None:
                 f"Disallowed syntax {type(node).__name__!r} in expression '{source}'.")
 
 
-# Names that every expression mode understands (kept in sync with the symbol tables
-# below).  Used for *build-time* rejection of unresolvable names, so typos and
-# injection attempts (e.g. ``__import__``) fail when the config is compiled, not
-# when the first log-prob is traced.
-_COMMON_NAMES = {
-    "exp", "log", "log10", "sqrt", "sin", "cos", "tan",
-    "arcsin", "arccos", "arctan", "arctan2",
-    "abs", "where", "minimum", "maximum", "pi", "inf",
-    "norm", "lognorm", "uniform",
-}
+# Single source of truth for the expression vocabulary: every function name here
+# exists under BOTH numpy (host mode) and jax.numpy (jit mode); the symbol tables
+# below are *derived* from these tuples, so adding a name in one place extends
+# every mode and the build-time validator together.  Validation rejects
+# unresolvable names when the config is compiled (typos, injection attempts such
+# as ``__import__``) rather than when the first log-prob is traced.
+_FUNC_NAMES = ("exp", "log", "log10", "sqrt", "sin", "cos", "tan",
+               "arcsin", "arccos", "arctan", "arctan2",
+               "abs", "where", "minimum", "maximum")
+_DIST_NAMES = ("norm", "lognorm", "uniform")
+_CONSTS = {"pi": math.pi, "inf": math.inf}
+
+_COMMON_NAMES = set(_FUNC_NAMES) | set(_DIST_NAMES) | set(_CONSTS)
 _HOST_NAMES = _COMMON_NAMES | {"rng"}
 _JAX_NAMES = _COMMON_NAMES
 
@@ -222,13 +225,8 @@ def _host_dists(generator: np.random.Generator):
     return {"norm": norm, "lognorm": lognorm, "uniform": uniform}
 
 
-_HOST_FUNCS = {
-    "exp": np.exp, "log": np.log, "log10": np.log10, "sqrt": np.sqrt,
-    "sin": np.sin, "cos": np.cos, "tan": np.tan,
-    "arcsin": np.arcsin, "arccos": np.arccos, "arctan": np.arctan, "arctan2": np.arctan2,
-    "abs": np.abs, "where": np.where, "minimum": np.minimum, "maximum": np.maximum,
-    "pi": math.pi, "inf": math.inf,
-}
+_HOST_FUNCS = {name: getattr(np, name) for name in _FUNC_NAMES}
+_HOST_FUNCS.update(_CONSTS)
 
 
 def compile_host(source: str, generator: np.random.Generator,
@@ -296,18 +294,13 @@ def _jax_symbols():
         inside = jnp.logical_and(x >= loc, x <= loc + scale)
         return jnp.where(inside, -jnp.log(scale), -jnp.inf)
 
-    symbols = {
-        "exp": jnp.exp, "log": jnp.log, "log10": jnp.log10, "sqrt": jnp.sqrt,
-        "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
-        "arcsin": jnp.arcsin, "arccos": jnp.arccos, "arctan": jnp.arctan,
-        "arctan2": jnp.arctan2,
-        "abs": jnp.abs, "where": jnp.where,
-        "minimum": jnp.minimum, "maximum": jnp.maximum,
-        "pi": math.pi, "inf": math.inf,
+    symbols = {name: getattr(jnp, name) for name in _FUNC_NAMES}
+    symbols.update(_CONSTS)
+    symbols.update({
         "norm": _JaxDistType(jstats.norm.logpdf),
         "lognorm": _JaxDistType(lognorm_logpdf),
         "uniform": _JaxDistType(uniform_logpdf),
-    }
+    })
     return symbols
 
 

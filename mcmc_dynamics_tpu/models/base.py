@@ -488,12 +488,23 @@ class Runner:
             key = make_key(self.seed if seed is None else seed)
             coords = jnp.asarray(pos, self.dtype)
 
+        if n_steps <= 0:
+            raise ValueError("n_steps must be positive.")
         if telemetry is not None:
             telemetry.n_walkers = n_walkers
         chain_parts, lnp_parts = [], []
         chunk = n_out if n_out else n_steps
         done = 0
         result = None
+
+        def snapshot():
+            return EnsembleState(
+                coords=jnp.asarray(coords),
+                log_prob=jnp.asarray(result.final_log_prob),
+                key=key,
+                accepted=jnp.zeros(n_walkers, dtype=jnp.int32),
+                step=jnp.asarray(done, dtype=jnp.int32))
+
         while done < n_steps:
             steps = min(chunk, n_steps - done)
             if telemetry is not None:
@@ -512,14 +523,6 @@ class Runner:
             coords = result.final_coords
             key = result.final_key
             done += steps
-
-            def snapshot():
-                return EnsembleState(
-                    coords=jnp.asarray(coords),
-                    log_prob=jnp.asarray(result.final_log_prob),
-                    key=key,
-                    accepted=jnp.zeros(n_walkers, dtype=jnp.int32),
-                    step=jnp.asarray(done, dtype=jnp.int32))
 
             if n_out:
                 logger.info("step %5d  <lnP> = %12.5e", done,
@@ -718,6 +721,23 @@ def mixture_lnlike_terms(lnlike_member, lnlike_background, pmember):
     ln[p * e^{lnL_m} + (1-p) * e^{lnL_b}]."""
     return jnp.logaddexp(jnp.log(pmember) + lnlike_member,
                          jnp.log1p(-pmember) + lnlike_background)
+
+
+def with_density_logs(data, dtype):
+    """Clamp the ``density`` column away from zero and attach its float64-accurate
+    log as ``ln_density``.
+
+    Shared by every density-mixture execution path — the fused kernels, the
+    unsharded builds, and the sp-sharded partial sums — so single-device and
+    sharded runs of the same model agree bitwise.  The 1e-300 clamp only binds
+    for exactly-zero densities; its log (-690.8) stays finite after the cast
+    even in float32, where the clamped density itself underflows to 0."""
+    import numpy as np
+    if "density" in data and "ln_density" not in data:
+        dens = np.maximum(np.asarray(data["density"], np.float64), 1e-300)
+        data["density"] = jnp.asarray(dens, dtype)
+        data["ln_density"] = jnp.asarray(np.log(dens), dtype)
+    return data
 
 
 def masked_sum(terms, data):

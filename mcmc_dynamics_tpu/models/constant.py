@@ -172,6 +172,10 @@ class ConstantFitGB(ConstantFit):
                 type(self).__name__)
         super().__init__(data=data, parameters=parameters, **kwargs)
 
+    def prepare_data(self, data):
+        from .base import with_density_logs
+        return with_density_logs(super().prepare_data(data), self.dtype)
+
     def membership_prior(self, p, data):
         return data["density"] / (data["density"] + p["f_back"])
 
@@ -228,10 +232,12 @@ class ConstantFitGB(ConstantFit):
         from ..ops.lnlike_kernels import constant_gb_lnlike_batched
 
         def fn(thetas, data):
-            dens = jnp.maximum(data["density"], 1e-30)
+            # density/ln_density prepared once by with_density_logs (prepare_data),
+            # so shards use the identical clamp as the unsharded build below
             return constant_gb_lnlike_batched(
                 thetas, data["gx"], data["gy"], data["v"],
-                data["verr"] * data["verr"], dens, jnp.log(dens), data["mask"])
+                data["verr"] * data["verr"], data["density"],
+                data["ln_density"], data["mask"])
 
         return fn
 
@@ -249,9 +255,7 @@ class ConstantFitGB(ConstantFit):
         v = data["v"]
         verr2 = data["verr"] * data["verr"]
         mask = data.get("mask", jnp.ones_like(v))
-        dens = np.maximum(np.asarray(data["density"], np.float64), 1e-300)
-        density = jnp.asarray(dens, self.dtype)
-        ln_density = jnp.asarray(np.log(dens), self.dtype)
+        density, ln_density = data["density"], data["ln_density"]
         lnprior_batched = jax.vmap(self.compiled.lnprior)
 
         def batched(thetas):

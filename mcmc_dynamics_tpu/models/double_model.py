@@ -195,6 +195,10 @@ class DoubleModelFitGB(_GaussianBackgroundMixin, DoubleModelFit):
               & (p["sigma_back"] > 0.0) & (p["sigma_back"] <= 100.0))
         return base + jnp.where(ok, 0.0, -jnp.inf)
 
+    def prepare_data(self, data):
+        from .base import with_density_logs
+        return with_density_logs(super().prepare_data(data), self.dtype)
+
     # ------------------------------------------------------------------ fast path
     def _canonical_layout(self) -> bool:
         return (type(self) is DoubleModelFitGB
@@ -219,10 +223,12 @@ class DoubleModelFitGB(_GaussianBackgroundMixin, DoubleModelFit):
         def fn(thetas, data):
             dxm, dym = data["dxm"], data["dym"]
             r2 = dxm * dxm + dym * dym
-            dens = jnp.maximum(data["density"], 1e-30)
+            # density/ln_density prepared once by with_density_logs, so shards
+            # use the identical clamp as the unsharded build below
             return double_model_gb_lnlike_batched(
                 thetas * col_scale[None, :], dxm, dym, r2, data["v"],
-                data["verr"] * data["verr"], dens, jnp.log(dens), data["mask"])
+                data["verr"] * data["verr"], data["density"],
+                data["ln_density"], data["mask"])
 
         return fn
 
@@ -240,9 +246,7 @@ class DoubleModelFitGB(_GaussianBackgroundMixin, DoubleModelFit):
         v = data["v"]
         verr2 = data["verr"] * data["verr"]
         mask = data.get("mask", jnp.ones_like(v))
-        dens = np.maximum(np.asarray(data["density"], np.float64), 1e-300)
-        density = jnp.asarray(dens, self.dtype)
-        ln_density = jnp.asarray(np.log(dens), self.dtype)
+        density, ln_density = data["density"], data["ln_density"]
         col_scale = self._internal_col_scale()
         lnprior_batched = jax.vmap(self.compiled.lnprior)
         extra_batched = jax.vmap(

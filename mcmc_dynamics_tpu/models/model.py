@@ -282,17 +282,27 @@ class _ModelMixtureKernelMixin:
     _KERNEL_FREE_NAMES: list  # canonical free layout served by the kernel
     _PARAMETRIC_BG: bool
 
+    def _canonical_layout(self) -> bool:
+        # exact-type guard (like every sibling fast path): a subclass overriding
+        # dispersion_field/rotation_field/membership_prior must never silently
+        # inherit the hardcoded Plummer + Lynden-Bell kernel
+        return (type(self) in (ModelFitGB, ModelFitConstantBackground)
+                and self.center_is_fixed()
+                and self.compiled.free_names == self._KERNEL_FREE_NAMES)
+
     def _pallas_eligible(self) -> bool:
         import os
         import jax
         if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
             return False
-        return (jax.default_backend() == "tpu"
-                and self.center_is_fixed()
-                and self.compiled.free_names == self._KERNEL_FREE_NAMES)
+        return jax.default_backend() == "tpu" and self._canonical_layout()
 
     def _sufficient_eligible(self) -> bool:
         return False  # density mixtures are not quadratic in theta
+
+    def prepare_data(self, data):
+        from .base import with_density_logs
+        return with_density_logs(super().prepare_data(data), self.dtype)
 
     def build_lnlike_partial_batched(self):
         """Per-shard mixture partial sums (the per-star logsumexp terms are
@@ -310,11 +320,13 @@ class _ModelMixtureKernelMixin:
         def fn(thetas, data):
             dxm, dym = data["dxm"], data["dym"]
             r2 = dxm * dxm + dym * dym
-            dens = jnp.maximum(data["density"], 1e-30)
             lnb = data.get("lnlike_fixed_background", jnp.zeros_like(data["v"]))
+            # density/ln_density prepared once by with_density_logs, so shards
+            # use the identical clamp as the unsharded build below
             return model_mixture_lnlike_batched(
                 thetas * col_scale[None, :], dxm, dym, r2, data["v"],
-                data["verr"] * data["verr"], dens, jnp.log(dens), lnb,
+                data["verr"] * data["verr"], data["density"],
+                data["ln_density"], lnb,
                 data["mask"], parametric_bg=parametric)
 
         return fn
@@ -333,9 +345,7 @@ class _ModelMixtureKernelMixin:
         v = data["v"]
         verr2 = data["verr"] * data["verr"]
         mask = data.get("mask", jnp.ones_like(v))
-        dens = np.maximum(np.asarray(data["density"], np.float64), 1e-300)
-        density = jnp.asarray(dens, self.dtype)
-        ln_density = jnp.asarray(np.log(dens), self.dtype)
+        density, ln_density = data["density"], data["ln_density"]
         lnb = data.get("lnlike_fixed_background", jnp.zeros_like(v))
         n_model = 6
         col_scale = jnp.concatenate([

@@ -150,6 +150,10 @@ def model_lnlike_batched(params, dxm, dym, r2, v, verr2, mask,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if star_chunk % 4:
+        raise ValueError(
+            f"star_chunk must be a multiple of 4 (got {star_chunk}): the "
+            "log-determinant is computed through products of four lanes.")
     dtype = params.dtype
     (dxm, dym, r2, v, verr2, mask), n_stars = _pad_stars(
         [dxm, dym, r2, v, verr2, mask], star_chunk)
@@ -250,6 +254,7 @@ def model_mixture_lnlike_batched(params, dxm, dym, r2, v, verr2, density,
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = params.dtype
+    tiny = float(jnp.finfo(dtype).tiny)
     (dxm, dym, r2, v, verr2, density, ln_density, lnb, mask), n_stars = \
         _pad_stars([dxm, dym, r2, v, verr2, density, ln_density, lnb, mask],
                    star_chunk)
@@ -309,12 +314,17 @@ def model_mixture_lnlike_batched(params, dxm, dym, r2, v, verr2, density,
             else:
                 lnl_b = lnb_c
 
-            # mixture: logaddexp(lnD + ln_c, ln f + lnl_b) - log(D + f)
+            # mixture: logaddexp(lnD + ln_c, ln f + lnl_b) - log(D + f).
+            # ln_s is clamped and padded lanes are select()-ed out rather than
+            # multiplied: with f_back == 0 (the prior's lower bound) a padded
+            # lane has d_c + f_back == 0, so log() gives -inf and
+            # (finite - -inf) * 0 would poison the whole walker with NaN.
             a_ = lnd_c + ln_c
             b_ = ln_f + lnl_b
             hi = jnp.maximum(a_, b_)
-            ln_s = jnp.log(d_c + f_back)
-            t = (hi + jnp.log1p(jnp.exp(-jnp.abs(a_ - b_))) - ln_s) * m_c
+            ln_s = jnp.log(jnp.maximum(d_c + f_back, tiny))
+            t = jnp.where(m_c > 0,
+                          hi + jnp.log1p(jnp.exp(-jnp.abs(a_ - b_))) - ln_s, 0.0)
             return acc + jnp.sum(t, axis=1, keepdims=True)
 
         acc = jax.lax.fori_loop(0, n_chunks, body,
@@ -358,6 +368,10 @@ def double_model_lnlike_batched(params, dxm, dym, r2, v, verr2, mask,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if star_chunk % 4:
+        raise ValueError(
+            f"star_chunk must be a multiple of 4 (got {star_chunk}): the "
+            "log-determinant is computed through products of four lanes.")
     dtype = params.dtype
     (dxm, dym, r2, v, verr2, mask), n_stars = _pad_stars(
         [dxm, dym, r2, v, verr2, mask], star_chunk)
@@ -456,6 +470,7 @@ def constant_gb_lnlike_batched(params, gx, gy, v, verr2, density, ln_density,
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = params.dtype
+    tiny = float(jnp.finfo(dtype).tiny)
     (gx, gy, v, verr2, density, ln_density, mask), n_stars = _pad_stars(
         [gx, gy, v, verr2, density, ln_density, mask], star_chunk)
     n_padded = gx.shape[0]
@@ -497,11 +512,13 @@ def constant_gb_lnlike_batched(params, gx, gy, v, verr2, density, ln_density,
             db = (v_c - v_back) * rb
             lnl_b = jnp.log(rb) - 0.5 * (db * db + _LOG_2PI)
 
+            # clamped ln_s + select()-ed padded lanes: see model mixture kernel
             a_ = lnd_c + ln_c
             b_ = ln_f + lnl_b
             hi = jnp.maximum(a_, b_)
-            ln_s = jnp.log(d_c + f_back)
-            t = (hi + jnp.log1p(jnp.exp(-jnp.abs(a_ - b_))) - ln_s) * m_c
+            ln_s = jnp.log(jnp.maximum(d_c + f_back, tiny))
+            t = jnp.where(m_c > 0,
+                          hi + jnp.log1p(jnp.exp(-jnp.abs(a_ - b_))) - ln_s, 0.0)
             return acc + jnp.sum(t, axis=1, keepdims=True)
 
         acc = jax.lax.fori_loop(0, n_chunks, body,
@@ -545,6 +562,7 @@ def double_model_gb_lnlike_batched(params, dxm, dym, r2, v, verr2, density,
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = params.dtype
+    tiny = float(jnp.finfo(dtype).tiny)
     (dxm, dym, r2, v, verr2, density, ln_density, mask), n_stars = _pad_stars(
         [dxm, dym, r2, v, verr2, density, ln_density, mask], star_chunk)
     n_padded = dxm.shape[0]
@@ -602,11 +620,13 @@ def double_model_gb_lnlike_batched(params, dxm, dym, r2, v, verr2, density,
             db = (v_c - v_back) * rb
             lnl_b = jnp.log(rb) - 0.5 * (db * db + _LOG_2PI)
 
+            # clamped ln_s + select()-ed padded lanes: see model mixture kernel
             a_ = lnd_c + ln_c
             b_ = ln_f + lnl_b
             hi = jnp.maximum(a_, b_)
-            ln_s = jnp.log(d_c + f_back)
-            t = (hi + jnp.log1p(jnp.exp(-jnp.abs(a_ - b_))) - ln_s) * m_c
+            ln_s = jnp.log(jnp.maximum(d_c + f_back, tiny))
+            t = jnp.where(m_c > 0,
+                          hi + jnp.log1p(jnp.exp(-jnp.abs(a_ - b_))) - ln_s, 0.0)
             return acc + jnp.sum(t, axis=1, keepdims=True)
 
         acc = jax.lax.fori_loop(0, n_chunks, body,

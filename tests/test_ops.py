@@ -394,6 +394,62 @@ class TestModelMixtureKernel:
                 walker_tile=8, star_chunk=128))
         np.testing.assert_allclose(got, want, rtol=1e-9)
 
+    def test_zero_f_back_with_padding_is_finite(self):
+        """Regression: f_back == 0 (the prior's lower bound) used to NaN-poison
+        every walker whenever the catalog was padded — padded lanes have
+        density 0, so log(d + f_back) was -inf and (finite - -inf) * mask(0)
+        produced inf * 0 = NaN inside the kernel accumulator."""
+        from jax.experimental.pallas import tpu as pltpu
+        from mcmc_dynamics_tpu.models import ModelFitGB
+        from mcmc_dynamics_tpu.ops.lnlike_kernels import \
+            model_mixture_lnlike_batched
+
+        fit = self._fit(ModelFitGB)
+        thetas = self._thetas(with_bg_cols=True)
+        thetas[::2, 8] = 0.0              # f_back = 0 for half the walkers
+        want = np.array([float(fit.lnlike(t)) for t in thetas])
+        assert np.isfinite(want).all()
+
+        data = fit.prepare_data(dict(fit._data_arrays))
+        dxm, dym = data["dxm"], data["dym"]
+        r2 = dxm * dxm + dym * dym
+        col_scale = np.ones(9)
+        col_scale[2] = col_scale[5] = 1.0 / 60.0
+        with pltpu.force_tpu_interpret_mode():
+            # n=300 stars with star_chunk=128 -> 84 padded lanes
+            got = np.asarray(model_mixture_lnlike_batched(
+                jnp.asarray(thetas * col_scale), dxm, dym, r2, data["v"],
+                data["verr"] * data["verr"], data["density"],
+                data["ln_density"], jnp.zeros_like(data["v"]),
+                jnp.ones_like(data["v"]), parametric_bg=True,
+                walker_tile=8, star_chunk=128))
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    def test_subclass_never_gets_base_kernel(self):
+        """A subclass overriding the physics must not silently inherit the
+        hardcoded Plummer + Lynden-Bell mixture kernel."""
+        from mcmc_dynamics_tpu.models import ModelFitGB
+
+        class TweakedGB(ModelFitGB):
+            def dispersion_field(self, p, data):
+                return 2.0 * super().dispersion_field(p, data)
+
+        fit = self._fit(TweakedGB)
+        assert not fit._canonical_layout()
+        assert not fit._pallas_eligible()
+        base = self._fit(ModelFitGB)
+        assert base._canonical_layout()
+
+    def test_star_chunk_must_be_multiple_of_four(self):
+        import pytest
+        from mcmc_dynamics_tpu.ops.lnlike_kernels import model_lnlike_batched
+
+        n = 8
+        arrs = [jnp.ones(n) for _ in range(6)]
+        with pytest.raises(ValueError, match="multiple of 4"):
+            model_lnlike_batched(jnp.ones((4, 6)), *arrs,
+                                 walker_tile=4, star_chunk=6)
+
     def test_fixed_background_matches_pure_jax(self):
         from jax.experimental.pallas import tpu as pltpu
         from mcmc_dynamics_tpu import units as u
@@ -528,6 +584,18 @@ class TestConstantGBKernel:
                 jnp.asarray(np.log(dens)), jnp.ones_like(d["v"]),
                 walker_tile=8, star_chunk=128))
         np.testing.assert_allclose(got, want, rtol=1e-9)
+
+        # regression: f_back = 0 with padded lanes (n=220 % 128 != 0) used to
+        # produce NaN via log(0 + 0) = -inf on the padding (confirmed repro)
+        thetas[:, 6] = 0.0
+        want0 = np.array([float(fit.lnlike(t)) for t in thetas])
+        with pltpu.force_tpu_interpret_mode():
+            got0 = np.asarray(constant_gb_lnlike_batched(
+                jnp.asarray(thetas), d["gx"], d["gy"], d["v"],
+                d["verr"] * d["verr"], d["density"], d["ln_density"],
+                jnp.ones_like(d["v"]), walker_tile=8, star_chunk=128))
+        assert np.isfinite(got0).all()
+        np.testing.assert_allclose(got0, want0, rtol=1e-9)
 
 
 class TestDoubleModelGBKernel:
