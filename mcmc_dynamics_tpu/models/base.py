@@ -707,6 +707,46 @@ class SamplerResult:
     def get_last_sample(self):
         return self.chain[:, -1, :]
 
+    # -------- emcee v2 attribute / v3 accessor parity (migration ergonomics) --
+    @property
+    def flatchain(self):
+        """(walkers * steps, ndim) — the emcee v2 attribute."""
+        c = np.asarray(self.chain)
+        return c.reshape(-1, c.shape[2])
+
+    @property
+    def flatlnprobability(self):
+        return np.asarray(self.lnprobability).reshape(-1)
+
+    def get_chain(self, flat: bool = False, thin: int = 1, discard: int = 0):
+        """Stored chain in the emcee *v3* layout (steps, walkers, ndim);
+        ``discard`` drops burn-in steps, ``thin`` keeps every thin-th step,
+        ``flat`` flattens (steps, walkers) into one sample axis."""
+        v = np.swapaxes(np.asarray(self.chain), 0, 1)[discard::thin]
+        return v.reshape(-1, v.shape[2]) if flat else v
+
+    def get_log_prob(self, flat: bool = False, thin: int = 1, discard: int = 0):
+        v = np.swapaxes(np.asarray(self.lnprobability), 0, 1)[discard::thin]
+        return v.reshape(-1) if flat else v
+
+    def get_autocorr_time(self, discard: int = 0, thin: int = 1, c: float = 5.0,
+                          quiet: bool = False):
+        """Integrated autocorrelation time per parameter (emcee v3 semantics:
+        raises :class:`sampler.diagnostics.AutocorrError` when the chain is
+        shorter than 50 tau, unless ``quiet``)."""
+        from ..sampler.diagnostics import AutocorrError, autocorr_time
+
+        sub = np.asarray(self.chain)[:, discard::thin, :]
+        tau = autocorr_time(sub, c=c) * thin
+        n_eff_steps = sub.shape[1] * thin
+        if not quiet and np.any(tau * 50 > n_eff_steps):
+            raise AutocorrError(
+                tau, "The chain is shorter than 50 times the integrated "
+                     f"autocorrelation time ({n_eff_steps} steps vs tau = "
+                     f"{np.array2string(tau, precision=1)}); the estimate is "
+                     "unreliable. Run longer or pass quiet=True.")
+        return tau
+
 
 # --------------------------------------------------------------------------- kernels
 def gaussian_lnlike_terms(v, verr, v_los, sigma_los):

@@ -10,7 +10,18 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["autocorr_time", "gelman_rubin", "effective_sample_size"]
+__all__ = ["autocorr_time", "gelman_rubin", "effective_sample_size",
+           "AutocorrError"]
+
+
+class AutocorrError(Exception):
+    """The chain is too short for a reliable autocorrelation estimate
+    (< 50 integrated autocorrelation times; the emcee v3 convention).
+    The unreliable estimate is attached as ``.tau``."""
+
+    def __init__(self, tau, message):
+        self.tau = tau
+        super().__init__(message)
 
 
 def _acf_1d(x: np.ndarray) -> np.ndarray:

@@ -137,6 +137,43 @@ class TestDiagnostics:
         ess = effective_sample_size(np.asarray(result.chain))
         assert ess[0] > 500
 
+    def test_sampler_result_emcee_accessors(self):
+        """SamplerResult mirrors the emcee surface scripts actually use:
+        v2 attributes (.chain/.flatchain, walker-major) and v3 accessors
+        (get_chain/get_log_prob, step-major, with discard/thin/flat) plus
+        get_autocorr_time with the 50-tau short-chain guard."""
+        import pytest
+        from mcmc_dynamics_tpu.models.base import SamplerResult
+        from mcmc_dynamics_tpu.sampler import AutocorrError
+
+        rng = np.random.default_rng(3)
+        W, S, K = 6, 40, 3
+        chain = rng.normal(size=(W, S, K))
+        lnp = rng.normal(size=(W, S))
+        res = SamplerResult(chain=chain, lnprobability=lnp, final_state=None,
+                            acceptance_fraction=np.full(W, 0.5))
+
+        assert res.flatchain.shape == (W * S, K)
+        assert res.flatlnprobability.shape == (W * S,)
+        v3 = res.get_chain()
+        assert v3.shape == (S, W, K)
+        np.testing.assert_array_equal(v3[7, 2], chain[2, 7])
+        sub = res.get_chain(discard=10, thin=2)
+        assert sub.shape == ((S - 10 + 1) // 2, W, K)
+        np.testing.assert_array_equal(sub[0, 1], chain[1, 10])
+        flat = res.get_chain(discard=10, thin=2, flat=True)
+        assert flat.shape == (sub.shape[0] * W, K)
+        assert res.get_log_prob(discard=5).shape == (S - 5, W)
+        np.testing.assert_array_equal(res.get_log_prob(flat=True),
+                                      np.swapaxes(lnp, 0, 1).reshape(-1))
+
+        # a 40-step white-noise chain is far shorter than 50 tau would need
+        # to certify; quiet=True returns the estimate instead of raising
+        with pytest.raises(AutocorrError):
+            res.get_autocorr_time()
+        tau = res.get_autocorr_time(quiet=True)
+        assert tau.shape == (K,) and np.all(tau > 0)
+
     def test_gelman_rubin_converged(self):
         lnprob = _gaussian_lnprob([0.0], [[1.0]])
         coords = jnp.asarray(np.random.default_rng(0).normal(size=(32, 1)))
