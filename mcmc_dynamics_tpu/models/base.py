@@ -456,6 +456,78 @@ class Runner:
                 logger.warning("Chain plotting failed: %s", err)
         return sampler
 
+    def sample_to_convergence(self, n_walkers: int = 100,
+                              max_steps: int = 50_000,
+                              check_every: int = 500,
+                              tau_factor: float = 50.0,
+                              rel_change: float = 0.02,
+                              pos=None, a: float = 2.0, move: str = "stretch",
+                              seed: Optional[int] = None, state=None,
+                              prefix: Optional[str] = None, telemetry=None):
+        """Sample in chunks of ``check_every`` steps until the chain certifies
+        its own convergence, instead of guessing ``n_steps`` up front.
+
+        Stopping rule (the standard emcee production pattern): the chain is
+        longer than ``tau_factor`` integrated autocorrelation times for every
+        parameter AND the tau estimate moved by less than ``rel_change``
+        between checks — i.e. the estimate itself has stabilised.  Gives up at
+        ``max_steps``.
+
+        Returns a :class:`SamplerResult` with two extra attributes:
+        ``tau`` (the final per-parameter estimate, already usable for
+        ``discard``/``thin`` choices) and ``converged`` (bool).
+        """
+        from ..sampler.diagnostics import autocorr_time
+
+        if check_every <= 0:
+            raise ValueError("check_every must be positive.")
+        chain_parts, lnp_parts = [], []
+        done = 0
+        tau_prev = None
+        converged = False
+        result = None
+        while done < max_steps:
+            steps = min(check_every, max_steps - done)
+            result = self(n_walkers=n_walkers, n_steps=steps, n_burn=0,
+                          pos=pos, a=a, move=move, seed=seed, state=state,
+                          prefix=None, plot=False, telemetry=telemetry)
+            pos = None  # only the first chunk initialises walkers
+            state = result.final_state
+            chain_parts.append(result.chain)
+            lnp_parts.append(result.lnprobability)
+            done += steps
+
+            chain = np.concatenate(chain_parts, axis=1)
+            tau = autocorr_time(chain)
+            tau_max = float(np.max(tau))
+            stable = (tau_prev is not None
+                      and np.all(np.abs(tau - tau_prev)
+                                 <= rel_change * np.maximum(tau, 1.0)))
+            logger.info("step %6d  max tau = %8.1f  (need > %0.0f tau%s)",
+                        done, tau_max, tau_factor,
+                        ", stable" if stable else "")
+            if prefix is not None:
+                self.save_current_status_arrays(
+                    chain, np.concatenate(lnp_parts, axis=1), state,
+                    prefix=prefix)
+            if done > tau_factor * tau_max and stable:
+                converged = True
+                break
+            tau_prev = tau
+
+        sampler = SamplerResult(
+            chain=np.concatenate(chain_parts, axis=1),
+            lnprobability=np.concatenate(lnp_parts, axis=1),
+            final_state=state,
+            acceptance_fraction=result.acceptance_fraction)
+        sampler.tau = tau
+        sampler.converged = converged
+        if not converged:
+            logger.warning(
+                "sample_to_convergence stopped at max_steps=%d without "
+                "certifying convergence (max tau = %.1f).", max_steps, tau_max)
+        return sampler
+
     def _call_sharded(self, mesh, dp_axis, sp_axis, n_walkers, n_steps, n_out,
                       pos, a, seed, prefix, telemetry, state=None,
                       move: str = "stretch"):

@@ -349,3 +349,32 @@ class TestParameterMutationInvalidation:
         fit.parameters["v_maxy"].set(fixed=True, value=0.0)
         assert fit.n_fitted_parameters == 3
         assert np.isfinite(float(fit.lnprob(np.array([0.0, 7.0, 0.0]))))
+
+
+class TestSampleToConvergence:
+    def test_tau_driven_autostop(self):
+        """The chain stops itself once longer than tau_factor autocorrelation
+        times with a stabilised tau estimate, and reports both."""
+        data = _make_catalog(n=120)
+        params = _fix_centers(ConstantFit.default_parameters())
+        params["sigma_max"].set(max=100.0)
+        fit = ConstantFit(data, parameters=params, seed=2)
+        res = fit.sample_to_convergence(n_walkers=32, max_steps=8000,
+                                        check_every=1000, tau_factor=50.0,
+                                        rel_change=0.1, prefix=None)
+        assert res.converged
+        assert res.tau.shape == (4,)
+        assert res.chain.shape[1] > 50.0 * res.tau.max()
+        # the certified chain passes its own accessor-level guard
+        tau2 = res.get_autocorr_time()
+        np.testing.assert_allclose(tau2, res.tau, rtol=1e-12)
+
+    def test_max_steps_gives_up_cleanly(self):
+        data = _make_catalog(n=120)
+        params = _fix_centers(ConstantFit.default_parameters())
+        params["sigma_max"].set(max=100.0)
+        fit = ConstantFit(data, parameters=params, seed=2)
+        res = fit.sample_to_convergence(n_walkers=32, max_steps=300,
+                                        check_every=150, prefix=None)
+        assert not res.converged
+        assert res.chain.shape[1] == 300
