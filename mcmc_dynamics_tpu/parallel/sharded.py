@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..sampler.stretch import propose_de, propose_stretch
+from ..sampler.stretch import propose_de, propose_snooker, propose_stretch
 
 __all__ = ["pad_star_axis", "star_sharded_lnprob", "run_ensemble_sharded",
            "ShardedResult"]
@@ -196,8 +196,11 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
                 proposals, ln_bias, ln_u = propose_stretch(active, pool, subkey, a)
             elif move == "de":
                 proposals, ln_bias, ln_u = propose_de(active, pool, subkey)
+            elif move == "snooker":
+                proposals, ln_bias, ln_u = propose_snooker(active, pool, subkey)
             else:
-                raise ValueError(f"Unknown move '{move}' (use 'stretch' or 'de').")
+                raise ValueError(
+                    f"Unknown move '{move}' (use 'stretch', 'de' or 'snooker').")
             new_lnp = batched_lnprob(proposals)
             ln_accept = ln_bias + new_lnp - active_lnp
             accept = (ln_u < ln_accept) & jnp.isfinite(new_lnp)

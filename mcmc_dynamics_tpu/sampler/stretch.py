@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["EnsembleState", "init_state", "stretch_step", "run_ensemble",
-           "EnsembleResult", "as_batched", "propose_stretch", "propose_de"]
+           "EnsembleResult", "as_batched", "propose_stretch", "propose_de",
+           "propose_snooker"]
 
 
 class EnsembleState(NamedTuple):
@@ -142,6 +143,43 @@ def propose_de(active_coords, pool, key, gamma0: float = None,
     return proposals, jnp.zeros(n_active, dtype=active_coords.dtype), jnp.log(un[3])
 
 
+def propose_snooker(active_coords, pool, key, gammas: float = 1.7):
+    """Snooker differential-evolution proposals (ter Braak & Vrugt 2008;
+    emcee v3 DESnookerMove).
+
+    Each walker x draws three distinct pool members (z, z1, z2) and moves
+    along the unit direction u = (x - z)/|x - z| by ``gammas`` times the
+    difference of the projections of z1 and z2 onto u.  The proposal density
+    is not symmetric in |y - z|, giving the Metropolis correction
+    ln_bias = (K-1)(ln|y - z| - ln|x - z|).  Needs a pool of >= 3 walkers.
+    Returns (proposals, ln_bias, ln_u); shared by the single-device and
+    shard_map samplers so the proposal distribution can never drift.
+    """
+    n_active, ndim = active_coords.shape
+    n_pool = pool.shape[0]
+    tiny = jnp.finfo(active_coords.dtype).tiny
+    un = jax.random.uniform(key, (4, n_active), dtype=active_coords.dtype)
+    i0 = jnp.minimum((un[0] * n_pool).astype(jnp.int32), n_pool - 1)
+    # distinct offsets: off1 in [1, n-1]; off2 drawn from [1, n-2] then bumped
+    # past off1 -> off2 in [1, n-1] \ {off1}; all three indices distinct
+    off1 = 1 + jnp.minimum((un[1] * (n_pool - 1)).astype(jnp.int32), n_pool - 2)
+    off2 = 1 + jnp.minimum((un[2] * (n_pool - 2)).astype(jnp.int32),
+                           max(n_pool - 3, 0))
+    off2 = jnp.where(off2 >= off1, off2 + 1, off2)
+    z = pool[i0]
+    z1 = pool[(i0 + off1) % n_pool]
+    z2 = pool[(i0 + off2) % n_pool]
+    delta = active_coords - z
+    norm2 = jnp.maximum(jnp.sum(delta * delta, axis=1), tiny)
+    u_dir = delta * jax.lax.rsqrt(norm2)[:, None]
+    step = jnp.sum(u_dir * (z1 - z2), axis=1)
+    proposals = active_coords + gammas * step[:, None] * u_dir
+    d_new = proposals - z
+    norm2_new = jnp.maximum(jnp.sum(d_new * d_new, axis=1), tiny)
+    ln_bias = 0.5 * (ndim - 1.0) * (jnp.log(norm2_new) - jnp.log(norm2))
+    return proposals, ln_bias, jnp.log(un[3])
+
+
 def _accept_update(batched_lnprob, active_coords, active_lnp, proposals,
                    ln_bias, ln_u):
     new_lnp = batched_lnprob(proposals)
@@ -170,13 +208,24 @@ def _half_update_de(batched_lnprob, active_coords, active_lnp, other_coords, key
                           ln_bias, ln_u)
 
 
+def _half_update_snooker(batched_lnprob, active_coords, active_lnp, other_coords,
+                         key):
+    """Snooker update of one half against the other."""
+    proposals, ln_bias, ln_u = propose_snooker(active_coords, other_coords, key)
+    return _accept_update(batched_lnprob, active_coords, active_lnp, proposals,
+                          ln_bias, ln_u)
+
+
 def stretch_step(lnprob_fn: Callable, state: EnsembleState, a: float = 2.0,
                  batched: bool = False, move: str = "stretch") -> EnsembleState:
     """One full ensemble step: update first half against second, then vice versa.
 
-    ``move``: ``"stretch"`` (Goodman & Weare, the emcee default) or ``"de"``
+    ``move``: ``"stretch"`` (Goodman & Weare, the emcee default), ``"de"``
     (differential evolution, ter Braak 2006 / emcee v3 DEMove — better mixing
-    for strongly correlated, banana-shaped posteriors such as (a, r_peak))."""
+    for strongly correlated, banana-shaped posteriors such as (a, r_peak)),
+    or ``"snooker"`` (ter Braak & Vrugt 2008 / emcee v3 DESnookerMove —
+    projection-based DE; the emcee-recommended companion for multimodal
+    targets, usually mixed with ``"de"`` across chunks)."""
     fn = lnprob_fn if batched else as_batched(lnprob_fn)
     n_walkers, ndim = state.coords.shape
     half = n_walkers // 2
@@ -192,8 +241,12 @@ def stretch_step(lnprob_fn: Callable, state: EnsembleState, a: float = 2.0,
         gamma0 = 2.38 / math.sqrt(2.0 * ndim)
         c0, p0, acc0 = _half_update_de(fn, c0, p0, c1, key0, gamma0, 1e-5)
         c1, p1, acc1 = _half_update_de(fn, c1, p1, c0, key1, gamma0, 1e-5)
+    elif move == "snooker":
+        c0, p0, acc0 = _half_update_snooker(fn, c0, p0, c1, key0)
+        c1, p1, acc1 = _half_update_snooker(fn, c1, p1, c0, key1)
     else:
-        raise ValueError(f"Unknown move '{move}' (use 'stretch' or 'de').")
+        raise ValueError(
+            f"Unknown move '{move}' (use 'stretch', 'de' or 'snooker').")
 
     return EnsembleState(
         coords=jnp.concatenate([c0, c1], axis=0),

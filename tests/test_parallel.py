@@ -257,6 +257,16 @@ class TestRunnerMeshIntegration:
         acc = np.asarray(sampler.acceptance_fraction)
         assert acc.mean() > 0.1
 
+    def test_call_with_mesh_snooker_move(self):
+        """Snooker proposals work under sharding (same shared propose_snooker)."""
+        fit = _fit(n=60, seed=10)
+        mesh = make_mesh(("dp", "sp"), (2, 4))
+        sampler = fit(n_walkers=16, n_steps=60, move="snooker", mesh=mesh,
+                      prefix=None)
+        assert np.isfinite(sampler.lnprobability[:, -1]).all()
+        acc = np.asarray(sampler.acceptance_fraction)
+        assert acc.mean() > 0.05
+
 
 class TestPartialTierSharding:
     def test_star_sharded_partial_tier_matches_generic(self):
