@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..sampler.stretch import propose_de, propose_snooker, propose_stretch
+from ..sampler.stretch import normalize_move, propose_mixture
 
 __all__ = ["pad_star_axis", "star_sharded_lnprob", "run_ensemble_sharded",
            "ShardedResult"]
@@ -117,6 +117,7 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
     star catalog is additionally sharded and likelihoods psum over it.
     """
     compiled = runner.compiled
+    moves = normalize_move(move)
     n_dp = mesh.shape[dp_axis]
     use_sp = sp_axis is not None and sp_axis in mesh.shape
     n_sp = mesh.shape[sp_axis] if use_sp else 1
@@ -189,18 +190,12 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         def half_update(active, active_lnp, other_local, subkey):
             # partner pool: the full opposite half across all dp shards; the
             # proposal math is SHARED with the single-device sampler
-            # (sampler/stretch.py propose_stretch/propose_de) so the two can
-            # never drift apart
+            # (sampler/stretch.py propose_mixture) so the two can never drift
+            # apart — incl. weighted move mixtures (per-walker selection needs
+            # no cross-rank agreement)
             pool = jax.lax.all_gather(other_local, dp_axis, tiled=True)
-            if move == "stretch":
-                proposals, ln_bias, ln_u = propose_stretch(active, pool, subkey, a)
-            elif move == "de":
-                proposals, ln_bias, ln_u = propose_de(active, pool, subkey)
-            elif move == "snooker":
-                proposals, ln_bias, ln_u = propose_snooker(active, pool, subkey)
-            else:
-                raise ValueError(
-                    f"Unknown move '{move}' (use 'stretch', 'de' or 'snooker').")
+            proposals, ln_bias, ln_u = propose_mixture(moves, active, pool,
+                                                       subkey, a)
             new_lnp = batched_lnprob(proposals)
             ln_accept = ln_bias + new_lnp - active_lnp
             accept = (ln_u < ln_accept) & jnp.isfinite(new_lnp)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 __all__ = ["EnsembleState", "init_state", "stretch_step", "run_ensemble",
            "EnsembleResult", "as_batched", "propose_stretch", "propose_de",
-           "propose_snooker"]
+           "propose_snooker", "propose_mixture", "normalize_move"]
 
 
 class EnsembleState(NamedTuple):
@@ -180,6 +180,73 @@ def propose_snooker(active_coords, pool, key, gammas: float = 1.7):
     return proposals, ln_bias, jnp.log(un[3])
 
 
+_MOVE_NAMES = ("stretch", "de", "snooker")
+
+
+def normalize_move(move):
+    """Canonicalise a move spec into a hashable, normalised tuple of
+    (name, weight) pairs — the static-argument form consumed by the jitted
+    samplers.
+
+    Accepts a single name (``"de"``) or a weighted mixture in the emcee v3
+    ``moves=[(DEMove(), 0.8), (DESnookerMove(), 0.2)]`` style:
+    ``(("de", 0.8), ("snooker", 0.2))``.  Weights are normalised to sum to 1.
+    """
+    if isinstance(move, str):
+        pairs = ((move, 1.0),)
+    else:
+        try:
+            pairs = tuple((str(m), float(w)) for m, w in move)
+        except (TypeError, ValueError) as err:
+            raise ValueError(
+                f"move must be a name or a sequence of (name, weight) pairs; "
+                f"got {move!r}") from err
+    for name, _w in pairs:
+        if name not in _MOVE_NAMES:
+            raise ValueError(f"Unknown move '{name}' (use one of {_MOVE_NAMES}).")
+    total = sum(w for _, w in pairs)
+    if not pairs or total <= 0:
+        raise ValueError("Move weights must be positive.")
+    return tuple((n, w / total) for n, w in pairs)
+
+
+def _propose_one(name: str, active_coords, pool, key, a: float):
+    if name == "stretch":
+        return propose_stretch(active_coords, pool, key, a)
+    if name == "de":
+        return propose_de(active_coords, pool, key)
+    return propose_snooker(active_coords, pool, key)
+
+
+def propose_mixture(moves, active_coords, pool, key, a: float = 2.0):
+    """Proposals under a weighted move mixture (normalised (name, weight) tuple).
+
+    Each walker independently picks a move with the given probabilities —
+    state-independent mixing of valid Metropolis kernels, so detailed balance
+    holds per walker.  All component proposals are computed (they are a few
+    VPU ops each) and select()-ed per walker; the expensive lnprob still runs
+    exactly once, on the selected proposals.  Shared by the single-device and
+    shard_map samplers.
+    """
+    if len(moves) == 1:
+        return _propose_one(moves[0][0], active_coords, pool, key, a)
+    keys = jax.random.split(key, len(moves) + 1)
+    u = jax.random.uniform(keys[0], (active_coords.shape[0],),
+                           dtype=active_coords.dtype)
+    parts = [_propose_one(name, active_coords, pool, k, a)
+             for (name, _w), k in zip(moves, keys[1:])]
+    props = jnp.stack([p[0] for p in parts])       # (M, n, K)
+    biases = jnp.stack([p[1] for p in parts])      # (M, n)
+    lnus = jnp.stack([p[2] for p in parts])
+    edges = jnp.cumsum(jnp.asarray([w for _, w in moves[:-1]],
+                                   active_coords.dtype))
+    idx = jnp.sum(u[None, :] >= edges[:, None], axis=0)      # (n,) in [0, M-1]
+    proposals = jnp.take_along_axis(props, idx[None, :, None], axis=0)[0]
+    ln_bias = jnp.take_along_axis(biases, idx[None, :], axis=0)[0]
+    ln_u = jnp.take_along_axis(lnus, idx[None, :], axis=0)[0]
+    return proposals, ln_bias, ln_u
+
+
 def _accept_update(batched_lnprob, active_coords, active_lnp, proposals,
                    ln_bias, ln_u):
     new_lnp = batched_lnprob(proposals)
@@ -192,30 +259,6 @@ def _accept_update(batched_lnprob, active_coords, active_lnp, proposals,
     return coords, lnp, accept
 
 
-def _half_update(batched_lnprob, active_coords, active_lnp, other_coords, key, a):
-    """Stretch-move update of one half-ensemble against the (fixed) other half."""
-    proposals, ln_bias, ln_u = propose_stretch(active_coords, other_coords, key, a)
-    return _accept_update(batched_lnprob, active_coords, active_lnp, proposals,
-                          ln_bias, ln_u)
-
-
-def _half_update_de(batched_lnprob, active_coords, active_lnp, other_coords, key,
-                    gamma0: float, jitter: float):
-    """Differential-evolution update of one half against the other."""
-    proposals, ln_bias, ln_u = propose_de(active_coords, other_coords, key,
-                                          gamma0=gamma0, jitter=jitter)
-    return _accept_update(batched_lnprob, active_coords, active_lnp, proposals,
-                          ln_bias, ln_u)
-
-
-def _half_update_snooker(batched_lnprob, active_coords, active_lnp, other_coords,
-                         key):
-    """Snooker update of one half against the other."""
-    proposals, ln_bias, ln_u = propose_snooker(active_coords, other_coords, key)
-    return _accept_update(batched_lnprob, active_coords, active_lnp, proposals,
-                          ln_bias, ln_u)
-
-
 def stretch_step(lnprob_fn: Callable, state: EnsembleState, a: float = 2.0,
                  batched: bool = False, move: str = "stretch") -> EnsembleState:
     """One full ensemble step: update first half against second, then vice versa.
@@ -223,10 +266,13 @@ def stretch_step(lnprob_fn: Callable, state: EnsembleState, a: float = 2.0,
     ``move``: ``"stretch"`` (Goodman & Weare, the emcee default), ``"de"``
     (differential evolution, ter Braak 2006 / emcee v3 DEMove — better mixing
     for strongly correlated, banana-shaped posteriors such as (a, r_peak)),
-    or ``"snooker"`` (ter Braak & Vrugt 2008 / emcee v3 DESnookerMove —
+    ``"snooker"`` (ter Braak & Vrugt 2008 / emcee v3 DESnookerMove —
     projection-based DE; the emcee-recommended companion for multimodal
-    targets, usually mixed with ``"de"`` across chunks)."""
+    targets), or a weighted mixture in the emcee v3 ``moves=`` style:
+    ``(("de", 0.8), ("snooker", 0.2))`` — each walker draws its move
+    independently per half-step."""
     fn = lnprob_fn if batched else as_batched(lnprob_fn)
+    moves = normalize_move(move)
     n_walkers, ndim = state.coords.shape
     half = n_walkers // 2
     key_next, key0, key1 = jax.random.split(state.key, 3)
@@ -234,19 +280,12 @@ def stretch_step(lnprob_fn: Callable, state: EnsembleState, a: float = 2.0,
     c0, c1 = state.coords[:half], state.coords[half:]
     p0, p1 = state.log_prob[:half], state.log_prob[half:]
 
-    if move == "stretch":
-        c0, p0, acc0 = _half_update(fn, c0, p0, c1, key0, a)
-        c1, p1, acc1 = _half_update(fn, c1, p1, c0, key1, a)
-    elif move == "de":
-        gamma0 = 2.38 / math.sqrt(2.0 * ndim)
-        c0, p0, acc0 = _half_update_de(fn, c0, p0, c1, key0, gamma0, 1e-5)
-        c1, p1, acc1 = _half_update_de(fn, c1, p1, c0, key1, gamma0, 1e-5)
-    elif move == "snooker":
-        c0, p0, acc0 = _half_update_snooker(fn, c0, p0, c1, key0)
-        c1, p1, acc1 = _half_update_snooker(fn, c1, p1, c0, key1)
-    else:
-        raise ValueError(
-            f"Unknown move '{move}' (use 'stretch', 'de' or 'snooker').")
+    def half_update(active, lnp, other, k):
+        proposals, ln_bias, ln_u = propose_mixture(moves, active, other, k, a)
+        return _accept_update(fn, active, lnp, proposals, ln_bias, ln_u)
+
+    c0, p0, acc0 = half_update(c0, p0, c1, key0)
+    c1, p1, acc1 = half_update(c1, p1, c0, key1)
 
     return EnsembleState(
         coords=jnp.concatenate([c0, c1], axis=0),
@@ -314,7 +353,8 @@ def run_ensemble(lnprob_fn: Callable,
 
     fn = lnprob_fn if batched else as_batched(lnprob_fn)
     final, traj = _scan_chain(fn, initial, int(n_steps), float(a),
-                              int(thin), bool(store_chain), str(move))
+                              int(thin), bool(store_chain),
+                              normalize_move(move))
     if store_chain:
         coords, lnp = traj  # (S, W, K), (S, W)
         chain = jnp.swapaxes(coords, 0, 1)          # -> (W, S, K) emcee layout

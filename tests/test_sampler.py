@@ -314,3 +314,88 @@ class TestSnookerMove:
         p2 = propose_snooker(active, pool, key)
         for a, b in zip(p1, p2):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMoveMixtures:
+    """Weighted move mixtures (emcee v3 moves=[(DEMove, 0.8), ...] analog):
+    per-walker move selection with state-independent probabilities — a valid
+    mixture of Metropolis kernels; lnprob still runs once per half-step."""
+
+    def test_mixture_matches_analytic_gaussian_posterior(self):
+        import jax
+        import jax.numpy as jnp
+
+        mean = jnp.asarray([1.0, -2.0, 0.5])
+        prec = jnp.asarray(np.linalg.inv(np.array([[2.0, 0.9, 0.0],
+                                                   [0.9, 1.0, -0.3],
+                                                   [0.0, -0.3, 0.5]])))
+
+        def lnprob(theta):
+            d = theta - mean
+            return -0.5 * d @ prec @ d
+
+        rng = np.random.default_rng(0)
+        pos = rng.normal(0, 1, (96, 3))
+        state = init_state(lnprob, jnp.asarray(pos), jax.random.PRNGKey(11))
+        res = run_ensemble(lnprob, state, n_steps=2500,
+                           move=(("de", 0.8), ("snooker", 0.2)))
+        flat = np.asarray(res.chain)[:, 800:, :].reshape(-1, 3)
+        cov_true = np.linalg.inv(np.asarray(prec))
+        sd_true = np.sqrt(np.diag(cov_true))
+        assert np.all(np.abs(flat.mean(axis=0) - np.asarray(mean)) < 0.1 * sd_true)
+        assert np.all(np.abs(flat.std(axis=0) - sd_true) / sd_true < 0.1)
+
+    def test_single_move_stream_unchanged_by_mixture_machinery(self):
+        """move='de' must draw the identical proposal stream as a 1-element
+        mixture (('de', 1.0),) — the normalisation path may not burn keys."""
+        import jax
+        import jax.numpy as jnp
+
+        def lnprob(theta):
+            return -0.5 * jnp.sum(theta * theta)
+
+        pos = np.random.default_rng(1).normal(size=(16, 2))
+        s1 = init_state(lnprob, jnp.asarray(pos), jax.random.PRNGKey(3))
+        r1 = run_ensemble(lnprob, s1, n_steps=25, move="de")
+        r2 = run_ensemble(lnprob, s1, n_steps=25, move=(("de", 1.0),))
+        np.testing.assert_array_equal(np.asarray(r1.final.coords),
+                                      np.asarray(r2.final.coords))
+
+    def test_invalid_mixture_specs_rejected(self):
+        from mcmc_dynamics_tpu.sampler.stretch import normalize_move
+
+        assert normalize_move("de") == (("de", 1.0),)
+        norm = normalize_move((("de", 2.0), ("snooker", 2.0)))
+        assert norm == (("de", 0.5), ("snooker", 0.5))
+        with pytest.raises(ValueError, match="Unknown move"):
+            normalize_move((("nope", 1.0),))
+        with pytest.raises(ValueError, match="positive"):
+            normalize_move((("de", 0.0),))
+        with pytest.raises(ValueError, match="name or a sequence"):
+            normalize_move(42)
+
+    def test_mixture_under_sharding(self):
+        import jax.numpy as jnp
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.models import ConstantFit
+        from mcmc_dynamics_tpu.parallel import make_mesh
+        from mcmc_dynamics_tpu.utils import DataReader
+
+        rng = np.random.default_rng(9)
+        n = 60
+        ra_c, dec_c = 56.345, -26.675
+        data = DataReader({
+            "ra": u.Quantity(ra_c + 0.02 * rng.normal(size=n), "deg"),
+            "dec": u.Quantity(dec_c + 0.02 * rng.normal(size=n), "deg"),
+            "v": u.Quantity(6.0 * rng.normal(size=n), "km/s"),
+            "verr": u.Quantity(0.5 + 0.5 * rng.random(n), "km/s"),
+        })
+        params = ConstantFit.default_parameters()
+        params["ra_center"].set(value=ra_c, fixed=True)
+        params["dec_center"].set(value=dec_c, fixed=True)
+        fit = ConstantFit(data, parameters=params, seed=5)
+        mesh = make_mesh(("dp", "sp"), (2, 4))
+        sampler = fit(n_walkers=16, n_steps=50,
+                      move=(("stretch", 0.5), ("de", 0.5)), mesh=mesh,
+                      prefix=None)
+        assert np.isfinite(sampler.lnprobability[:, -1]).all()
