@@ -206,6 +206,44 @@ def bench_model(rows):
     rows["model-gb/xla"] = _measure(gfit.build_lnprob_batched(), gpos, gfit.dtype)
     del os.environ["MCMC_TPU_DISABLE_PALLAS"]
 
+    # fixed-background mixture (ModelFitConstantBackground): same kernel,
+    # non-parametric branch — lnb precomputed per star, only f_back sampled
+    from mcmc_dynamics_tpu import units as u
+    from mcmc_dynamics_tpu.background import Gaussian
+    from mcmc_dynamics_tpu.models import ModelFitConstantBackground
+    rng4 = np.random.default_rng(11)
+    cdata, _, _ = _mock_catalog(N_STARS, rng4)
+    cdata.data["density"] = 10.0 ** rng4.uniform(-1, 2, N_STARS)
+    cparams = ModelFitConstantBackground.default_parameters()
+    cparams["ra_center"].set(value=ra_c, fixed=True)
+    cparams["dec_center"].set(value=dec_c, fixed=True)
+    cparams["v_back"].set(value=0.0, fixed=True)
+    cparams["sigma_back"].set(value=80.0, fixed=True)
+    cbg = Gaussian(mean=u.Quantity(0.0, "km/s"), sigma=u.Quantity(80.0, "km/s"))
+    cfit = ModelFitConstantBackground(cdata, parameters=cparams, background=cbg)
+    cpos = np.column_stack([pos, 10.0 ** rng4.uniform(-1, 1, N_WALKERS)])
+    if cfit._pallas_eligible():
+        rows["model-cb/pallas"] = _measure(cfit.build_lnprob_batched(), cpos,
+                                           cfit.dtype)
+
+    # two-component rotation (DoubleModelFit) — the widest plain kernel
+    from mcmc_dynamics_tpu.models import DoubleModelFit
+    ddata, _, _ = _mock_catalog(N_STARS, np.random.default_rng(12))
+    dparams = DoubleModelFit.default_parameters()
+    dparams["ra_center"].set(value=ra_c, fixed=True)
+    dparams["dec_center"].set(value=dec_c, fixed=True)
+    dfit = DoubleModelFit(ddata, parameters=dparams)
+    rngd = np.random.default_rng(12)
+    dpos = np.column_stack([
+        pos,
+        rngd.normal(0, 2, N_WALKERS),
+        rngd.normal(0, 2, N_WALKERS),
+        rngd.uniform(5, 25, N_WALKERS),   # r_peak_c <= r_peak
+    ])
+    if dfit._pallas_eligible():
+        rows["double-model/pallas"] = _measure(dfit.build_lnprob_batched(), dpos,
+                                               dfit.dtype)
+
     # ... and at a 10x catalog, where the table tier overtakes the O(N) kernels
     rng5 = np.random.default_rng(3)
     data5, _, _ = _mock_catalog(100_000, rng5)
