@@ -324,19 +324,40 @@ class Runner:
     def sample_tempered(self, n_walkers: int = 64, n_steps: int = 500,
                         n_temps: int = 8, beta_min: float = 1e-3,
                         swap_every: int = 5, pos=None,
-                        seed: Optional[int] = None):
+                        seed: Optional[int] = None, mesh=None,
+                        temp_axis: str = "tp"):
         """Parallel-tempered ensemble sampling; returns (SamplerResult of the cold
-        chain, thermodynamic-integration log-evidence estimate)."""
-        from ..sampler.tempered import init_tempered, log_evidence, run_tempered
+        chain, thermodynamic-integration log-evidence estimate).
+
+        With ``mesh=`` the ladder is sharded over the mesh's ``temp_axis``:
+        one temperature per rank, each advancing its full ensemble through
+        this model's fastest batched tier, replica swaps as nearest-neighbour
+        ``ppermute`` exchanges over ICI (``parallel/tempered.py``).
+        ``n_temps`` is then taken from the mesh axis."""
+        from ..sampler.tempered import log_evidence, make_beta_ladder
 
         if pos is None:
             pos = self.get_initials(n_walkers)
-        lnprob = self.build_lnprob()
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
-        state, betas = init_tempered(lnprob, jnp.asarray(pos, self.dtype), key,
-                                     n_temps=n_temps, beta_min=beta_min)
-        res = run_tempered(lnprob, state, betas, n_steps=n_steps,
-                           swap_every=swap_every)
+
+        if mesh is not None:
+            from ..parallel.tempered import run_tempered_sharded
+
+            n_temps = mesh.shape[temp_axis]
+            res = run_tempered_sharded(self, jnp.asarray(pos, self.dtype), key,
+                                       n_steps=n_steps, mesh=mesh,
+                                       temp_axis=temp_axis, beta_min=beta_min,
+                                       swap_every=swap_every)
+            betas = make_beta_ladder(n_temps, beta_min)
+        else:
+            from ..sampler.tempered import init_tempered, run_tempered
+
+            lnprob = self.build_lnprob()
+            state, betas = init_tempered(lnprob, jnp.asarray(pos, self.dtype),
+                                         key, n_temps=n_temps,
+                                         beta_min=beta_min)
+            res = run_tempered(lnprob, state, betas, n_steps=n_steps,
+                               swap_every=swap_every)
         result = SamplerResult(chain=np.asarray(res.chain),
                                lnprobability=np.asarray(res.log_prob),
                                final_state=res.final,
@@ -463,7 +484,8 @@ class Runner:
                               rel_change: float = 0.02,
                               pos=None, a: float = 2.0, move: str = "stretch",
                               seed: Optional[int] = None, state=None,
-                              prefix: Optional[str] = None, telemetry=None):
+                              prefix: Optional[str] = None, telemetry=None,
+                              **kwargs):
         """Sample in chunks of ``check_every`` steps until the chain certifies
         its own convergence, instead of guessing ``n_steps`` up front.
 
@@ -490,7 +512,8 @@ class Runner:
             steps = min(check_every, max_steps - done)
             result = self(n_walkers=n_walkers, n_steps=steps, n_burn=0,
                           pos=pos, a=a, move=move, seed=seed, state=state,
-                          prefix=None, plot=False, telemetry=telemetry)
+                          prefix=None, plot=False, telemetry=telemetry,
+                          **kwargs)
             pos = None  # only the first chunk initialises walkers
             state = result.final_state
             chain_parts.append(result.chain)

@@ -1,8 +1,10 @@
 from .mesh import factorize_devices, make_mesh
 from .sharded import (ShardedResult, pad_star_axis, run_ensemble_sharded,
                       star_sharded_lnprob)
+from .tempered import run_tempered_sharded
 
 __all__ = [
     "make_mesh", "factorize_devices",
     "pad_star_axis", "star_sharded_lnprob", "run_ensemble_sharded", "ShardedResult",
+    "run_tempered_sharded",
 ]

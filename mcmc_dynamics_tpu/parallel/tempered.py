@@ -1,0 +1,168 @@
+"""Mesh-sharded parallel tempering: one temperature per device, swaps over ICI.
+
+Replica exchange is the natural fit for a TPU mesh: each rank of a ``tp`` axis
+holds ONE temperature's full walker ensemble and advances it with the model's
+fastest *batched* likelihood tier (sufficient tables / fused Pallas kernels —
+the same per-chip code path as a single-device run, so per-chip throughput is
+unchanged).  The only communication is the replica swap: adjacent temperatures
+exchange (coords, lnP) through a single ``jax.lax.ppermute`` neighbour shift —
+a nearest-neighbour pattern that rides the ICI ring without any all-to-all.
+
+Swap scheme: alternating even-odd phases (phase 0 pairs (0,1)(2,3)..., phase 1
+pairs (1,2)(3,4)...), the standard parallelisation of the sequential
+adjacent-pair sweep used by the single-device sampler
+(sampler/tempered.py:118-133).  Both ranks of a pair draw the SAME acceptance
+uniforms by folding the (replicated) swap key with the pair id, so the two
+sides always agree on the outcome with zero extra communication.
+
+The power-posterior convention matches the single-device sampler: level k
+targets ``beta_k * lnP`` and the per-level run-mean of the UNtempered lnP
+feeds the same thermodynamic-integration ``log_evidence``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..sampler.tempered import TemperedResult, TemperedState, make_beta_ladder
+
+__all__ = ["run_tempered_sharded"]
+
+
+def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
+                         temp_axis: str = "tp", beta_min: float = 1e-3,
+                         a: float = 2.0, swap_every: int = 1) -> TemperedResult:
+    """Advance a temperature-sharded tempered ensemble ``n_steps`` steps.
+
+    ``coords``: (W, P) starting positions (replicated to every temperature, as
+    in :func:`sampler.tempered.init_tempered`).  The ladder size equals the
+    mesh's ``temp_axis`` extent; the star catalog is replicated per rank so
+    each temperature runs the model's fastest batched tier locally.
+    """
+    if temp_axis not in mesh.shape:
+        raise ValueError(f"mesh has no axis {temp_axis!r} (axes: {mesh.shape})")
+    n_temps = mesh.shape[temp_axis]
+    if n_temps < 2:
+        raise ValueError("Need at least 2 temperatures (mesh axis size >= 2).")
+
+    coords = jnp.asarray(coords, runner.dtype)
+    n_walkers, ndim = coords.shape
+    if n_walkers % 2:
+        raise ValueError("Number of walkers must be even.")
+    half = n_walkers // 2
+
+    betas = jnp.asarray(make_beta_ladder(n_temps, beta_min), coords.dtype)
+    batched_lnprob = runner.build_lnprob_batched()
+
+    # even-odd phase pairings as static ppermute permutations
+    def _phase_perm(phase):
+        perm = []
+        for k in range(n_temps):
+            partner = k + 1 if (k - phase) % 2 == 0 else k - 1
+            if 0 <= partner < n_temps:
+                perm.append((k, partner))
+        return tuple(perm)
+
+    perms = (_phase_perm(0), _phase_perm(1))
+
+    in_specs = (P(temp_axis), P(), P())
+    # every output carries the temperature ladder on its leading axis
+    out_specs = tuple(P(temp_axis) for _ in range(7))
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+             check_vma=False)
+    def sharded_run(betas_local, coords0, key):
+        k_idx = jax.lax.axis_index(temp_axis)
+        beta = betas_local[0]
+        lnp0 = batched_lnprob(coords0)
+
+        def half_update(active, active_lnp, other, subkey):
+            # stretch proposal tempered by beta (sampler/tempered.py:74-87)
+            un = jax.random.uniform(subkey, (3, active.shape[0]),
+                                    dtype=active.dtype)
+            z = ((a - 1.0) * un[0] + 1.0) ** 2 / a
+            n_other = other.shape[0]
+            idx = jnp.minimum((un[1] * n_other).astype(jnp.int32), n_other - 1)
+            proposals = other[idx] + z[:, None] * (active - other[idx])
+            new_lnp = batched_lnprob(proposals)
+            ln_accept = (ndim - 1.0) * jnp.log(z) + beta * (new_lnp - active_lnp)
+            accept = (jnp.log(un[2]) < ln_accept) & jnp.isfinite(new_lnp)
+            return (jnp.where(accept[:, None], proposals, active),
+                    jnp.where(accept, new_lnp, active_lnp), accept)
+
+        def do_swap(c, lnp, k_swap, phase):
+            # neighbour exchange over ICI; both pair members draw identical
+            # uniforms from the pair-id-folded (replicated) swap key
+            partner = k_idx + jnp.where((k_idx - phase) % 2 == 0, 1, -1)
+            valid = (partner >= 0) & (partner < n_temps)
+            lnp_p, beta_p, c_p = jax.lax.cond(
+                phase == 0,
+                lambda args: tuple(jax.lax.ppermute(x, temp_axis, perms[0])
+                                   for x in args),
+                lambda args: tuple(jax.lax.ppermute(x, temp_axis, perms[1])
+                                   for x in args),
+                (lnp, beta, c))
+            pair_id = jnp.minimum(k_idx, partner)
+            u = jax.random.uniform(jax.random.fold_in(k_swap, pair_id),
+                                   (n_walkers,), dtype=c.dtype)
+            ln_alpha = (beta - beta_p) * (lnp_p - lnp)
+            sw = (jnp.log(u) < ln_alpha) & valid
+            c_new = jnp.where(sw[:, None], c_p, c)
+            lnp_new = jnp.where(sw, lnp_p, lnp)
+            # count each pair once: on its lower member
+            n_sw = jnp.sum(sw & (k_idx < partner), dtype=jnp.int32)
+            return c_new, lnp_new, n_sw
+
+        def body(carry, step_idx):
+            c, lnp, k_common, acc, swaps = carry
+            k_common, k_move, k_swap = jax.random.split(k_common, 3)
+            # distinct move streams per temperature, common swap stream
+            k0, k1 = jax.random.split(jax.random.fold_in(k_move, k_idx))
+            cA, pA, aA = half_update(c[:half], lnp[:half], c[half:], k0)
+            cB, pB, aB = half_update(c[half:], lnp[half:], cA, k1)
+            c = jnp.concatenate([cA, cB])
+            lnp = jnp.concatenate([pA, pB])
+            acc = acc + jnp.concatenate([aA, aB]).astype(jnp.int32)
+
+            c, lnp, n_sw = jax.lax.cond(
+                (step_idx % swap_every) == swap_every - 1,
+                lambda args: do_swap(args[0], args[1], k_swap,
+                                     step_idx % 2),
+                lambda args: (args[0], args[1], jnp.zeros((), jnp.int32)),
+                (c, lnp))
+            swaps = swaps + n_sw
+            return (c, lnp, k_common, acc, swaps), (c, lnp, jnp.mean(lnp))
+
+        init = (coords0, lnp0, key, jnp.zeros(n_walkers, jnp.int32),
+                jnp.zeros((), jnp.int32))
+        (c_fin, lnp_fin, _k, acc, swaps), (traj_c, traj_lnp, lnp_means) = \
+            jax.lax.scan(body, init, jnp.arange(n_steps))
+        return (c_fin[None], lnp_fin[None], jnp.mean(lnp_means)[None],
+                traj_c[None], traj_lnp[None], acc[None], swaps[None])
+
+    (c_fin, lnp_fin, mean_lnp, traj_c, traj_lnp, acc,
+     swaps) = sharded_run(betas, coords, key)
+
+    # host-side assembly mirrors sampler.tempered.run_tempered
+    chain = jnp.swapaxes(traj_c[0], 0, 1)          # cold chain (W, S, P)
+    log_prob = jnp.swapaxes(traj_lnp[0], 0, 1)
+    # each adjacent pair is active in every OTHER swap round (even-odd phases)
+    n_swaps_possible = max(n_steps // max(swap_every, 1) // 2, 1) * n_walkers
+    final = TemperedState(
+        coords=c_fin, log_prob=lnp_fin, key=key,
+        accepted=acc, swaps_accepted=swaps[:-1],
+        step=jnp.asarray(n_steps, jnp.int32))
+    return TemperedResult(
+        chain=chain, log_prob=log_prob,
+        mean_lnp_by_beta=mean_lnp,
+        final=final,
+        acceptance_fraction=acc / max(n_steps, 1),
+        swap_acceptance=swaps[:-1] / max(n_swaps_possible, 1))
