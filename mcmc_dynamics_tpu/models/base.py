@@ -325,7 +325,7 @@ class Runner:
                         n_temps: int = 8, beta_min: float = 1e-3,
                         swap_every: int = 5, pos=None,
                         seed: Optional[int] = None, mesh=None,
-                        temp_axis: str = "tp"):
+                        temp_axis: str = "tp", move="stretch"):
         """Parallel-tempered ensemble sampling; returns (SamplerResult of the cold
         chain, thermodynamic-integration log-evidence estimate).
 
@@ -347,7 +347,7 @@ class Runner:
             res = run_tempered_sharded(self, jnp.asarray(pos, self.dtype), key,
                                        n_steps=n_steps, mesh=mesh,
                                        temp_axis=temp_axis, beta_min=beta_min,
-                                       swap_every=swap_every)
+                                       swap_every=swap_every, move=move)
             betas = make_beta_ladder(n_temps, beta_min)
         else:
             from ..sampler.tempered import init_tempered, run_tempered
@@ -357,7 +357,7 @@ class Runner:
                                          key, n_temps=n_temps,
                                          beta_min=beta_min)
             res = run_tempered(lnprob, state, betas, n_steps=n_steps,
-                               swap_every=swap_every)
+                               swap_every=swap_every, move=move)
         result = SamplerResult(chain=np.asarray(res.chain),
                                lnprobability=np.asarray(res.log_prob),
                                final_state=res.final,

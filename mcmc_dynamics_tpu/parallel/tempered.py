@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..sampler.stretch import normalize_move, propose_mixture
 from ..sampler.tempered import TemperedResult, TemperedState, make_beta_ladder
 
 __all__ = ["run_tempered_sharded"]
@@ -39,7 +40,8 @@ __all__ = ["run_tempered_sharded"]
 
 def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
                          temp_axis: str = "tp", beta_min: float = 1e-3,
-                         a: float = 2.0, swap_every: int = 1) -> TemperedResult:
+                         a: float = 2.0, swap_every: int = 1,
+                         move="stretch") -> TemperedResult:
     """Advance a temperature-sharded tempered ensemble ``n_steps`` steps.
 
     ``coords``: (W, P) starting positions (replicated to every temperature, as
@@ -60,6 +62,7 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
     half = n_walkers // 2
 
     betas = jnp.asarray(make_beta_ladder(n_temps, beta_min), coords.dtype)
+    moves = normalize_move(move)
     batched_lnprob = runner.build_lnprob_batched()
 
     # even-odd phase pairings as static ppermute permutations
@@ -85,16 +88,13 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         lnp0 = batched_lnprob(coords0)
 
         def half_update(active, active_lnp, other, subkey):
-            # stretch proposal tempered by beta (sampler/tempered.py:74-87)
-            un = jax.random.uniform(subkey, (3, active.shape[0]),
-                                    dtype=active.dtype)
-            z = ((a - 1.0) * un[0] + 1.0) ** 2 / a
-            n_other = other.shape[0]
-            idx = jnp.minimum((un[1] * n_other).astype(jnp.int32), n_other - 1)
-            proposals = other[idx] + z[:, None] * (active - other[idx])
+            # shared proposal machinery at inverse temperature beta
+            # (sampler/tempered.py _tempered_half): ln_bias + beta dlnP
+            proposals, ln_bias, ln_u = propose_mixture(moves, active, other,
+                                                       subkey, a)
             new_lnp = batched_lnprob(proposals)
-            ln_accept = (ndim - 1.0) * jnp.log(z) + beta * (new_lnp - active_lnp)
-            accept = (jnp.log(un[2]) < ln_accept) & jnp.isfinite(new_lnp)
+            ln_accept = ln_bias + beta * (new_lnp - active_lnp)
+            accept = (ln_u < ln_accept) & jnp.isfinite(new_lnp)
             return (jnp.where(accept[:, None], proposals, active),
                     jnp.where(accept, new_lnp, active_lnp), accept)
 

@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .stretch import as_batched
+from .stretch import as_batched, normalize_move, propose_mixture
 
 __all__ = ["TemperedState", "TemperedResult", "make_beta_ladder",
            "init_tempered", "run_tempered", "log_evidence"]
@@ -71,25 +71,23 @@ def init_tempered(lnprob_fn: Callable, coords, key, n_temps: int,
     return state, betas
 
 
-def _tempered_half(batched_lnprob, active, active_lnp, other, beta, key, a):
-    """Stretch half-update at inverse temperature beta (acceptance uses beta dlnP)."""
-    n_active, ndim = active.shape
-    un = jax.random.uniform(key, (3, n_active), dtype=active.dtype)
-    z = ((a - 1.0) * un[0] + 1.0) ** 2 / a
-    n_other = other.shape[0]
-    idx = jnp.minimum((un[1] * n_other).astype(jnp.int32), n_other - 1)
-    partners = other[idx]
-    proposals = partners + z[:, None] * (active - partners)
+def _tempered_half(batched_lnprob, moves, active, active_lnp, other, beta, key,
+                   a):
+    """Ensemble half-update at inverse temperature beta: the proposal comes
+    from the shared move machinery (stretch/de/snooker or a weighted mixture,
+    sampler/stretch.py) and the acceptance tempers only the likelihood term,
+    ``ln alpha = ln_bias + beta dlnP``."""
+    proposals, ln_bias, ln_u = propose_mixture(moves, active, other, key, a)
     new_lnp = batched_lnprob(proposals)
-    ln_accept = (ndim - 1.0) * jnp.log(z) + beta * (new_lnp - active_lnp)
-    accept = (jnp.log(un[2]) < ln_accept) & jnp.isfinite(new_lnp)
+    ln_accept = ln_bias + beta * (new_lnp - active_lnp)
+    accept = (ln_u < ln_accept) & jnp.isfinite(new_lnp)
     return (jnp.where(accept[:, None], proposals, active),
             jnp.where(accept, new_lnp, active_lnp), accept)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 5, 6))
+@partial(jax.jit, static_argnums=(0, 3, 5, 6, 7))
 def _scan_tempered(batched_lnprob, state: TemperedState, betas, n_steps: int,
-                   a: float, swap_every: int, store_chain: bool):
+                   a: float, swap_every: int, store_chain: bool, moves):
     n_temps, n_walkers, ndim = state.coords.shape
     half = n_walkers // 2
 
@@ -97,8 +95,10 @@ def _scan_tempered(batched_lnprob, state: TemperedState, betas, n_steps: int,
         k0, k1 = jax.random.split(key_k)
         cA, cB = coords_k[:half], coords_k[half:]
         pA, pB = lnp_k[:half], lnp_k[half:]
-        cA, pA, aA = _tempered_half(batched_lnprob, cA, pA, cB, beta_k, k0, a)
-        cB, pB, aB = _tempered_half(batched_lnprob, cB, pB, cA, beta_k, k1, a)
+        cA, pA, aA = _tempered_half(batched_lnprob, moves, cA, pA, cB, beta_k,
+                                    k0, a)
+        cB, pB, aB = _tempered_half(batched_lnprob, moves, cB, pB, cA, beta_k,
+                                    k1, a)
         return (jnp.concatenate([cA, cB]), jnp.concatenate([pA, pB]),
                 jnp.concatenate([aA, aB]))
 
@@ -150,14 +150,19 @@ def _scan_tempered(batched_lnprob, state: TemperedState, betas, n_steps: int,
 
 def run_tempered(lnprob_fn: Callable, state: TemperedState, betas,
                  n_steps: int, a: float = 2.0, swap_every: int = 1,
-                 store_chain: bool = True, batched: bool = False) -> TemperedResult:
-    """Advance the tempered ensembles ``n_steps`` steps in one XLA computation."""
+                 store_chain: bool = True, batched: bool = False,
+                 move="stretch") -> TemperedResult:
+    """Advance the tempered ensembles ``n_steps`` steps in one XLA computation.
+
+    ``move`` accepts the same specs as :func:`run_ensemble` (a name or a
+    weighted mixture)."""
     fn = lnprob_fn if batched else as_batched(lnprob_fn)
     if state.coords.shape[1] % 2:
         raise ValueError("Number of walkers must be even.")
     final, traj, lnp_by_beta = _scan_tempered(fn, state, jnp.asarray(betas),
                                               int(n_steps), float(a),
-                                              int(swap_every), bool(store_chain))
+                                              int(swap_every), bool(store_chain),
+                                              normalize_move(move))
     if store_chain:
         coords, lnp = traj
         chain = jnp.swapaxes(coords, 0, 1)

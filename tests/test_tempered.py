@@ -158,3 +158,34 @@ class TestShardedTempering:
         with pytest.raises(ValueError, match="tp"):
             run_tempered_sharded(fit, fit.get_initials(8),
                                  jax.random.PRNGKey(0), n_steps=4, mesh=mesh)
+
+
+class TestTemperedMoves:
+    def test_de_mixture_move_in_tempered_sampler(self):
+        """move= flows through run_tempered: the bimodal ladder (modes at 0
+        and 12, weights 0.3/0.7) still mixes between modes with a DE/snooker
+        mixture driving the proposals."""
+        lnprob = _bimodal_lnprob()
+        # all walkers start in the SMALLER mode at 0
+        pos = 0.1 * np.random.default_rng(2).normal(size=(32, 1))
+        state, betas = init_tempered(lnprob, jnp.asarray(pos),
+                                     jax.random.PRNGKey(4), n_temps=8,
+                                     beta_min=1e-2)
+        res = run_tempered(lnprob, state, betas, n_steps=1500, swap_every=5,
+                           move=(("de", 0.7), ("snooker", 0.3)))
+        cold = np.asarray(res.chain)[:, 750:, 0].reshape(-1)
+        frac_right = float(np.mean(cold > 6.0))
+        assert abs(frac_right - 0.7) < 0.15, frac_right
+        assert np.asarray(res.swap_acceptance).mean() > 0.05
+
+    def test_stretch_stream_unchanged_by_shared_proposals(self):
+        """The refactor onto propose_mixture must preserve the stretch key
+        stream bitwise (same uniforms layout as the old inline proposal)."""
+        lnprob = _bimodal_lnprob()
+        pos = np.random.default_rng(3).normal(6.0, 0.5, (16, 2))
+        state, betas = init_tempered(lnprob, jnp.asarray(pos),
+                                     jax.random.PRNGKey(5), n_temps=4)
+        r1 = run_tempered(lnprob, state, betas, n_steps=30)
+        r2 = run_tempered(lnprob, state, betas, n_steps=30, move="stretch")
+        np.testing.assert_array_equal(np.asarray(r1.final.coords),
+                                      np.asarray(r2.final.coords))
