@@ -191,11 +191,31 @@ def main(argv=None):
         pos = fit.read_final_chain(args.chain)
         logger.info("restarting from %s (%d walkers)", args.chain, pos.shape[0])
 
-    sampler = fit(n_walkers=sampling.get("n_walkers", 100),
-                  n_steps=sampling.get("n_steps", 500),
-                  n_out=sampling.get("n_out", 100),
-                  pos=pos, prefix=prefix)
-    n_burn = sampling.get("n_burn", 100)
+    n_steps = sampling.get("n_steps", 500)
+    if n_steps == "auto":
+        # tau-driven auto-stop: chunks of n_out until the chain certifies its
+        # own convergence (Runner.sample_to_convergence); max_steps bounds it
+        sampler = fit.sample_to_convergence(
+            n_walkers=sampling.get("n_walkers", 100),
+            max_steps=int(sampling.get("max_steps", 50_000)),
+            check_every=int(sampling.get("n_out", 500)),
+            tau_factor=float(sampling.get("tau_factor", 50.0)),
+            pos=pos, prefix=prefix)
+        logger.info("auto-stop: %d steps, converged=%s, tau=%s",
+                    sampler.iteration, sampler.converged,
+                    np.array2string(sampler.tau, precision=1))
+        n_burn = sampling.get("n_burn")
+        if n_burn is None:
+            # emcee-recommended default: discard a few autocorrelation times
+            n_burn = min(int(3 * float(np.max(sampler.tau))),
+                         sampler.iteration // 2)
+            logger.info("auto n_burn = %d (3 tau)", n_burn)
+    else:
+        sampler = fit(n_walkers=sampling.get("n_walkers", 100),
+                      n_steps=n_steps,
+                      n_out=sampling.get("n_out", 100),
+                      pos=pos, prefix=prefix)
+        n_burn = sampling.get("n_burn", 100)
 
     best = fit.compute_bestfit_values(sampler.chain, n_burn=n_burn)
     print(best.to_pandas().to_string())

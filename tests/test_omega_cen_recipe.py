@@ -171,3 +171,29 @@ class TestJamProductionPipeline:
             assert f.exists() and f.stat().st_size > 0, suffix
         masses = np.load(tmp_path / "jamrun_mass_posterior.npy")
         assert np.isfinite(masses).all() and (masses > 0).all()
+
+class TestAutoConvergenceMode:
+    def test_n_steps_auto_runs_to_certified_chain(self, tmp_path, monkeypatch):
+        """sampling.n_steps = "auto" routes the production driver through the
+        tau-driven auto-stop; n_burn defaults to 3 tau when unset."""
+        import json as _json
+
+        from mcmc_dynamics_tpu.cli.run import main
+        from mcmc_dynamics_tpu.models import Runner
+
+        cfg = _json.loads((REPO / "example" / "omega_cen_fixed.json").read_text())
+        cfg["data"]["file"] = str(REPO / cfg["data"]["file"])
+        cfg["prefix"] = "auto_run"
+        cfg["sampling"] = {"n_walkers": 64, "n_steps": "auto",
+                           "max_steps": 4000, "n_out": 1000, "seed": 11}
+        cfg_file = tmp_path / "auto.json"
+        cfg_file.write_text(_json.dumps(cfg))
+        monkeypatch.chdir(tmp_path)
+        assert main([str(cfg_file), "--skip-binned", "--skip-profiles"]) == 0
+
+        chain = Runner.read_chain(str(tmp_path / "auto_run_chain.npz"))
+        assert chain.shape[0] == 64
+        assert 1000 <= chain.shape[1] <= 4000
+        # the run produced the standard artifacts
+        for suffix in ("_chains.png", "_corner.png"):
+            assert (tmp_path / f"auto_run{suffix}").exists()
