@@ -307,3 +307,24 @@ class TestAnalyticalProfilesGridAnchors:
         # likelihood stays finite with either grid point selected
         assert np.isfinite(float(fit.lnlike(np.array([RA_C + 0.0001]))))
         assert np.isfinite(float(fit.lnlike(np.array([RA_C + 0.0019]))))
+
+
+class TestJamAlternativeSamplers:
+    """The beyond-reference samplers drive the JAM likelihood end to end —
+    tempering is motivated by multimodal (mlr, mbh, d) JAM posteriors."""
+
+    def test_sample_tempered_on_jam(self):
+        data, lum, mass = _mock_jam_data(n=120, seed=4)
+        params = _base_params()
+        params["mlr"].set(value=2.0, min=0.5, max=6.0, fixed=False,
+                          initials="rng.uniform(1.5, 2.5, size=n)")
+        params["kappa_x"].set(value=0.5, min=-2.0, max=2.0, fixed=False,
+                              initials="rng.uniform(0.3, 0.7, size=n)")
+        fit = Axisymmetric(data, mge_mass=mass, mge_lum=lum, parameters=params,
+                           seed=6)
+        res, lnz = fit.sample_tempered(n_walkers=16, n_steps=120, n_temps=3,
+                                       beta_min=0.05, swap_every=3)
+        assert np.isfinite(res.lnprobability).all()
+        assert np.isfinite(lnz)
+        mlr = float(np.median(res.chain[:, 60:, 0]))
+        assert 1.2 < mlr < 3.0, mlr   # recovers the injected M/L ~ 2
