@@ -299,8 +299,15 @@ class Runner:
     def sample_hmc(self, n_walkers: int = 32, n_steps: int = 500,
                    n_warmup: int = 200, n_leapfrog: int = 10,
                    step_size: float = 0.05, pos=None, seed: Optional[int] = None):
-        """Gradient-based HMC sampling of this model's posterior (warmup with
-        step-size adaptation, then sampling). Returns a :class:`SamplerResult`.
+        """Gradient-based HMC sampling of this model's posterior. Returns a
+        :class:`SamplerResult`.
+
+        Windowed warmup (the Stan recipe, diagonal): phase 1 adapts the step
+        size under an identity mass matrix while collecting samples; the
+        per-parameter posterior variance over the second half of that window
+        becomes the inverse mass (so v_sys at ~km/s and r_peak at ~arcsec
+        scales decorrelate equally fast); phase 2 re-adapts the step size
+        under the new metric before sampling.
 
         Available because every likelihood here is differentiable — including the
         JAM engine (the reference's C physics has no gradients)."""
@@ -313,8 +320,17 @@ class Runner:
         state = init_hmc(lnprob, jnp.asarray(pos, self.dtype), key,
                          step_size=step_size)
         warm = run_hmc(lnprob, state, n_steps=n_warmup, n_leapfrog=n_leapfrog,
-                       adapt=True, store_chain=False)
-        res = run_hmc(lnprob, warm.final, n_steps=n_steps, n_leapfrog=n_leapfrog)
+                       adapt=True, store_chain=True)
+        # diagonal mass from the second half of warmup, pooled across walkers;
+        # clamp to a sane floor so a stuck dimension cannot zero the metric
+        w_samples = np.asarray(warm.chain)[:, n_warmup // 2:, :]
+        var = w_samples.reshape(-1, w_samples.shape[-1]).var(axis=0)
+        mass_inv = jnp.asarray(np.maximum(var, 1e-12), self.dtype)
+        warm2 = run_hmc(lnprob, warm.final, n_steps=max(n_warmup // 2, 50),
+                        n_leapfrog=n_leapfrog, mass_inv=mass_inv, adapt=True,
+                        store_chain=False)
+        res = run_hmc(lnprob, warm2.final, n_steps=n_steps,
+                      n_leapfrog=n_leapfrog, mass_inv=mass_inv)
         return SamplerResult(chain=np.asarray(res.chain),
                              lnprobability=np.asarray(res.log_prob),
                              final_state=res.final,
