@@ -322,14 +322,20 @@ class Runner:
         warm = run_hmc(lnprob, state, n_steps=n_warmup, n_leapfrog=n_leapfrog,
                        adapt=True, store_chain=True)
         # diagonal mass from the second half of warmup, pooled across walkers;
-        # clamp to a sane floor so a stuck dimension cannot zero the metric
+        # clamp to a sane floor so a stuck dimension cannot zero the metric.
+        # Too few warmup samples cannot support a variance estimate (0 samples
+        # -> NaN, 1 -> zero variance): fall back to the identity metric there.
         w_samples = np.asarray(warm.chain)[:, n_warmup // 2:, :]
-        var = w_samples.reshape(-1, w_samples.shape[-1]).var(axis=0)
-        mass_inv = jnp.asarray(np.maximum(var, 1e-12), self.dtype)
-        warm2 = run_hmc(lnprob, warm.final, n_steps=max(n_warmup // 2, 50),
-                        n_leapfrog=n_leapfrog, mass_inv=mass_inv, adapt=True,
-                        store_chain=False)
-        res = run_hmc(lnprob, warm2.final, n_steps=n_steps,
+        flat = w_samples.reshape(-1, w_samples.shape[-1])
+        if flat.shape[0] >= 20 * flat.shape[1]:
+            var = flat.var(axis=0)
+            mass_inv = jnp.asarray(np.maximum(var, 1e-12), self.dtype)
+            warm = run_hmc(lnprob, warm.final, n_steps=max(n_warmup // 2, 50),
+                           n_leapfrog=n_leapfrog, mass_inv=mass_inv,
+                           adapt=True, store_chain=False)
+        else:
+            mass_inv = None
+        res = run_hmc(lnprob, warm.final, n_steps=n_steps,
                       n_leapfrog=n_leapfrog, mass_inv=mass_inv)
         return SamplerResult(chain=np.asarray(res.chain),
                              lnprobability=np.asarray(res.log_prob),

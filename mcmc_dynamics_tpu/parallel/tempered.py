@@ -77,8 +77,13 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
     perms = (_phase_perm(0), _phase_perm(1))
 
     in_specs = (P(temp_axis), P(), P())
-    # every output carries the temperature ladder on its leading axis
-    out_specs = tuple(P(temp_axis) for _ in range(7))
+    # per-level outputs carry the ladder on their leading axis; the cold
+    # trajectory and the advanced key are replicated (P()) — the trajectory is
+    # masked to rank 0 and psum'd so the host never gathers the 7 unused
+    # levels' chains (n_temps x chain memory), and the key is identical on
+    # every rank by construction
+    out_specs = (P(temp_axis), P(temp_axis), P(temp_axis), P(), P(),
+                 P(temp_axis), P(temp_axis), P())
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
              check_vma=False)
@@ -132,10 +137,13 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
             lnp = jnp.concatenate([pA, pB])
             acc = acc + jnp.concatenate([aA, aB]).astype(jnp.int32)
 
+            # phase counts SWAP ROUNDS, not raw steps: with an even swap_every
+            # a raw step_idx % 2 phase would be pinned and half the pairs
+            # (including the cold pair) would never exchange
             c, lnp, n_sw = jax.lax.cond(
                 (step_idx % swap_every) == swap_every - 1,
                 lambda args: do_swap(args[0], args[1], k_swap,
-                                     step_idx % 2),
+                                     (step_idx // swap_every) % 2),
                 lambda args: (args[0], args[1], jnp.zeros((), jnp.int32)),
                 (c, lnp))
             swaps = swaps + n_sw
@@ -143,21 +151,32 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
 
         init = (coords0, lnp0, key, jnp.zeros(n_walkers, jnp.int32),
                 jnp.zeros((), jnp.int32))
-        (c_fin, lnp_fin, _k, acc, swaps), (traj_c, traj_lnp, lnp_means) = \
+        (c_fin, lnp_fin, k_fin, acc, swaps), (traj_c, traj_lnp, lnp_means) = \
             jax.lax.scan(body, init, jnp.arange(n_steps))
+        cold = (k_idx == 0)
+        traj_c = jax.lax.psum(jnp.where(cold, traj_c, 0.0), temp_axis)
+        traj_lnp = jax.lax.psum(jnp.where(cold, traj_lnp, 0.0), temp_axis)
+        k_out = (jax.random.key_data(k_fin)
+                 if jnp.issubdtype(k_fin.dtype, jax.dtypes.prng_key)
+                 else k_fin)  # legacy uint32 keys pass through unchanged
         return (c_fin[None], lnp_fin[None], jnp.mean(lnp_means)[None],
-                traj_c[None], traj_lnp[None], acc[None], swaps[None])
+                traj_c, traj_lnp, acc[None], swaps[None], k_out)
 
     (c_fin, lnp_fin, mean_lnp, traj_c, traj_lnp, acc,
-     swaps) = sharded_run(betas, coords, key)
+     swaps, key_data) = sharded_run(betas, coords, key)
 
-    # host-side assembly mirrors sampler.tempered.run_tempered
-    chain = jnp.swapaxes(traj_c[0], 0, 1)          # cold chain (W, S, P)
-    log_prob = jnp.swapaxes(traj_lnp[0], 0, 1)
+    # host-side assembly mirrors sampler.tempered.run_tempered; the advanced
+    # key (identical on every rank — swaps/moves fold a shared stream) makes
+    # res.final a valid resume point
+    final_key = jax.random.wrap_key_data(
+        key_data, impl=str(jax.random.key_impl(key))) \
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key_data
+    chain = jnp.swapaxes(traj_c, 0, 1)             # cold chain (W, S, P)
+    log_prob = jnp.swapaxes(traj_lnp, 0, 1)
     # each adjacent pair is active in every OTHER swap round (even-odd phases)
     n_swaps_possible = max(n_steps // max(swap_every, 1) // 2, 1) * n_walkers
     final = TemperedState(
-        coords=c_fin, log_prob=lnp_fin, key=key,
+        coords=c_fin, log_prob=lnp_fin, key=final_key,
         accepted=acc, swaps_accepted=swaps[:-1],
         step=jnp.asarray(n_steps, jnp.int32))
     return TemperedResult(

@@ -157,6 +157,11 @@ def propose_snooker(active_coords, pool, key, gammas: float = 1.7):
     """
     n_active, ndim = active_coords.shape
     n_pool = pool.shape[0]
+    if n_pool < 3:
+        raise ValueError(
+            f"Snooker proposals need a partner pool of >= 3 walkers (got "
+            f"{n_pool}; use >= 6 walkers) — with 2 the z2 draw would wrap "
+            "back onto z and break the Metropolis correction.")
     tiny = jnp.finfo(active_coords.dtype).tiny
     un = jax.random.uniform(key, (4, n_active), dtype=active_coords.dtype)
     i0 = jnp.minimum((un[0] * n_pool).astype(jnp.int32), n_pool - 1)
@@ -164,7 +169,7 @@ def propose_snooker(active_coords, pool, key, gammas: float = 1.7):
     # past off1 -> off2 in [1, n-1] \ {off1}; all three indices distinct
     off1 = 1 + jnp.minimum((un[1] * (n_pool - 1)).astype(jnp.int32), n_pool - 2)
     off2 = 1 + jnp.minimum((un[2] * (n_pool - 2)).astype(jnp.int32),
-                           max(n_pool - 3, 0))
+                           n_pool - 3)
     off2 = jnp.where(off2 >= off1, off2 + 1, off2)
     z = pool[i0]
     z1 = pool[(i0 + off1) % n_pool]
@@ -201,12 +206,15 @@ def normalize_move(move):
             raise ValueError(
                 f"move must be a name or a sequence of (name, weight) pairs; "
                 f"got {move!r}") from err
-    for name, _w in pairs:
+    for name, w in pairs:
         if name not in _MOVE_NAMES:
             raise ValueError(f"Unknown move '{name}' (use one of {_MOVE_NAMES}).")
-    total = sum(w for _, w in pairs)
-    if not pairs or total <= 0:
+        if not w > 0:
+            raise ValueError(
+                f"Move weights must be positive (got {name!r}: {w}).")
+    if not pairs:
         raise ValueError("Move weights must be positive.")
+    total = sum(w for _, w in pairs)
     return tuple((n, w / total) for n, w in pairs)
 
 

@@ -167,3 +167,26 @@ class TestMassMatrixAdaptation:
         assert float(np.mean(res.acceptance_fraction)) > 0.5
         v = np.median(res.chain[:, 100:, 0])
         assert abs(v - 2.0) < 1.0
+
+    def test_short_warmup_falls_back_to_identity_metric(self):
+        """n_warmup=0/1 cannot support a variance estimate; the old code path
+        (identity mass, no phase-2 window) must be used instead of a NaN or
+        collapsed metric."""
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.models import ConstantFit
+        from mcmc_dynamics_tpu.utils import DataReader
+
+        rng = np.random.default_rng(6)
+        n = 80
+        data = DataReader({
+            "ra": u.Quantity(RA_C + 0.02 * rng.normal(size=n), "deg"),
+            "dec": u.Quantity(DEC_C + 0.02 * rng.normal(size=n), "deg"),
+            "v": u.Quantity(6.0 * rng.normal(size=n), "km/s"),
+            "verr": u.Quantity(np.full(n, 0.4), "km/s")})
+        params = ConstantFit.default_parameters()
+        params["ra_center"].set(value=RA_C, fixed=True)
+        params["dec_center"].set(value=DEC_C, fixed=True)
+        fit = ConstantFit(data, parameters=params, seed=9)
+        for n_warmup in (0, 1):
+            res = fit.sample_hmc(n_walkers=8, n_steps=40, n_warmup=n_warmup)
+            assert np.isfinite(res.lnprobability).all(), n_warmup

@@ -399,3 +399,21 @@ class TestMoveMixtures:
                       move=(("stretch", 0.5), ("de", 0.5)), mesh=mesh,
                       prefix=None)
         assert np.isfinite(sampler.lnprobability[:, -1]).all()
+
+
+class TestMoveValidationRegressions:
+    def test_snooker_rejects_tiny_pool(self):
+        import jax
+        from mcmc_dynamics_tpu.sampler.stretch import propose_snooker
+
+        with pytest.raises(ValueError, match="pool of >= 3"):
+            propose_snooker(jnp.zeros((2, 3)), jnp.zeros((2, 3)),
+                            jax.random.PRNGKey(0))
+
+    def test_negative_mixture_weight_rejected(self):
+        """Negative weights used to pass if the SUM was positive, silently
+        routing every walker to the last move."""
+        from mcmc_dynamics_tpu.sampler.stretch import normalize_move
+
+        with pytest.raises(ValueError, match="positive"):
+            normalize_move((("de", -1.0), ("snooker", 2.0)))

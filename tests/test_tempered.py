@@ -189,3 +189,46 @@ class TestTemperedMoves:
         r2 = run_tempered(lnprob, state, betas, n_steps=30, move="stretch")
         np.testing.assert_array_equal(np.asarray(r1.final.coords),
                                       np.asarray(r2.final.coords))
+
+
+class TestShardedTemperingRegressions:
+    """Review-pass regressions: even swap_every phase pinning, resume key,
+    cold-chain-only trajectory transfer."""
+
+    def test_even_swap_every_still_exchanges_all_pairs(self):
+        """Phase must count swap ROUNDS: with swap_every=2 a raw step-parity
+        phase was pinned to 1 and the even pairs (incl. the cold pair) never
+        swapped."""
+        import jax
+        from mcmc_dynamics_tpu.parallel import make_mesh, run_tempered_sharded
+
+        fit = TestShardedTempering._fit(TestShardedTempering())
+        mesh = make_mesh(("tp",), (8,))
+        res = run_tempered_sharded(fit, fit.get_initials(32),
+                                   jax.random.PRNGKey(2), n_steps=600,
+                                   mesh=mesh, swap_every=2)
+        swap_acc = np.asarray(res.swap_acceptance)
+        assert (swap_acc > 0.02).all(), swap_acc
+
+    def test_final_state_resumes_with_advanced_key(self):
+        """res.final.key must be the post-run key: a resumed segment may not
+        replay the first segment's random stream."""
+        import jax
+        from mcmc_dynamics_tpu.parallel import make_mesh, run_tempered_sharded
+        from mcmc_dynamics_tpu.sampler.stretch import key_to_arrays
+
+        fit = TestShardedTempering._fit(TestShardedTempering())
+        mesh = make_mesh(("tp",), (8,))
+        key = jax.random.PRNGKey(3)
+        r1 = run_tempered_sharded(fit, fit.get_initials(16), key, n_steps=40,
+                                  mesh=mesh)
+        k_in, _ = key_to_arrays(key)
+        k_fin, _ = key_to_arrays(r1.final.key)
+        assert not np.array_equal(np.asarray(k_in), np.asarray(k_fin))
+
+        # continuing from the final coords with the final key produces a
+        # different stream than re-running from the start
+        r2 = run_tempered_sharded(fit, np.asarray(r1.final.coords[0]),
+                                  r1.final.key, n_steps=40, mesh=mesh)
+        assert not np.allclose(np.asarray(r2.chain[:, :5]),
+                               np.asarray(r1.chain[:, :5]))
