@@ -192,6 +192,10 @@ def main(argv=None):
         logger.info("restarting from %s (%d walkers)", args.chain, pos.shape[0])
 
     n_steps = sampling.get("n_steps", 500)
+    if isinstance(n_steps, str) and n_steps != "auto":
+        raise ValueError(
+            f"sampling.n_steps must be an integer or the string \"auto\" "
+            f"(got {n_steps!r}).")
     if n_steps == "auto":
         # tau-driven auto-stop: chunks of n_out until the chain certifies its
         # own convergence (Runner.sample_to_convergence); max_steps bounds it

@@ -525,8 +525,11 @@ class Runner:
 
         if check_every <= 0:
             raise ValueError("check_every must be positive.")
+        if max_steps <= 0:
+            raise ValueError("max_steps must be positive.")
         chain_parts, lnp_parts = [], []
         done = 0
+        accepted_total = None
         tau_prev = None
         converged = False
         result = None
@@ -540,6 +543,10 @@ class Runner:
             state = result.final_state
             chain_parts.append(result.chain)
             lnp_parts.append(result.lnprobability)
+            # accumulate acceptance over the WHOLE run, not the last chunk
+            chunk_acc = np.asarray(result.acceptance_fraction) * steps
+            accepted_total = (chunk_acc if accepted_total is None
+                              else accepted_total + chunk_acc)
             done += steps
 
             chain = np.concatenate(chain_parts, axis=1)
@@ -564,7 +571,7 @@ class Runner:
             chain=np.concatenate(chain_parts, axis=1),
             lnprobability=np.concatenate(lnp_parts, axis=1),
             final_state=state,
-            acceptance_fraction=result.acceptance_fraction)
+            acceptance_fraction=accepted_total / done)
         sampler.tau = tau
         sampler.converged = converged
         if not converged:
@@ -847,21 +854,22 @@ class SamplerResult:
         return v.reshape(-1) if flat else v
 
     def get_autocorr_time(self, discard: int = 0, thin: int = 1, c: float = 5.0,
-                          quiet: bool = False):
+                          tol: float = 50.0, quiet: bool = False):
         """Integrated autocorrelation time per parameter (emcee v3 semantics:
         raises :class:`sampler.diagnostics.AutocorrError` when the chain is
-        shorter than 50 tau, unless ``quiet``)."""
+        shorter than ``tol`` tau, unless ``quiet``)."""
         from ..sampler.diagnostics import AutocorrError, autocorr_time
 
         sub = np.asarray(self.chain)[:, discard::thin, :]
         tau = autocorr_time(sub, c=c) * thin
         n_eff_steps = sub.shape[1] * thin
-        if not quiet and np.any(tau * 50 > n_eff_steps):
+        if not quiet and np.any(tau * tol > n_eff_steps):
             raise AutocorrError(
-                tau, "The chain is shorter than 50 times the integrated "
-                     f"autocorrelation time ({n_eff_steps} steps vs tau = "
-                     f"{np.array2string(tau, precision=1)}); the estimate is "
-                     "unreliable. Run longer or pass quiet=True.")
+                tau, f"The chain is shorter than tol={tol:g} times the "
+                     f"integrated autocorrelation time ({n_eff_steps} steps "
+                     f"vs tau = {np.array2string(tau, precision=1)}); the "
+                     "estimate is unreliable. Run longer, lower tol, or pass "
+                     "quiet=True.")
         return tau
 
 
@@ -889,7 +897,6 @@ def with_density_logs(data, dtype):
     sharded runs of the same model agree bitwise.  The 1e-300 clamp only binds
     for exactly-zero densities; its log (-690.8) stays finite after the cast
     even in float32, where the clamped density itself underflows to 0."""
-    import numpy as np
     if "density" in data and "ln_density" not in data:
         dens = np.maximum(np.asarray(data["density"], np.float64), 1e-300)
         data["density"] = jnp.asarray(dens, dtype)

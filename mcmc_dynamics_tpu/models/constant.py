@@ -243,7 +243,6 @@ class ConstantFitGB(ConstantFit):
 
     def build_lnprob_batched(self):
         import jax
-        import numpy as np
 
         if not self._pallas_eligible():
             return super().build_lnprob_batched()

@@ -147,15 +147,20 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
                 lambda args: (args[0], args[1], jnp.zeros((), jnp.int32)),
                 (c, lnp))
             swaps = swaps + n_sw
-            return (c, lnp, k_common, acc, swaps), (c, lnp, jnp.mean(lnp))
+            # emit the trajectory pre-masked to the cold rank: the psum below
+            # then needs no extra masked temporary of the full chain.
+            # select(), not multiply: a -inf lnP on a hot rank times 0 is NaN
+            cold = k_idx == 0
+            return ((c, lnp, k_common, acc, swaps),
+                    (jnp.where(cold, c, 0.0), jnp.where(cold, lnp, 0.0),
+                     jnp.mean(lnp)))
 
         init = (coords0, lnp0, key, jnp.zeros(n_walkers, jnp.int32),
                 jnp.zeros((), jnp.int32))
         (c_fin, lnp_fin, k_fin, acc, swaps), (traj_c, traj_lnp, lnp_means) = \
             jax.lax.scan(body, init, jnp.arange(n_steps))
-        cold = (k_idx == 0)
-        traj_c = jax.lax.psum(jnp.where(cold, traj_c, 0.0), temp_axis)
-        traj_lnp = jax.lax.psum(jnp.where(cold, traj_lnp, 0.0), temp_axis)
+        traj_c = jax.lax.psum(traj_c, temp_axis)
+        traj_lnp = jax.lax.psum(traj_lnp, temp_axis)
         k_out = (jax.random.key_data(k_fin)
                  if jnp.issubdtype(k_fin.dtype, jax.dtypes.prng_key)
                  else k_fin)  # legacy uint32 keys pass through unchanged
@@ -173,8 +178,12 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key_data
     chain = jnp.swapaxes(traj_c, 0, 1)             # cold chain (W, S, P)
     log_prob = jnp.swapaxes(traj_lnp, 0, 1)
-    # each adjacent pair is active in every OTHER swap round (even-odd phases)
-    n_swaps_possible = max(n_steps // max(swap_every, 1) // 2, 1) * n_walkers
+    # pair (k, k+1) is active when the swap-round parity equals k % 2, so with
+    # an odd round count the even (phase-0) pairs attempt one extra round
+    n_rounds = n_steps // max(swap_every, 1)
+    pair_idx = np.arange(n_temps - 1)
+    attempts = np.where(pair_idx % 2 == 0, (n_rounds + 1) // 2, n_rounds // 2)
+    attempts = np.maximum(attempts * n_walkers, 1)
     final = TemperedState(
         coords=c_fin, log_prob=lnp_fin, key=final_key,
         accepted=acc, swaps_accepted=swaps[:-1],
@@ -184,4 +193,4 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         mean_lnp_by_beta=mean_lnp,
         final=final,
         acceptance_fraction=acc / max(n_steps, 1),
-        swap_acceptance=swaps[:-1] / max(n_swaps_possible, 1))
+        swap_acceptance=swaps[:-1] / jnp.asarray(attempts, chain.dtype))
