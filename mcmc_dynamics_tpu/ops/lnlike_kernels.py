@@ -457,8 +457,11 @@ def double_model_lnlike_batched(params, dxm, dym, r2, v, verr2, mask,
 
 @functools.partial(jax.jit, static_argnames=("walker_tile", "star_chunk"))
 def constant_gb_lnlike_batched(params, gx, gy, v, verr2, density, ln_density,
-                               mask, walker_tile: int = 512,
+                               mask, walker_tile: int = 1024,
                                star_chunk: int = 2048):
+    # walker_tile 1024 measured ~7% over 512 at 16k x 1e4 (the 7-array star
+    # block leaves VMEM headroom the wider walker tile can use); 2048 regresses
+    # and 4096 OOMs scoped VMEM.  The 9-array model mixture kernel peaks at 512.
     """Fused ConstantFitGB log-likelihood -> (W,): constant rotation/dispersion
     mixed with a parametric Gaussian velocity background through per-star
     density membership priors (reference constant.py:293-364).
