@@ -343,7 +343,129 @@ def bench_binned_pipeline(rows):
           f"steps in {dt:.3f}s", file=sys.stderr)
 
 
+def validate():
+    """Cross-tier consistency on the ATTACHED accelerator in its native dtype.
+
+    The pytest suite proves every tier pair equal in float64 on the virtual
+    CPU mesh; this gate re-proves it on the real device in float32, where
+    summation order, Mosaic lowering and the MXU differ — run
+    ``python bench.py --validate`` after kernel work.  Each fused/tabulated
+    tier is compared against its XLA-fusion reference on a probe batch;
+    prior-rejected walkers must agree exactly (-inf pattern), finite ones to
+    f32 summation tolerance.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    failures = []
+
+    def check(name, fit, pos, build=None, rtol=2e-4, atol=5e-2):
+        th = jnp.asarray(pos, fit.dtype)
+        got = np.asarray((build() if build else fit.build_lnprob_batched())(th))
+        os.environ["MCMC_TPU_DISABLE_PALLAS"] = "1"
+        os.environ["MCMC_TPU_LNPROB"] = "direct"
+        ref = np.asarray(fit.build_lnprob_batched()(th))
+        del os.environ["MCMC_TPU_DISABLE_PALLAS"], os.environ["MCMC_TPU_LNPROB"]
+        ok = np.isfinite(ref)
+        try:
+            assert (np.isfinite(got) == ok).all(), "-inf pattern differs"
+            np.testing.assert_allclose(got[ok], ref[ok], rtol=rtol, atol=atol)
+            err = float(np.max(np.abs(got[ok] - ref[ok]))) if ok.any() else 0.0
+            print(f"  {name:24s} OK   (finite {ok.sum()}/{ok.size}, "
+                  f"max|d| {err:.3g})", file=sys.stderr)
+        except AssertionError as exc:
+            failures.append(name)
+            print(f"  {name:24s} FAIL {exc}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    n, W = 4000, 2048
+    data, ra_c, dec_c = _mock_catalog(n, rng)
+
+    from mcmc_dynamics_tpu.models import (ConstantFit, ConstantFitGB,
+                                          DoubleModelFit, ModelFit, ModelFitGB)
+
+    # ConstantFit: sufficient tables vs direct
+    params = ConstantFit.default_parameters()
+    params["ra_center"].set(value=ra_c, fixed=True)
+    params["dec_center"].set(value=dec_c, fixed=True)
+    cfit = ConstantFit(data, parameters=params)
+    cpos = np.column_stack([rng.normal(0, 1, W),
+                            np.exp(rng.normal(1.8, 0.2, W)),
+                            rng.normal(0, 3, W), rng.normal(0, 3, W)])
+    check("constant/sufficient", cfit, cpos,
+          build=cfit.build_lnprob_sufficient)
+
+    # ModelFit: direct Pallas kernel and the Chebyshev table tier
+    mparams = ModelFit.default_parameters()
+    mparams["ra_center"].set(value=ra_c, fixed=True)
+    mparams["dec_center"].set(value=dec_c, fixed=True)
+    mparams["r_peak"].set(min=1.0, max=300.0)
+    mparams["a"].set(min=1.0, max=300.0)
+    mfit = ModelFit(data, parameters=mparams)
+    mpos = np.column_stack([
+        rng.normal(0, 1, W), np.exp(rng.normal(1.8, 0.2, W)),
+        rng.uniform(20, 60, W), rng.normal(0, 3, W), rng.normal(0, 3, W),
+        rng.uniform(30, 90, W)])
+    if mfit._pallas_eligible():
+        check("model/pallas", mfit, mpos)
+    check("model/sufficient", mfit, mpos, build=mfit.build_lnprob_sufficient,
+          atol=0.5)  # the table tier is approximate (~f32 eval floor)
+
+    # density mixtures: every fused GB kernel, incl. f_back = 0 walkers
+    def gb_pos(extra_rng):
+        p = np.column_stack([
+            mpos, extra_rng.normal(0, 20, W),
+            np.exp(extra_rng.uniform(3, 4, W)),
+            10.0 ** extra_rng.uniform(-1, 1, W)])
+        p[:32, -1] = 0.0
+        return p
+
+    gdata, _, _ = _mock_catalog(n, np.random.default_rng(1))
+    gdata.data["density"] = 10.0 ** np.random.default_rng(1).uniform(-1, 2, n)
+    gparams = ModelFitGB.default_parameters()
+    gparams["ra_center"].set(value=ra_c, fixed=True)
+    gparams["dec_center"].set(value=dec_c, fixed=True)
+    gfit = ModelFitGB(gdata, parameters=gparams)
+    if gfit._pallas_eligible():
+        check("model-gb/pallas", gfit, gb_pos(np.random.default_rng(2)))
+
+    cgparams = ConstantFitGB.default_parameters()
+    cgparams["ra_center"].set(value=ra_c, fixed=True)
+    cgparams["dec_center"].set(value=dec_c, fixed=True)
+    cgdata, _, _ = _mock_catalog(n, np.random.default_rng(3))
+    cgdata.data["density"] = 10.0 ** np.random.default_rng(3).uniform(-1, 2, n)
+    cgfit = ConstantFitGB(cgdata, parameters=cgparams)
+    rng4 = np.random.default_rng(4)
+    cgpos = np.column_stack([cpos, rng4.normal(0, 20, W),
+                             np.exp(rng4.uniform(3, 4, W)),
+                             10.0 ** rng4.uniform(-1, 1, W)])
+    cgpos[:32, -1] = 0.0
+    if cgfit._pallas_eligible():
+        check("constant-gb/pallas", cgfit, cgpos)
+
+    dparams = DoubleModelFit.default_parameters()
+    dparams["ra_center"].set(value=ra_c, fixed=True)
+    dparams["dec_center"].set(value=dec_c, fixed=True)
+    dfit = DoubleModelFit(data, parameters=dparams)
+    rng5 = np.random.default_rng(5)
+    dpos = np.column_stack([mpos, rng5.normal(0, 2, W), rng5.normal(0, 2, W),
+                            rng5.uniform(5, 25, W)])
+    if dfit._pallas_eligible():
+        check("double-model/pallas", dfit, dpos)
+
+    if failures:
+        print(f"VALIDATE FAILED: {failures}", file=sys.stderr)
+        return 1
+    print("VALIDATE OK: every fused/tabulated tier matches its XLA reference "
+          "on this device", file=sys.stderr)
+    return 0
+
+
 def main():
+    if "--validate" in sys.argv:
+        sys.exit(validate())
     rows = {}
     bench_constant(rows)
     bench_model(rows)

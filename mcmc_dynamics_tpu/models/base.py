@@ -888,6 +888,38 @@ def mixture_lnlike_terms(lnlike_member, lnlike_background, pmember):
                          jnp.log1p(-pmember) + lnlike_background)
 
 
+def density_membership(density, f_back):
+    """Membership prior m = density / (density + f_back), safe at the corner
+    density = 0 AND f_back = 0 (both within their priors): the plain ratio is
+    0/0 = NaN there — in float32 even a clamped density underflows to exactly
+    0 — which would poison the walker's whole lnL.  A zero-density star is
+    pure background (m = 0).  Used for a-posteriori membership outputs; the
+    likelihood itself goes through :func:`density_mixture_terms`."""
+    den = density + f_back
+    tiny = jnp.finfo(jnp.result_type(den)).tiny
+    return density / jnp.maximum(den, tiny)
+
+
+def density_mixture_terms(density, ln_density, f_back, lnl_member,
+                          lnl_background):
+    """Per-star density-weighted mixture in log space — the SAME formula as
+    the fused kernels (ops/lnlike_kernels.py):
+
+        lnL_i = logaddexp(ln D_i + lnL_m, ln f + lnL_b) - ln(D_i + f)
+
+    Working from the float64-accurate ``ln_density`` (prepare_data /
+    :func:`with_density_logs`) keeps a density that underflows to 0 in float32
+    weighting the cluster branch correctly, and the clamped normaliser keeps
+    f_back = 0 (the prior's lower bound) finite — the plain
+    m = D/(D + f) formulation hits 0/0 = NaN at that corner in float32, which
+    made the XLA tier disagree with the kernels on prior-legal walkers."""
+    ln_f = jnp.log(f_back)          # -inf at f_back = 0: fine under logaddexp
+    den = density + f_back
+    tiny = jnp.finfo(jnp.result_type(den)).tiny
+    return (jnp.logaddexp(ln_density + lnl_member, ln_f + lnl_background)
+            - jnp.log(jnp.maximum(den, tiny)))
+
+
 def with_density_logs(data, dtype):
     """Clamp the ``density`` column away from zero and attach its float64-accurate
     log as ``ln_density``.

@@ -177,7 +177,8 @@ class ConstantFitGB(ConstantFit):
         return with_density_logs(super().prepare_data(data), self.dtype)
 
     def membership_prior(self, p, data):
-        return data["density"] / (data["density"] + p["f_back"])
+        from .base import density_membership
+        return density_membership(data["density"], p["f_back"])
 
     def cluster_background_terms(self, p, data):
         """Per-star (cluster, background, membership-prior) triplet (pure)."""
@@ -190,6 +191,12 @@ class ConstantFitGB(ConstantFit):
 
     def lnlike_terms(self, p, data):
         lnl_cluster, lnl_back, m = self.cluster_background_terms(p, data)
+        if "ln_density" in data:
+            # log-space mixture off the f64-accurate ln_density: identical
+            # formula to the fused kernel, NaN-free at f_back = 0
+            from .base import density_mixture_terms
+            return density_mixture_terms(data["density"], data["ln_density"],
+                                         p["f_back"], lnl_cluster, lnl_back)
         return mixture_lnlike_terms(lnl_cluster, lnl_back, m)
 
     def calculate_membership_probabilities(self, chain, n_burn):

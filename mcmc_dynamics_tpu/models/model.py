@@ -251,7 +251,8 @@ class _GaussianBackgroundMixin:
     """Shared pure pieces for models with a parametric Gaussian velocity background."""
 
     def membership_prior(self, p, data):
-        return data["density"] / (data["density"] + p["f_back"])
+        from .base import density_membership
+        return density_membership(data["density"], p["f_back"])
 
     def cluster_background_terms(self, p, data):
         v_los = self.rotation_field(p, data)
@@ -263,6 +264,12 @@ class _GaussianBackgroundMixin:
 
     def lnlike_terms(self, p, data):
         lnl_cluster, lnl_back, m = self.cluster_background_terms(p, data)
+        if "ln_density" in data:
+            # log-space mixture off the f64-accurate ln_density: identical
+            # formula to the fused kernel, NaN-free at f_back = 0
+            from .base import density_mixture_terms
+            return density_mixture_terms(data["density"], data["ln_density"],
+                                         p["f_back"], lnl_cluster, lnl_back)
         return mixture_lnlike_terms(lnl_cluster, lnl_back, m)
 
     def calculate_membership_probabilities(self, chain, n_burn):
@@ -401,12 +408,18 @@ class ModelFitConstantBackground(_ModelMixtureKernelMixin, ModelFit):
         self._data_arrays["lnlike_fixed_background"] = jnp.asarray(lnl_back, self.dtype)
 
     def membership_prior(self, p, data):
-        return data["density"] / (data["density"] + p["f_back"])
+        from .base import density_membership
+        return density_membership(data["density"], p["f_back"])
 
     def lnlike_terms(self, p, data):
         v_los = self.rotation_field(p, data)
         sigma_los = self.dispersion_field(p, data)
         lnl_cluster = gaussian_lnlike_terms(data["v"], data["verr"], v_los, sigma_los)
+        if "ln_density" in data:
+            from .base import density_mixture_terms
+            return density_mixture_terms(data["density"], data["ln_density"],
+                                         p["f_back"], lnl_cluster,
+                                         data["lnlike_fixed_background"])
         m = self.membership_prior(p, data)
         return mixture_lnlike_terms(lnl_cluster, data["lnlike_fixed_background"], m)
 

@@ -92,3 +92,41 @@ class TestFloat32Consistency:
                                    rtol=2e-3)
         np.testing.assert_allclose(np.asarray(r32.vz), np.asarray(r64.vz),
                                    rtol=5e-2, atol=5e-3)
+
+
+class TestDensityMixtureFloat32Corner:
+    def test_f_back_zero_with_underflowed_density_is_finite(self):
+        """Regression: in float32 the XLA density-mixture tier returned NaN
+        for prior-legal walkers at f_back = 0 whenever a star's clamped
+        density (1e-300) underflowed to exactly 0: m = D/(D+f) hit 0/0.  The
+        tier now evaluates the kernels' log-space formula off the
+        float64-accurate ln_density."""
+        from mcmc_dynamics_tpu.models import ConstantFitGB
+
+        rng = np.random.default_rng(1)
+        n = 300
+        data = DataReader({
+            "ra": u.Quantity(RA_C + 0.03 * rng.normal(size=n), "deg"),
+            "dec": u.Quantity(DEC_C + 0.03 * rng.normal(size=n), "deg"),
+            "v": u.Quantity(5.0 * rng.normal(size=n), "km/s"),
+            "verr": u.Quantity(0.5 + 0.5 * rng.random(n), "km/s"),
+            "density": np.concatenate([[0.0, 1e-310],   # underflow in f32
+                                       10.0 ** rng.uniform(-1, 2, n - 2)])})
+        params = ConstantFitGB.default_parameters()
+        params["ra_center"].set(value=RA_C, fixed=True)
+        params["dec_center"].set(value=DEC_C, fixed=True)
+
+        for dtype in (jnp.float32, jnp.float64):
+            fit = ConstantFitGB(data, parameters=params, dtype=dtype)
+            theta = np.array([0.0, 6.0, 1.0, -1.0, 10.0, 40.0, 0.0])  # f_back=0
+            val = float(fit.lnprob(jnp.asarray(theta, dtype)))
+            assert np.isfinite(val), dtype
+            # and f_back > 0 stays consistent across dtypes
+            theta[6] = 0.5
+            v32 = float(ConstantFitGB(data, parameters=params,
+                                      dtype=jnp.float32).lnprob(
+                jnp.asarray(theta, jnp.float32)))
+            v64 = float(ConstantFitGB(data, parameters=params,
+                                      dtype=jnp.float64).lnprob(
+                jnp.asarray(theta, jnp.float64)))
+            assert abs(v32 - v64) / abs(v64) < 1e-4
