@@ -151,7 +151,9 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         lp = compiled.lnprior(theta)
         p = runner.scaled_values(theta)
         terms = runner.lnlike_terms(p, local)
-        local_sum = jnp.sum(terms * local["mask"])
+        # select(), not multiply: an invalid model's -inf terms on padded
+        # lanes would otherwise produce -inf * 0 = NaN (cf. masked_sum)
+        local_sum = jnp.sum(jnp.where(local["mask"] > 0, terms, 0.0))
         ll = jax.lax.psum(local_sum, sp_axis) if use_sp else local_sum
         total = lp + runner.extra_lnprior_fn(p) + ll
         return jnp.where(jnp.isfinite(lp), total, -jnp.inf)
