@@ -98,6 +98,35 @@ class Axisymmetric(Runner):
         self.min_q = float(np.min(q_values))
         find_barq_limits(q_values, parameters=self.parameters)
         self._compiled = None  # bounds changed -> recompile
+        self._warn_f32_underflow()
+
+    def _warn_f32_underflow(self):
+        """In float32, exp(-r^2 / 2 s^2) underflows to exactly 0 beyond
+        r ~ 13 sigma; a star outside the tracer MGE's support then gets
+        surf = 0 AND zero moment numerators, the sigma^2 > 0 validity gate
+        fails for EVERY walker, and the whole fit silently returns -inf.
+        Detectable at build time — warn with the actionable fixes."""
+        if self.dtype == jnp.float64 or self.center_is_fixed() is False:
+            return
+        try:
+            dx, dy = self.fixed_center_offsets()
+        except Exception:
+            return
+        r_max = float(np.max(np.hypot(dx, dy))) * _ARCSEC_PER_RAD
+        if self.use_mge_grid:
+            s_max = float(np.max(self._grid_lum_s))
+        elif self.mge_lum is not None:
+            s_max = float(np.max(self.mge_lum.as_arrays()[1]))
+        else:
+            return
+        if r_max > 12.0 * s_max:
+            logger.warning(
+                "Catalog extends to %.1f arcsec but the largest tracer MGE "
+                "sigma is %.1f arcsec: beyond ~12 sigma the float32 surface "
+                "brightness underflows to 0 and the JAM validity gate maps "
+                "EVERY walker to -inf. Cut the catalog at ~%.0f arcsec, add "
+                "an outer MGE component, or run with dtype=float64.",
+                r_max, s_max, 12.0 * s_max)
 
     # ------------------------------------------------------------------ pure pieces
     def _inclination(self, barq):
@@ -254,9 +283,16 @@ class Axisymmetric(Runner):
                 frames.append(pd.DataFrame({"x": x, "y": y,
                                             "first_moment": vz[i],
                                             "second_moment": v2zz[i]}))
+            import os
             pd.concat(frames, ignore_index=True).to_csv(
-                filename[:filename.find(".")] + "_allsamples.csv", index=False)
+                os.path.splitext(filename)[0] + "_allsamples.csv", index=False)
         return profile
+
+    def mass_scale(self, p):
+        """Per-mass-component M/L scale for the mass posterior.  Subclasses
+        whose kinematics are parametrised differently (ChemoProfiles) override
+        this without needing the full (beta, kappa, mscale) tuple."""
+        return self.jam_parameters(p)[2]
 
     def compute_mass_posterior(self, chain, n_burn: int, n_samples: int = 1000,
                                seed: int = 0) -> np.ndarray:
@@ -271,19 +307,23 @@ class Axisymmetric(Runner):
         rng = np.random.default_rng(seed)
         draws = flat[rng.integers(0, flat.shape[0], size=n_samples)]
 
-        if self.use_mge_grid:
-            mi = self._grid_mass_i[0]
-            ms = self._grid_mass_s[0]
-            mq = self._grid_mass_q[0]
-        else:
+        grid = self.use_mge_grid
+        if not grid:
             mi, ms, mq = self.mge_mass.as_arrays()
 
         masses = np.zeros(n_samples)
         for n, theta in enumerate(draws):
-            p = {k: float(np.asarray(v))
-                 for k, v in self.scaled_values(jnp.asarray(theta)).items()}
-            _, _, mscale = [np.asarray(q) for q in self.jam_parameters(
-                {k: jnp.asarray(v) for k, v in p.items()})]
+            p_jax = self.scaled_values(jnp.asarray(theta))
+            if grid:
+                # the SAME grid point the likelihood used for this sample's
+                # centre offset (_select_mge), not a fixed corner of the grid
+                idx = int(np.asarray(self._grid_index(p_jax)))
+                mi = self._grid_mass_i[idx]
+                ms = self._grid_mass_s[idx]
+                mq = self._grid_mass_q[idx]
+            p = {k: float(np.asarray(v)) for k, v in p_jax.items()}
+            mscale = np.asarray(self.mass_scale(
+                {k: jnp.asarray(v) for k, v in p.items()}))
             pc = p["d"] * PC_PER_ARCSEC_PER_KPC
             comp_mass = 2.0 * np.pi * mi * (ms * pc) ** 2 * mq
             masses[n] = float(np.sum(np.broadcast_to(mscale, comp_mass.shape)

@@ -150,13 +150,18 @@ class ChemoProfiles(AnalyticalProfiles):
             params.add(f"logr_kappa_{p}", unit="dex(arcmin)",
                        label=rf"$\log(r_{{\rm \kappa,\,{p.upper()}}})$",
                        initials="0.2*rng.normal(size=n)")
-        # mixing matrix: rows a..(n_pops-1) free, last row derived column-wise
+        # mixing matrix: rows a..(n_pops-1) free, last row derived column-wise.
+        # Free-row initials draw U(0, 1/n_pops) so the derived last row
+        # 1 - sum(h) is always positive: i.i.d. U(0,1) draws would violate the
+        # simplex with probability 1/2 per column at n_pops = 3 and brick the
+        # walker-initials prior check.
         last = letters[-1]
         for q in letters:
             for p in letters[:-1]:
                 params.add(f"h_{p}{q}", value=1.0 / n_pops, min=0.0, max=1.0,
                            label=rf"$h_{{\rm {p.upper()}{q.upper()}}}$",
-                           initials="rng.uniform(size=n)")
+                           initials=f"rng.uniform(0.0, {1.0 / n_pops:.6f}, "
+                                    "size=n)")
             expr = "1" + "".join(f" - h_{p}{q}" for p in letters[:-1])
             params.add(f"h_{last}{q}", min=0.0, max=1.0, expr=expr,
                        label=rf"$h_{{\rm {last.upper()}{q.upper()}}}$")
@@ -190,6 +195,13 @@ class ChemoProfiles(AnalyticalProfiles):
         for a, b_ in zip(letters[:-1], letters[1:]):
             ok = ok & (p[f"mu_feh_{a}"] < p[f"mu_feh_{b_}"])
         return base + jnp.where(ok, 0.0, -jnp.inf)
+
+    def mass_scale(self, p):
+        """M/L scale per mass component (the chemo parameter set has no
+        kappa_x/r_kappa, so the base jam_parameters hook does not apply)."""
+        x_mlr = jnp.asarray(self._x_mlr, self.dtype)
+        return self.mlr_profile(x_mlr, p["mlr_0"], p["mlr_t"], p["mlr_inf"],
+                                p["r_mlr"])
 
     def lnlike_terms(self, p, data):
         letters = ascii_lowercase[:self.n_pops]
@@ -254,15 +266,24 @@ class ChemoProfiles(AnalyticalProfiles):
 
     # ------------------------------------------------------------------ profiles
     def create_profiles(self, chain, n_burn: int, n_samples: int = 100, radii=None,
-                        n_theta: int = 10, prefix=None, n_threads: int = 1,
-                        seed: int = 0):
+                        n_theta: int = 10, prefix=None, filename=None,
+                        n_threads: int = 1, seed: int = 0):
         """Per-population radial v_rot/sigma profiles from posterior samples
-        (reference chemo_profiles.py:302-419). Returns {pop_index: Table}."""
+        (reference chemo_profiles.py:302-419). Returns {pop_index: Table}.
+
+        ``filename=`` (the base-class/driver spelling) is accepted as an alias
+        for ``prefix=``: per-population tables are written next to it as
+        ``<stem>_pop<i>.ecsv``, so polymorphic callers written against
+        ``Axisymmetric.create_profiles`` work unchanged."""
+        import os
+
         import jax
         from ... import units as u
         from ...utils.table import Table
 
         del n_threads
+        if filename is not None and prefix is None:
+            prefix = os.path.splitext(str(filename))[0]
         if radii is None:
             radii = u.Quantity(np.logspace(-1, 3, 200), u.arcsec)
         radii = u.Quantity(radii, u.arcsec)

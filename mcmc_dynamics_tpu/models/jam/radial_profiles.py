@@ -70,10 +70,23 @@ class AnalyticalProfiles(Axisymmetric):
 
         # keep the profile scale radii within the MGE sigma range
         # (reference radial_profiles.py:168-172); subclasses (chemo) may
-        # parametrise the kappa radius differently
-        self.parameters["r_mlr"].set(min=mass_lo, max=mass_hi)
+        # parametrise the kappa radius differently.  The stock initials
+        # expression (rng.lognormal, median 1 arcsec) predates these bounds —
+        # re-derive it so walker initialisation cannot start outside the new
+        # range and brick the prior check (only when the user has not set a
+        # custom expression).
+        def clamp_with_initials(name, lo, hi):
+            par = self.parameters[name]
+            default_initials = par.initials in (None, "rng.lognormal(size=n)")
+            par.set(min=lo, max=hi)
+            if default_initials:
+                par.set(initials=f"rng.uniform({lo:.6g}, {hi:.6g}, size=n)")
+            if par.value is None or not (lo <= float(par.value) <= hi):
+                par.set(value=0.5 * (lo + hi))
+
+        clamp_with_initials("r_mlr", mass_lo, mass_hi)
         if "r_kappa" in self.parameters:
-            self.parameters["r_kappa"].set(min=lum_lo, max=lum_hi)
+            clamp_with_initials("r_kappa", lum_lo, lum_hi)
         self._compiled = None
 
     def _anchor_arrays(self, p):

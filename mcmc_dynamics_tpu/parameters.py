@@ -112,6 +112,16 @@ class Parameter:
             self._set_value(value)
         if fixed is not None:
             self.fixed = bool(fixed)
+            if not self.fixed and self.expr is not None and expr is None:
+                # un-fixing a derived parameter means "sample it freely": the
+                # constraint must go, or expand() would overwrite the freed
+                # chain coordinate on every call and the sampler would walk a
+                # dead dimension
+                import logging
+                logging.getLogger(__name__).info(
+                    "Parameter %r un-fixed: clearing its constraint "
+                    "expression %r.", self.name, self.expr)
+                self.expr = None
         if min is not None:
             self.min = float(min.to(self.unit).value if isinstance(min, u.Quantity) else min)
         if max is not None:
@@ -454,7 +464,10 @@ class CompiledParameters:
                                 if np.isfinite(params[n].min) or np.isfinite(params[n].max)]
 
         self._rng = params._rng
-        self._initials_meta = [(n, params[n]) for n in self.free_names]
+        # snapshot from the COPY, not the live objects: a post-compile
+        # params['x'].set(...) must not change what this frozen closure
+        # samples while lnprior still enforces the compile-time bounds
+        self._initials_meta = [(n, self._params[n]) for n in self.free_names]
 
     # ------------------------------------------------------------------ pure closures
     def expand(self, theta) -> Dict[str, object]:

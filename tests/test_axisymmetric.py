@@ -328,3 +328,37 @@ class TestJamAlternativeSamplers:
         assert np.isfinite(lnz)
         mlr = float(np.median(res.chain[:, 60:, 0]))
         assert 1.2 < mlr < 3.0, mlr   # recovers the injected M/L ~ 2
+
+
+class TestMassPosteriorGridSelection:
+    def test_mass_posterior_uses_nearest_grid_point(self, tmp_path):
+        """Regression: grid mode always used grid point 0's mass MGE; it must
+        use the point the likelihood selects for each sample's centre."""
+        from mcmc_dynamics_tpu.models.jam.moments import PC_PER_ARCSEC_PER_KPC
+
+        data, _, _ = _mock_jam_data(n=40)
+        files = TestMgeGrid._grid_files(TestMgeGrid(), tmp_path)
+        params = Axisymmetric.default_parameters()
+        for name, val in dict(d=5.0, barq=0.6, kappa_x=0.3, kappa_y=0.0,
+                              beta=0.0, mbh=0.0, rbh=1.0, delta_v=0.0).items():
+            params[name].set(value=val, fixed=True)
+        # centre pinned AT grid point 1 (offset +0.002 in RA)
+        params["ra_center"].set(value=RA_C + 0.002, fixed=True)
+        params["dec_center"].set(value=DEC_C, fixed=True)
+        params["mlr"].set(value=2.0, min=0.1, max=10.0, fixed=False)
+
+        fit = Axisymmetric(data, parameters=params, mge_files=files)
+        chain = np.full((4, 10, 1), 2.0)          # mlr == 2 exactly
+        masses = fit.compute_mass_posterior(chain, n_burn=0, n_samples=8)
+
+        pc = 5.0 * PC_PER_ARCSEC_PER_KPC
+        s = np.array([10.0, 40.0]) * pc
+        q = np.array([0.9, 0.85])
+
+        def total(i0):
+            return 2.0 * np.sum(2.0 * np.pi * np.array([i0, 1000.0]) * s ** 2 * q)
+
+        want_point1 = total(5000.0 * 1.1)
+        want_point0 = total(5000.0)
+        np.testing.assert_allclose(masses, want_point1, rtol=1e-5)
+        assert abs(masses[0] - want_point0) > 0.01 * want_point0

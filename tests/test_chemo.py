@@ -153,3 +153,72 @@ class TestChemoRecovery:
         best = fit.compute_bestfit_values(sampler.chain, n_burn=60)
         # generated population A sits at [Fe/H] = -0.5 with sigma 0.1-0.12
         assert abs(best.value("mu_feh_a")[0] - (-0.5)) < 0.06
+
+
+class TestChemoRegressions:
+    """Review-pass fixes: default initials must start inside the prior, and
+    the mass posterior must work for the chemo parameter set."""
+
+    def test_three_population_default_initials_respect_simplex(self):
+        """n_pops >= 3 used to draw free h rows i.i.d. U(0,1), making the
+        derived last row negative for ~half the walkers and bricking the
+        startup prior check."""
+        params = ChemoProfiles.default_parameters(3)
+        cp = params.compile()
+        theta = cp.sample_initials(200)
+        lnp = np.array([float(np.asarray(cp.lnprior(jnp.asarray(t))))
+                        for t in theta[:50]])
+        # the h-part of the prior can never be -inf from the simplex
+        for t in theta[:50]:
+            vals = cp.expand(jnp.asarray(t))
+            for q in "abc":
+                last = float(np.asarray(vals[f"h_c{q}"]))
+                assert last >= 0.0, (q, last)
+
+    def test_r_mlr_initials_rederived_from_mge_bounds(self):
+        """AnalyticalProfiles tightens r_mlr bounds to the MGE sigma range
+        after construction; the stock lognormal initials (median 1 arcsec)
+        must be replaced so sampling can start."""
+        from mcmc_dynamics_tpu.models import AnalyticalProfiles
+
+        data = _data()
+        lum, mass = _tagged_mges()    # sigmas 10-40 arcsec: lognormal fails
+        params = AnalyticalProfiles.default_parameters()
+        for name, val in dict(d=5.0, barq=0.5, beta=0.0, ra_center=RA_C,
+                              dec_center=DEC_C, kappa_x=0.3, kappa_y=0.0,
+                              r_kappa=20.0).items():
+            params[name].set(value=val, fixed=True)
+        fit = AnalyticalProfiles(data, mge_mass=mass, mge_lum=lum,
+                                 parameters=params)
+        draws = fit.compiled.sample_initials(100)
+        i = fit.compiled.free_names.index("r_mlr")
+        assert (draws[:, i] >= 10.0).all() and (draws[:, i] <= 40.0).all()
+
+    def test_compute_mass_posterior_for_chemo(self):
+        """Inherited compute_mass_posterior used to crash with KeyError
+        ('kappa_x') on the chemo parameter set."""
+        data = _data()
+        lum, mass = _tagged_mges()
+        params = _fixed_params(mlr_0=dict(min=0.5, max=6.0,
+                                          initials="rng.uniform(1.0, 4.0, size=n)"))
+        fit = ChemoProfiles(data, mge_mass=mass, mge_lum=lum, parameters=params,
+                            n_pops=2, seed=7)
+        res = fit(n_walkers=8, n_steps=20, prefix=None)
+        masses = fit.compute_mass_posterior(res.chain, n_burn=5, n_samples=40)
+        assert masses.shape == (40,)
+        assert np.isfinite(masses).all() and (masses > 0).all()
+
+    def test_create_profiles_accepts_filename(self, tmp_path):
+        """The driver calls create_profiles(filename=...) polymorphically."""
+        data = _data()
+        lum, mass = _tagged_mges()
+        params = _fixed_params(mu_feh_a=dict(min=-1.0, max=1.0))
+        fit = ChemoProfiles(data, mge_mass=mass, mge_lum=lum, parameters=params,
+                            n_pops=2, seed=8)
+        res = fit(n_walkers=8, n_steps=16, prefix=None)
+        profiles = fit.create_profiles(res.chain, n_burn=8, n_samples=5,
+                                       n_theta=4,
+                                       filename=str(tmp_path / "prof.ecsv"))
+        assert set(profiles) == {0, 1}
+        assert (tmp_path / "prof_pop0.ecsv").exists()
+        assert (tmp_path / "prof_pop1.ecsv").exists()

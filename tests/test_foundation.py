@@ -291,3 +291,40 @@ class TestParameters:
         a = params.copy().compile().sample_initials(8)
         b = params.copy().compile().sample_initials(8)
         np.testing.assert_array_equal(a, b)
+
+
+class TestCompiledSnapshotIsolation:
+    def test_post_compile_mutation_does_not_leak_into_initials(self):
+        """CompiledParameters is a frozen snapshot: mutating the live
+        Parameters afterwards must not change what the compiled object
+        samples (its lnprior already enforced the compile-time bounds)."""
+        from mcmc_dynamics_tpu import Parameters
+
+        params = Parameters(rng_seed=0)
+        params.add("x", value=1.0, min=0.0, max=2.0)
+        cp = params.compile()
+        params["x"].set(min=10.0, max=20.0, value=15.0)
+        draws = cp.sample_initials(200)
+        assert (draws[:, 0] >= 0.0).all() and (draws[:, 0] <= 2.0).all()
+        # and the live object recompiles to the new bounds
+        cp2 = params.compile()
+        d2 = cp2.sample_initials(200)
+        assert (d2[:, 0] >= 10.0).all() and (d2[:, 0] <= 20.0).all()
+
+    def test_unfixing_a_derived_parameter_clears_its_expr(self):
+        """set(fixed=False) on an expr parameter used to leave it derived AND
+        free: the sampler walked a dead coordinate that expand() overwrote."""
+        import jax.numpy as jnp
+
+        from mcmc_dynamics_tpu import Parameters
+
+        params = Parameters(rng_seed=0)
+        params.add("a", value=1.0, min=0.0, max=2.0)
+        params.add("b", expr="2 * a", min=0.0, max=10.0)
+        assert params["b"].fixed and params["b"].expr is not None
+        params["b"].set(fixed=False, value=3.0)
+        assert params["b"].expr is None
+        cp = params.compile()
+        assert "b" in cp.free_names
+        vals = cp.expand(jnp.asarray([1.0, 7.0]))
+        assert float(vals["b"]) == 7.0          # the chain coordinate wins
