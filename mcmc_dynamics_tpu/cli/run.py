@@ -62,7 +62,13 @@ def load_catalog(cfg):
     table = Table.read(cfg["file"], fmt=fmt, names=cfg.get("names"))
     rename = cfg.get("rename", {})
     for old, new in rename.items():
+        # preserve the source column's unit through the rename (a plain
+        # __setitem__ would silently reset it to dimensionless)
+        unit = table.units.get(old)
         table[new] = table.columns.pop(old)
+        table.units.pop(old, None)
+        if unit is not None:
+            table.units[new] = unit
     units_map = cfg.get("units", {"ra": "deg", "dec": "deg", "v": "km/s",
                                   "verr": "km/s"})
     for name, unit in units_map.items():
@@ -74,20 +80,30 @@ def load_catalog(cfg):
     return DataReader(table)
 
 
-def build_background(cfg):
+def build_background(cfg, v_sys: float = 0.0):
+    """Field-star background from the run config.
+
+    ``v_sys``: systemic velocity already subtracted from the SCIENCE catalog
+    (``data.v_sys``); the background must live in the same shifted frame, so
+    it is subtracted from the field-star velocities / Gaussian mean as well
+    (reference bin/run.py:441-442).  A ``v_sys`` key inside the background
+    block overrides (use 0 for a catalog already in the shifted frame).
+    """
     if cfg is None:
         return None
     from .. import units as u
     from ..background import Gaussian, SingleStars
     from ..utils import Table
 
+    v_sys = float(cfg.get("v_sys", v_sys) or 0.0)
     if cfg["type"] == "gaussian":
-        return Gaussian(u.Quantity(cfg["mean"], "km/s"),
+        return Gaussian(u.Quantity(float(cfg["mean"]) - v_sys, "km/s"),
                         u.Quantity(cfg["sigma"], "km/s"))
     if cfg["type"] == "single_stars":
         table = Table.read(cfg["file"], fmt=cfg.get("format", "csv"),
                            names=cfg.get("names"))
-        return SingleStars(u.Quantity(table.value(cfg.get("column", "v")), "km/s"))
+        v = table.value(cfg.get("column", "v")) - v_sys
+        return SingleStars(u.Quantity(v, "km/s"))
     raise ValueError(f"Unknown background type '{cfg['type']}'.")
 
 
@@ -154,7 +170,8 @@ def main(argv=None):
 
     data = load_catalog(cfg["data"])
     logger.info("loaded %d stars", data.sample_size)
-    background = build_background(cfg.get("background"))
+    background = build_background(cfg.get("background"),
+                                  v_sys=float(cfg["data"].get("v_sys") or 0.0))
 
     model_cls = _model_registry()[cfg.get("model", "model_fit")]
     parameters = model_cls.default_parameters()

@@ -200,6 +200,15 @@ class Runner:
         """Hook for model-specific joint priors in *internal units* (pure)."""
         return jnp.asarray(0.0, dtype=self.dtype)
 
+    def program_cache_salt(self) -> tuple:
+        """Hashable summary of instance state that gets baked into jitted
+        likelihood closures as constants (beyond parameters and the data
+        arrays passed as arguments).  Subclasses with embedded tables — the
+        JAM MGEs, quadrature orders — must extend this so cached compiled
+        programs (pipelines._PROGRAM_CACHE) are never reused across
+        different tables."""
+        return ()
+
     def build_lnlike_partial_batched(self):
         """Hook: fused per-shard partial log-likelihood, or None.
 

@@ -294,6 +294,22 @@ class Axisymmetric(Runner):
         this without needing the full (beta, kappa, mscale) tuple."""
         return self.jam_parameters(p)[2]
 
+    def program_cache_salt(self) -> tuple:
+        """MGE tables + quadrature orders are closure constants (see
+        Runner.program_cache_salt)."""
+        import hashlib
+
+        h = hashlib.sha1()
+        if self.use_mge_grid:
+            arrays = (self._grid_offsets, self._grid_lum_i, self._grid_lum_s,
+                      self._grid_lum_q, self._grid_mass_i, self._grid_mass_s,
+                      self._grid_mass_q)
+        else:
+            arrays = (*self.mge_lum.as_arrays(), *self.mge_mass.as_arrays())
+        for a in arrays:
+            h.update(np.ascontiguousarray(np.asarray(a, np.float64)).tobytes())
+        return (h.hexdigest(), self.n_u, self.n_zeta)
+
     def compute_mass_posterior(self, chain, n_burn: int, n_samples: int = 1000,
                                seed: int = 0) -> np.ndarray:
         """Posterior samples of the total cluster mass: per-component M/L scale

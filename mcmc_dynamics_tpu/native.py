@@ -31,10 +31,23 @@ _TRIED = False
 
 
 def _build_dir() -> pathlib.Path:
-    base = os.environ.get("MCMCD_NATIVE_CACHE",
-                          os.path.join(tempfile.gettempdir(), "mcmcd_native"))
+    """Per-user, 0700 cache directory.
+
+    The default is uid-suffixed and created with restrictive permissions so
+    no other local user can pre-plant a library at a predictable path that
+    load_library() would then CDLL (arbitrary code execution); a pre-existing
+    directory owned by someone else is rejected."""
+    base = os.environ.get("MCMCD_NATIVE_CACHE")
+    if base is None:
+        uid = os.getuid() if hasattr(os, "getuid") else "na"
+        base = os.path.join(tempfile.gettempdir(), f"mcmcd_native_{uid}")
     path = pathlib.Path(base)
-    path.mkdir(parents=True, exist_ok=True)
+    path.mkdir(parents=True, exist_ok=True, mode=0o700)
+    st = path.stat()
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"Native cache dir {path} is owned by uid {st.st_uid}, not us; "
+            "refusing to load libraries from it. Set MCMCD_NATIVE_CACHE.")
     return path
 
 
@@ -47,15 +60,26 @@ def load_library() -> Optional[ctypes.CDLL]:
     if not _SOURCE.exists():
         return None
     tag = hashlib.sha1(_SOURCE.read_bytes()).hexdigest()[:12]
-    so_path = _build_dir() / f"libmcmcd_{tag}.so"
+    try:
+        build_dir = _build_dir()
+    except RuntimeError as err:
+        logger.warning("%s Using NumPy paths.", err)
+        return None
+    so_path = build_dir / f"libmcmcd_{tag}.so"
     if not so_path.exists():
+        # compile to a unique temp name and os.replace into place: a killed
+        # compiler or a concurrent build can never leave a truncated .so at
+        # the final path (whose mere existence would skip rebuilds forever)
+        tmp_path = build_dir / f".libmcmcd_{tag}.{os.getpid()}.tmp.so"
         cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-               str(_SOURCE), "-o", str(so_path)]
+               str(_SOURCE), "-o", str(tmp_path)]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp_path, so_path)
         except Exception as err:
             logger.warning("Native library build failed (%s); using NumPy paths.",
                            err)
+            tmp_path.unlink(missing_ok=True)
             return None
     try:
         lib = ctypes.CDLL(str(so_path))

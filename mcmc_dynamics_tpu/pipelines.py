@@ -55,14 +55,18 @@ class BinnedFitResult:
         of reference bin/run.py:190-259)."""
         rows: Dict[str, list] = {"r mean": [], "r min": [], "r max": [], "n": []}
         names = self.template.fitted_parameters
+        # rotation statistics need the (v_maxx, v_maxy) columns in the chain;
+        # a dispersion-only fit (both fixed) simply omits the v_max/theta_0 rows
+        with_rotation = "v_maxx" in names and "v_maxy" in names
         for name in names:
             rows[f"{name} median"] = []
             rows[f"{name} high"] = []
             rows[f"{name} low"] = []
-        for name in ("v_max", "theta_0"):
-            rows[f"{name} median"] = []
-            rows[f"{name} high"] = []
-            rows[f"{name} low"] = []
+        if with_rotation:
+            for name in ("v_max", "theta_0"):
+                rows[f"{name} median"] = []
+                rows[f"{name} high"] = []
+                rows[f"{name} low"] = []
 
         for b in range(self.n_bins):
             rows["r mean"].append(self.r_mean[b])
@@ -76,14 +80,15 @@ class BinnedFitResult:
                 rows[f"{name} median"].append(pct[1, i])
                 rows[f"{name} high"].append(pct[2, i] - pct[1, i])
                 rows[f"{name} low"].append(pct[1, i] - pct[0, i])
-            pars = {name: chain[:, n_burn:, i].reshape(-1)
-                    for i, name in enumerate(names)}
-            res, _, _ = get_amplitude_and_angle(pars)
-            for name in ("v_max", "theta_0"):
-                col = res.value(name)
-                rows[f"{name} median"].append(col[0])
-                rows[f"{name} high"].append(col[1])
-                rows[f"{name} low"].append(col[2])
+            if with_rotation:
+                pars = {name: chain[:, n_burn:, i].reshape(-1)
+                        for i, name in enumerate(names)}
+                res, _, _ = get_amplitude_and_angle(pars)
+                for name in ("v_max", "theta_0"):
+                    col = res.value(name)
+                    rows[f"{name} median"].append(col[0])
+                    rows[f"{name} high"].append(col[1])
+                    rows[f"{name} low"].append(col[2])
 
         table = Table({k: np.asarray(v, dtype=object if k == "n" else np.float64)
                        for k, v in rows.items()})
@@ -227,7 +232,11 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
                  n_steps, use_sufficient, background is not None,
                  None if mesh is None else (tuple(mesh.shape.items()), bin_axis),
                  tuple(sorted((k, v.shape, str(v.dtype))
-                              for k, v in stacked.items())))
+                              for k, v in stacked.items())),
+                 # instance state baked into the closure as constants (e.g.
+                 # JAM MGE tables): without it, two analyses with identical
+                 # shapes but different tables would reuse the wrong program
+                 template.program_cache_salt())
     run_all = _PROGRAM_CACHE.get(cache_key)
     if run_all is None:
         if len(_PROGRAM_CACHE) >= 8:
@@ -238,11 +247,18 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
     chains = chains[:n_bins]
     log_probs = log_probs[:n_bins]
 
-    bins = data.data["bin"]
-    r_mean = np.array([r[bins == b].mean() for b in range(n_bins)]) * (10800.0 / np.pi)
-    r_min = np.array([r[bins == b].min() for b in range(n_bins)]) * (10800.0 / np.pi)
-    r_max = np.array([r[bins == b].max() for b in range(n_bins)]) * (10800.0 / np.pi)
-    n_per = np.array([(bins == b).sum() for b in range(n_bins)])
+    bins = np.asarray(data.data["bin"])
+    arcmin = 10800.0 / np.pi
+    n_per = np.bincount(bins, minlength=n_bins)[:n_bins]
+    sums = np.bincount(bins, weights=r, minlength=n_bins)[:n_bins]
+    r_mean = sums / np.maximum(n_per, 1) * arcmin
+    order = np.argsort(bins, kind="stable")   # one pass for per-bin min/max
+    edges = np.searchsorted(bins[order], np.arange(n_bins + 1))
+    r_sorted = np.asarray(r)[order]
+    r_min = np.array([r_sorted[edges[b]:edges[b + 1]].min()
+                      for b in range(n_bins)]) * arcmin
+    r_max = np.array([r_sorted[edges[b]:edges[b + 1]].max()
+                      for b in range(n_bins)]) * arcmin
 
     return BinnedFitResult(np.asarray(chains), np.asarray(log_probs), template,
                            r_mean, r_min, r_max, n_per)

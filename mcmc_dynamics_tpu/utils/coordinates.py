@@ -94,12 +94,16 @@ def get_amplitude_and_angle(pars: Dict[str, np.ndarray], return_samples: bool = 
     ``v_max``/``theta_0`` (theta in radians), plus the raw samples when requested.
     """
     pars = dict(pars)
+    # tan(theta_0) = v_maxy / v_maxx, so the missing component follows as
+    # v_maxx = v_maxy / tan and v_maxy = v_maxx * tan.  (The reference has
+    # these two inverted, get_amplitude_and_angle.py:15-17 — a bug that
+    # scales the reconstructed component by tan^2(theta_0); corrected here.)
     if "theta_0" not in pars and "v_maxx" in pars and "v_maxy" in pars:
         pars["theta_0"] = np.arctan2(pars["v_maxy"], pars["v_maxx"])
     elif "v_maxx" not in pars and "theta_0" in pars and "v_maxy" in pars:
-        pars["v_maxx"] = pars["v_maxy"] * np.tan(pars["theta_0"])
+        pars["v_maxx"] = pars["v_maxy"] / np.tan(pars["theta_0"])
     elif "v_maxy" not in pars and "theta_0" in pars and "v_maxx" in pars:
-        pars["v_maxy"] = pars["v_maxx"] / np.tan(pars["theta_0"])
+        pars["v_maxy"] = pars["v_maxx"] * np.tan(pars["theta_0"])
 
     for req in ("theta_0", "v_maxx", "v_maxy"):
         if req not in pars:

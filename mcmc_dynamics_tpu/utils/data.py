@@ -44,12 +44,16 @@ def radial_bin_numbers(r: np.ndarray, nstars: int = 50, dlogr: float = 0.2) -> n
 
     order = np.argsort(r)
     r_sorted = r[order]
+    # a star exactly at the centre has r = 0: log10 -> -inf (the native C
+    # path's behaviour); math.log10 would raise a domain error instead
+    with np.errstate(divide="ignore"):
+        log_r = np.log10(r_sorted)
 
     bins = -np.ones(n, dtype=np.int32)
     i = 0
     while i < n - nstars:
         j = min(n, i + nstars)
-        while j < n and (math.log10(r_sorted[j]) - math.log10(r_sorted[i])) < dlogr:
+        while j < n and (log_r[j] - log_r[i]) < dlogr:
             j += 1
         if j >= n:
             break

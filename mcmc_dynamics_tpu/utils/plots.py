@@ -241,8 +241,6 @@ def get_mapping_significance(kernel, significances, n_mc: int = 20000,
     """Iso-density values above which the given probability masses of a KDE lie
     (API parity with reference contour_plot.py:26-63, computed directly by Monte
     Carlo instead of the reference's iso-level bisection walk)."""
-    import numpy as np
-
     rng = np.random.default_rng(seed)
     sample = kernel.resample(n_mc, seed=rng)
     densities = np.sort(kernel(sample))[::-1]
@@ -263,14 +261,10 @@ def get_kde_contours(x, y, levels=(0.393, 0.865, 0.989), grid_size=100,
     x = np.asarray(x)
     y = np.asarray(y)
     kde = stats.gaussian_kde(np.vstack([x, y]))
-
-    rng = np.random.default_rng(seed)
-    samples = kde.resample(n_mc, seed=rng)
-    densities = np.sort(kde(samples))[::-1]
-    level_values = [densities[min(int(p * n_mc), n_mc - 1)] for p in levels]
+    level_values = get_mapping_significance(kde, levels, n_mc=n_mc, seed=seed)
 
     xi = np.linspace(x.min(), x.max(), grid_size)
     yi = np.linspace(y.min(), y.max(), grid_size)
     X, Y = np.meshgrid(xi, yi)
     Z = kde(np.vstack([X.ravel(), Y.ravel()])).reshape(X.shape)
-    return X, Y, Z, sorted(set(level_values))
+    return X, Y, Z, sorted(set(level_values.tolist()))

@@ -85,3 +85,50 @@ class TestRunTestsCli:
         assert rc == 0
         assert (tmp_path / "recovery.png").exists()
         assert (tmp_path / "model_profile.ecsv").exists()
+
+
+class TestBackgroundFrame:
+    def test_background_shares_the_science_velocity_frame(self, tmp_path):
+        """data.v_sys shifts the science catalog; the field-star background
+        must be shifted identically (reference bin/run.py:441-442) or the
+        mixture evaluates member and background in different frames."""
+        import numpy as np
+        from mcmc_dynamics_tpu.cli.run import build_background
+
+        field = tmp_path / "field.csv"
+        v_raw = 232.7 + 40.0 * np.random.default_rng(0).normal(size=50)
+        field.write_text("v\n" + "\n".join(f"{v:.4f}" for v in v_raw))
+
+        bg = build_background({"type": "single_stars", "file": str(field)},
+                              v_sys=232.7)
+        # the KDE must now be centred near 0, not near 232.7
+        probe = np.linspace(-50, 50, 7)
+        ln_near = np.asarray(bg(probe, np.full(7, 1.0)))
+        ln_far = np.asarray(bg(probe + 232.7, np.full(7, 1.0)))
+        assert ln_near.mean() > ln_far.mean()
+
+        g = build_background({"type": "gaussian", "mean": 232.7, "sigma": 50.0},
+                             v_sys=232.7)
+        assert float(np.asarray(g(np.zeros(1), np.ones(1)))) > \
+            float(np.asarray(g(np.full(1, 232.7), np.ones(1))))
+        # per-block override wins
+        g0 = build_background({"type": "gaussian", "mean": 0.0, "sigma": 50.0,
+                               "v_sys": 0.0}, v_sys=232.7)
+        assert float(np.asarray(g0(np.zeros(1), np.ones(1)))) > \
+            float(np.asarray(g0(np.full(1, 100.0), np.ones(1))))
+
+    def test_rename_preserves_units(self, tmp_path):
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.cli.run import load_catalog
+        from mcmc_dynamics_tpu.utils import Table
+
+        t = Table({"ra": u.Quantity([10.0], "deg"),
+                   "dec": u.Quantity([-5.0], "deg"),
+                   "vel": u.Quantity([1000.0], "m/s"),
+                   "verr": u.Quantity([0.5], "km/s")})
+        f = tmp_path / "cat.ecsv"
+        t.write(f)
+        data = load_catalog({"file": str(f), "format": "ascii.ecsv",
+                             "rename": {"vel": "v"}, "units": {}})
+        # 1000 m/s must read back as 1 km/s, not 1000 km/s
+        assert abs(float(data.data.value("v", "km/s")[0]) - 1.0) < 1e-9

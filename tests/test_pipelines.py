@@ -134,3 +134,32 @@ class TestProgramCache:
         data2, _ = _mock_cluster(n=300, seed=9)
         fit_radial_bins(data2, RA_C * u.deg, DEC_C * u.deg, parameters=params, **kw)
         assert len(pipelines._PROGRAM_CACHE) == 2
+
+
+class TestDispersionOnlySummary:
+    def test_summary_without_rotation_columns(self):
+        """v_maxx/v_maxy fixed (dispersion-only binned fit) used to crash
+        summary() with AttributeError; the rotation rows are now omitted."""
+        import numpy as np
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.models import ConstantFit
+        from mcmc_dynamics_tpu.pipelines import fit_radial_bins
+        from mcmc_dynamics_tpu.utils import DataReader
+
+        rng = np.random.default_rng(0)
+        n = 400
+        ra_c, dec_c = 56.345, -26.675
+        data = DataReader({
+            "ra": u.Quantity(ra_c + 0.02 * rng.normal(size=n), "deg"),
+            "dec": u.Quantity(dec_c + 0.02 * rng.normal(size=n), "deg"),
+            "v": u.Quantity(6.0 * rng.normal(size=n), "km/s"),
+            "verr": u.Quantity(0.5 + 0.5 * rng.random(n), "km/s")})
+        params = ConstantFit.default_parameters()
+        params["v_maxx"].set(value=0.0, fixed=True)
+        params["v_maxy"].set(value=0.0, fixed=True)
+        res = fit_radial_bins(data, ra_c * u.deg, dec_c * u.deg,
+                              parameters=params, nstars=100, dlogr=0.1,
+                              n_walkers=16, n_steps=60, seed=1)
+        table = res.summary(n_burn=30)
+        assert "sigma_max median" in table.columns
+        assert "v_max median" not in table.columns

@@ -207,3 +207,21 @@ class TestPlots:
         kernel = stats.gaussian_kde(np.vstack([x, y]))
         iso = get_mapping_significance(kernel, [0.5, 0.9], n_mc=4000)
         assert iso[0] > iso[1]  # tighter mass -> higher iso-density
+
+
+class TestAmplitudeFillIn:
+    def test_missing_component_reconstruction_formulas(self):
+        """tan(theta_0) = v_maxy/v_maxx, so v_maxx = v_maxy / tan (the
+        reference has the two fill-ins inverted; corrected here)."""
+        import numpy as np
+        from mcmc_dynamics_tpu.utils import get_amplitude_and_angle
+
+        rng = np.random.default_rng(0)
+        vx = 3.0 + 0.01 * rng.normal(size=4000)
+        vy = 1.5 + 0.01 * rng.normal(size=4000)
+        full, _, _ = get_amplitude_and_angle({"v_maxx": vx, "v_maxy": vy})
+        theta = np.arctan2(vy, vx)
+        from_y, _, _ = get_amplitude_and_angle({"theta_0": theta, "v_maxy": vy})
+        from_x, _, _ = get_amplitude_and_angle({"theta_0": theta, "v_maxx": vx})
+        for res in (from_y, from_x):
+            assert abs(res.value("v_max")[0] - full.value("v_max")[0]) < 0.01
