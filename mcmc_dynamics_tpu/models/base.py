@@ -134,7 +134,7 @@ class Runner:
 
         self._compiled: Optional[CompiledParameters] = None
         self._lnprob_jit = None
-        self._lnprob_vmapped = None
+        self._lnprob_batched_cache = None
 
     # ------------------------------------------------------------------ class helpers
     @classmethod
@@ -249,6 +249,26 @@ class Runner:
         sampler consumes the batched form directly.
         """
         return jax.vmap(self.build_lnprob())
+
+    def _batched_lnprob_cached(self) -> Callable:
+        """``build_lnprob_batched`` with identity-stable caching.
+
+        The sampler's ``_scan_chain`` jits on the closure's *identity*
+        (static argument), so handing it a fresh closure per chunk would
+        recompile the whole scan every ``n_out`` steps — a convergence run
+        with ``check_every=500`` would pay up to ``max_steps/500`` full XLA
+        compilations.  Invalidated by parameter mutations (fingerprint) and
+        the execution-tier env knobs."""
+        import os
+
+        _ = self.compiled  # refresh fingerprint
+        key = (self._compiled_fp, os.environ.get("MCMC_TPU_LNPROB", "auto"),
+               bool(os.environ.get("MCMC_TPU_DISABLE_PALLAS")))
+        cached = getattr(self, "_lnprob_batched_cache", None)
+        if cached is None or cached[0] != key:
+            cached = (key, self.build_lnprob_batched())
+            self._lnprob_batched_cache = cached
+        return cached[1]
 
     # public parity API (reference runner.py:288-306); host conveniences
     def lnprob(self, theta):
@@ -438,7 +458,9 @@ class Runner:
                     logger.warning("Chain plotting failed: %s", err)
             return sampler
 
-        lnprob = self.build_lnprob_batched()
+        if n_steps <= 0:
+            raise ValueError("n_steps must be positive.")
+        lnprob = self._batched_lnprob_cached()
 
         if state is None:
             if pos is None:
@@ -469,6 +491,8 @@ class Runner:
         chunk = n_out if n_out else n_steps
         done = 0
         result = None
+        accepted0 = np.asarray(state.accepted)   # whole-run acceptance baseline
+        step0 = int(state.step)
         while done < n_steps:
             steps = min(chunk, n_steps - done)
             if telemetry is not None:
@@ -493,10 +517,13 @@ class Runner:
 
         chain = np.concatenate(chain_parts, axis=1)
         lnprobability = np.concatenate(lnp_parts, axis=1)
+        # the WHOLE run's acceptance (the state carries cumulative counts
+        # across chunks), not the last n_out chunk's noisy sliver
+        n_done = max(int(state.step) - step0, 1)
+        acceptance = (np.asarray(state.accepted) - accepted0) / n_done
         sampler = SamplerResult(chain=chain, lnprobability=lnprobability,
                                 final_state=state,
-                                acceptance_fraction=np.asarray(
-                                    result.acceptance_fraction))
+                                acceptance_fraction=acceptance)
         if prefix is not None and n_out:
             self.save_current_status(sampler, prefix=prefix)
         if plot:
@@ -571,7 +598,10 @@ class Runner:
                 self.save_current_status_arrays(
                     chain, np.concatenate(lnp_parts, axis=1), state,
                     prefix=prefix)
-            if done > tau_factor * tau_max and stable:
+            # tau_max > 0 guard: a completely frozen chain (zero variance,
+            # e.g. every proposal rejected) makes autocorr_time return -1,
+            # which must never certify as "converged"
+            if tau_max > 0 and done > tau_factor * tau_max and stable:
                 converged = True
                 break
             tau_prev = tau
@@ -629,6 +659,7 @@ class Runner:
         chunk = n_out if n_out else n_steps
         done = 0
         result = None
+        accepted_total = np.zeros(n_walkers)
 
         def snapshot():
             return EnsembleState(
@@ -653,6 +684,7 @@ class Runner:
                                               sp_axis=sp_axis, a=a, move=move)
             chain_parts.append(np.asarray(result.chain))
             lnp_parts.append(np.asarray(result.log_prob))
+            accepted_total += np.asarray(result.acceptance_fraction) * steps
             coords = result.final_coords
             key = result.final_key
             done += steps
@@ -670,10 +702,12 @@ class Runner:
 
         chain = np.concatenate(chain_parts, axis=1)
         lnprobability = np.concatenate(lnp_parts, axis=1)
+        # whole-run acceptance: the sharded runner reports per-chunk
+        # fractions, so weight them by their chunk lengths
+        acceptance = accepted_total / max(done, 1)
         sampler = SamplerResult(chain=chain, lnprobability=lnprobability,
                                 final_state=snapshot(),
-                                acceptance_fraction=np.asarray(
-                                    result.acceptance_fraction))
+                                acceptance_fraction=acceptance)
         if prefix is not None and n_out:
             self.save_current_status(sampler, prefix=prefix)
         return sampler
@@ -687,7 +721,10 @@ class Runner:
         warnings.warn("Runner.save_chain() is deprecated. "
                       "Use Runner.save_current_status() instead.",
                       DeprecationWarning)
-        prefix = filename.split(".")[0]
+        # splitext, not split('.'): a dotted directory ('runs/v1.2/...') must
+        # not truncate the path
+        import os
+        prefix = os.path.splitext(filename)[0]
         if prefix.endswith("chain"):
             prefix = prefix[:-5].rstrip("_") or "sampler"
         Runner.save_current_status(sampler, prefix=prefix)

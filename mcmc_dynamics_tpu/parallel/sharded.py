@@ -86,7 +86,9 @@ def star_sharded_lnprob(runner, mesh: Mesh, sp_axis: str = "sp") -> Callable:
         lp = compiled.lnprior(theta)
         p = runner.scaled_values(theta)
         terms = runner.lnlike_terms(p, local)
-        ll = jax.lax.psum(jnp.sum(terms * local["mask"]), sp_axis)
+        # select(), not multiply: -inf terms on padded lanes x 0 would be NaN
+        ll = jax.lax.psum(jnp.sum(jnp.where(local["mask"] > 0, terms, 0.0)),
+                          sp_axis)
         total = lp + runner.extra_lnprior_fn(p) + ll
         return jnp.where(jnp.isfinite(lp), total, -jnp.inf)
 

@@ -83,20 +83,26 @@ def _scan_hmc(lnprob_fn, state: HMCState, n_steps: int, n_leapfrog: int,
             / jnp.sqrt(m_inv)[None, :]
 
         def leapfrog(i, args):
-            q, p, g = args
+            # lnP at the new q rides along: the final iteration's evaluation
+            # IS the proposal's value, saving one full value_and_grad per step
+            q, p, g, _lnp = args
             p = p + 0.5 * eps * g
             q = q + eps * m_inv[None, :] * p
-            _, g = vg(q)
+            lnp, g = vg(q)
             p = p + 0.5 * eps * g
-            return q, p, g
+            return q, p, g, lnp
 
-        q, p, g = jax.lax.fori_loop(0, n_leapfrog, leapfrog,
-                                    (st.coords, p0, st.grad))
-        new_lnp, new_grad = vg(q)
+        q, p, new_grad, new_lnp = jax.lax.fori_loop(
+            0, n_leapfrog, leapfrog, (st.coords, p0, st.grad, st.log_prob))
 
         h0 = st.log_prob - 0.5 * jnp.sum(p0 * p0 * m_inv[None, :], axis=1)
         h1 = new_lnp - 0.5 * jnp.sum(p * p * m_inv[None, :], axis=1)
-        ln_accept = h1 - h0
+        # -inf - -inf (walker stuck at an invalid point proposing another
+        # invalid point) is NaN; map it to a clean rejection — a NaN here
+        # would otherwise flow through accept_rate into log_step and poison
+        # the adapted step size for every walker, permanently
+        delta = h1 - h0
+        ln_accept = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
         u = jnp.log(jax.random.uniform(k_acc, (n_walkers,), st.coords.dtype))
         accept = (u < ln_accept) & jnp.isfinite(new_lnp)
 

@@ -178,8 +178,10 @@ def run_tempered(lnprob_fn: Callable, state: TemperedState, betas,
         mean_lnp_by_beta=jnp.mean(lnp_by_beta, axis=0),
         final=final,
         acceptance_fraction=(final.accepted - state.accepted) / n_done,
+        # max(..., 1): n_steps < swap_every means zero swap rounds — report
+        # an acceptance of 0, not 0/0 = NaN
         swap_acceptance=(final.swaps_accepted - state.swaps_accepted)
-        / (n_done // max(swap_every, 1) * state.coords.shape[1]))
+        / jnp.maximum(n_done // max(swap_every, 1) * state.coords.shape[1], 1))
 
 
 def log_evidence(betas, mean_lnp_by_beta) -> float:
