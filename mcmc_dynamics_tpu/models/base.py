@@ -817,6 +817,62 @@ class Runner:
                 self.parameters[name].unit)
         return out
 
+    def predict_fields(self, chain, n_burn: int, ra, dec,
+                       n_samples: int = 200, seed: int = 0):
+        """Posterior-predictive mean-velocity and dispersion fields at
+        arbitrary sky positions — the serving-side analog of
+        ``create_profiles`` on a user-chosen grid instead of the polar grid.
+
+        ``ra``/``dec``: Quantities (or plain degrees).  Evaluates the model's
+        ``rotation_field``/``dispersion_field`` under ``n_samples`` posterior
+        draws in ONE vmapped jitted pass and returns a Table with per-position
+        ``v_los``/``sigma_los`` medians and 16/84-percentile bounds."""
+        if not (hasattr(self, "rotation_field")
+                and hasattr(self, "dispersion_field")):
+            raise NotImplementedError(
+                f"{type(self).__name__} does not expose analytic "
+                "rotation/dispersion fields; use create_profiles().")
+        from ..utils.table import Table
+
+        ra_q = ra if isinstance(ra, u.Quantity) else u.Quantity(ra, "deg")
+        dec_q = dec if isinstance(dec, u.Quantity) else u.Quantity(dec, "deg")
+        ra_rad = np.atleast_1d(ra_q.to("rad").value)
+        dec_rad = np.atleast_1d(dec_q.to("rad").value)
+        # fresh data dict (NOT prepare_data: its precomputed offsets belong to
+        # the fitted catalog's positions, and the centre may be a chain column)
+        pdata = {"ra": jnp.asarray(ra_rad, self.dtype),
+                 "dec": jnp.asarray(dec_rad, self.dtype),
+                 "v": jnp.zeros(ra_rad.size, self.dtype)}
+
+        chain = np.asarray(chain)
+        flat = chain[:, n_burn:, :].reshape(-1, chain.shape[-1])
+        rng = np.random.default_rng(seed)
+        draws = jnp.asarray(flat[rng.integers(0, flat.shape[0], n_samples)],
+                            self.dtype)
+
+        def forward(theta):
+            p = self.scaled_values(theta)
+            return (self.rotation_field(p, pdata),
+                    self.dispersion_field(p, pdata))
+
+        v, s = jax.jit(jax.vmap(forward))(draws)
+        return self._predictive_table(ra_q, dec_q, np.asarray(v), np.asarray(s))
+
+    @staticmethod
+    def _predictive_table(ra_q, dec_q, v, sigma):
+        from ..utils.table import Table
+
+        good = np.isfinite(v).all(axis=1) & np.isfinite(sigma).all(axis=1)
+        v, sigma = v[good], sigma[good]
+        pv = np.percentile(v, [50, 16, 84], axis=0)
+        ps = np.percentile(sigma, [50, 16, 84], axis=0)
+        table = Table({"ra": ra_q, "dec": dec_q})
+        for key, arr in (("v_los", pv), ("sigma_los", ps)):
+            table[key] = u.Quantity(arr[0], "km/s")
+            table[f"{key}_lower_1s"] = u.Quantity(arr[1], "km/s")
+            table[f"{key}_upper_1s"] = u.Quantity(arr[2], "km/s")
+        return table
+
     def sample_chain(self, chain, n_burn: int, n_samples: int = 1):
         """Randomly draw parameter dicts (in declared units) from the chain."""
         chain = np.asarray(chain)

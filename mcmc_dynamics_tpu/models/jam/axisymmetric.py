@@ -288,6 +288,46 @@ class Axisymmetric(Runner):
                 os.path.splitext(filename)[0] + "_allsamples.csv", index=False)
         return profile
 
+    def predict_fields(self, chain, n_burn: int, ra, dec,
+                       n_samples: int = 200, seed: int = 0):
+        """Posterior-predictive JAM (v_los, sigma_los) at arbitrary sky
+        positions: one vmapped moment solve per posterior draw, with the
+        per-sample kappa-frame rotation and (in grid mode) MGE selection the
+        likelihood itself uses.  Mean velocity follows the lnlike convention
+        ``vz - delta_v``."""
+        import jax
+
+        ra_q = ra if isinstance(ra, u.Quantity) else u.Quantity(ra, "deg")
+        dec_q = dec if isinstance(dec, u.Quantity) else u.Quantity(dec, "deg")
+        pdata = {"ra": jnp.asarray(np.atleast_1d(ra_q.to("rad").value),
+                                   self.dtype),
+                 "dec": jnp.asarray(np.atleast_1d(dec_q.to("rad").value),
+                                    self.dtype)}
+
+        chain = np.asarray(chain)
+        flat = chain[:, n_burn:, :].reshape(-1, chain.shape[-1])
+        rng = np.random.default_rng(seed)
+        draws = jnp.asarray(flat[rng.integers(0, flat.shape[0], n_samples)],
+                            self.dtype)
+
+        def forward(theta_vec):
+            p = self.scaled_values(theta_vec)
+            x, y = self._rotated_coords_arcsec(p, pdata)
+            lum_i, lum_s, lum_q, mass_i, mass_s, mass_q = self._select_mge(p)
+            beta, kappa, mscale = self.jam_parameters(p)
+            res = jam_los_moments(x, y, lum_i, lum_s, lum_q,
+                                  mass_i, mass_s, mass_q,
+                                  d=p["d"], beta=beta, kappa=kappa,
+                                  mscale=mscale,
+                                  incl=self._inclination(p["barq"]),
+                                  mbh=p["mbh"], rbh=p["rbh"],
+                                  n_u=self.n_u, n_zeta=self.n_zeta)
+            sigma2 = res.v2zz - res.vz ** 2
+            return res.vz - p["delta_v"], jnp.sqrt(jnp.maximum(sigma2, 0.0))
+
+        v, s = jax.jit(jax.vmap(forward))(draws)
+        return self._predictive_table(ra_q, dec_q, np.asarray(v), np.asarray(s))
+
     def mass_scale(self, p):
         """Per-mass-component M/L scale for the mass posterior.  Subclasses
         whose kinematics are parametrised differently (ChemoProfiles) override

@@ -362,3 +362,32 @@ class TestMassPosteriorGridSelection:
         want_point0 = total(5000.0)
         np.testing.assert_allclose(masses, want_point1, rtol=1e-5)
         assert abs(masses[0] - want_point0) > 0.01 * want_point0
+
+
+class TestJamPredictFields:
+    def test_predictive_fields_match_truth_model(self):
+        """JAM predict_fields at sky positions reproduces the generating
+        model's moments (chain pinned at the true parameters)."""
+        data, lum, mass = _mock_jam_data(n=80, seed=9)
+        params = _base_params()
+        params["mlr"].set(value=2.0, min=0.5, max=6.0, fixed=False)
+        fit = Axisymmetric(data, mge_mass=mass, mge_lum=lum, parameters=params)
+        fit.n_u, fit.n_zeta = 8, 12
+        chain = np.full((4, 10, 1), 2.0)     # mlr fixed at truth
+
+        ra = u.Quantity([RA_C - (20.0 / 3600.0) / math.cos(math.radians(DEC_C))],
+                        "deg")
+        dec = u.Quantity([DEC_C], "deg")     # x = +20 arcsec on the major axis
+        pred = fit.predict_fields(chain, n_burn=0, ra=ra, dec=dec, n_samples=5)
+
+        from mcmc_dynamics_tpu.models.jam.moments import jam_los_moments
+        li, ls, lq = lum.as_arrays()
+        mi, ms, mq = mass.as_arrays()
+        incl = math.acos(math.sqrt((0.875 ** 2 - 0.4 ** 2) / (1 - 0.4 ** 2)))
+        truth = jam_los_moments(np.array([20.0]), np.array([0.0]), li, ls, lq,
+                                mi, ms, mq, d=5.0, beta=0.0, kappa=0.5,
+                                mscale=2.0, incl=incl, mbh=0.0, rbh=1.0,
+                                n_u=8, n_zeta=12)
+        sig_true = float(np.sqrt(truth.v2zz - truth.vz ** 2))
+        assert abs(float(pred.value("v_los")[0]) - float(truth.vz[0])) < 0.1
+        assert abs(float(pred.value("sigma_los")[0]) - sig_true) < 0.1

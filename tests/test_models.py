@@ -378,3 +378,40 @@ class TestSampleToConvergence:
                                         check_every=150, prefix=None)
         assert not res.converged
         assert res.chain.shape[1] == 300
+
+
+class TestPredictFields:
+    def test_posterior_predictive_fields_on_user_grid(self):
+        """predict_fields serves (v_los, sigma_los) with uncertainties at
+        arbitrary sky positions from the posterior — the rotation signal must
+        flip sign across the rotation axis and sigma must stay near truth."""
+        rng = np.random.default_rng(3)
+        n = 400
+        # inject a strong rotation: v = 20 * sin(theta) (v_maxx = 20)
+        dx = 0.02 * rng.normal(size=n)   # deg offsets
+        dy = 0.02 * rng.normal(size=n)
+        r = np.hypot(dx, dy)
+        v = 20.0 * (dy / np.maximum(r, 1e-9)) + 5.0 * rng.normal(size=n)
+        data = DataReader({
+            "ra": u.Quantity(RA_C - dx / np.cos(np.radians(DEC_C)), "deg"),
+            "dec": u.Quantity(DEC_C + dy, "deg"),
+            "v": u.Quantity(v, "km/s"),
+            "verr": u.Quantity(np.full(n, 0.5), "km/s")})
+        params = _fix_centers(ConstantFit.default_parameters())
+        params["sigma_max"].set(max=50.0)
+        fit = ConstantFit(data, parameters=params, seed=4)
+        res = fit(n_walkers=32, n_steps=400, prefix=None)
+
+        pred = fit.predict_fields(res.chain, n_burn=200,
+                                  ra=u.Quantity([RA_C, RA_C], "deg"),
+                                  dec=u.Quantity([DEC_C + 0.02,
+                                                  DEC_C - 0.02], "deg"),
+                                  n_samples=100)
+        v_n = float(pred.value("v_los")[0])   # north of centre: +v_maxx side
+        v_s = float(pred.value("v_los")[1])
+        assert v_n > 10.0 and v_s < -10.0, (v_n, v_s)
+        sig = np.asarray(pred.value("sigma_los"))
+        assert np.all(np.abs(sig - 5.0) < 1.5)
+        # uncertainty bounds bracket the medians
+        assert np.all(pred.value("v_los_lower_1s") <= pred.value("v_los"))
+        assert np.all(pred.value("v_los") <= pred.value("v_los_upper_1s"))
