@@ -203,6 +203,62 @@ class ChemoProfiles(AnalyticalProfiles):
         return self.mlr_profile(x_mlr, p["mlr_0"], p["mlr_t"], p["mlr_inf"],
                                 p["r_mlr"])
 
+    def predict_fields(self, chain, n_burn: int, ra, dec,
+                       n_samples: int = 200, seed: int = 0):
+        """Per-population posterior-predictive (v_los, sigma_los) at arbitrary
+        sky positions: {pop_index: Table}, one vmapped moment solve per
+        population per draw (the inherited single-field JAM version reads
+        kappa_x/r_kappa, which the chemo parameter set does not have)."""
+        import jax
+        from ... import units as u
+
+        ra_q = ra if isinstance(ra, u.Quantity) else u.Quantity(ra, "deg")
+        dec_q = dec if isinstance(dec, u.Quantity) else u.Quantity(dec, "deg")
+        pdata = {"ra": jnp.asarray(np.atleast_1d(ra_q.to("rad").value),
+                                   self.dtype),
+                 "dec": jnp.asarray(np.atleast_1d(dec_q.to("rad").value),
+                                    self.dtype)}
+
+        chain = np.asarray(chain)
+        flat = chain[:, n_burn:, :].reshape(-1, chain.shape[-1])
+        rng = np.random.default_rng(seed)
+        draws = jnp.asarray(flat[rng.integers(0, flat.shape[0], n_samples)],
+                            self.dtype)
+
+        letters = ascii_lowercase[:self.n_pops]
+        lum_i, lum_s, lum_q = [jnp.asarray(a, self.dtype)
+                               for a in self.mge_lum.as_arrays()]
+        mass_i, mass_s, mass_q = [jnp.asarray(a, self.dtype)
+                                  for a in self.mge_mass.as_arrays()]
+        x_kappa = jnp.asarray(self._x_kappa, self.dtype)
+
+        out = {}
+        for i, pop in enumerate(letters):
+            def forward(theta_vec, pop=pop):
+                p = self.scaled_values(theta_vec)
+                x, y = self._rotated_coords_no_rotation(p, pdata)
+                h_row = jnp.stack([p[f"h_{pop}{q}"] for q in letters])
+                weights = h_row @ self._pop_onehot
+                mscale = self.mass_scale(p)
+                r_kappa = 10.0 ** p[f"logr_kappa_{pop}"] * 60.0
+                kappa = self.kappa_profile(x_kappa, p[f"kappa_max_{pop}"],
+                                           r_kappa)
+                res = jam_los_moments(x, y, lum_i * weights, lum_s, lum_q,
+                                      mass_i, mass_s, mass_q, d=p["d"],
+                                      beta=p["beta"], kappa=kappa,
+                                      mscale=mscale,
+                                      incl=self._inclination(p["barq"]),
+                                      mbh=p["mbh"], rbh=p["rbh"],
+                                      n_u=self.n_u, n_zeta=self.n_zeta)
+                sigma2 = res.v2zz - res.vz ** 2
+                return (res.vz - p["delta_v"],
+                        jnp.sqrt(jnp.maximum(sigma2, 0.0)))
+
+            v, s = jax.jit(jax.vmap(forward))(draws)
+            out[i] = self._predictive_table(ra_q, dec_q, np.asarray(v),
+                                            np.asarray(s))
+        return out
+
     def lnlike_terms(self, p, data):
         letters = ascii_lowercase[:self.n_pops]
         lum_i, lum_s, lum_q = [jnp.asarray(a, self.dtype)

@@ -112,6 +112,15 @@ class AnalyticalProfiles(Axisymmetric):
         sigma = np.asarray(sigma, dtype=np.float64)
         live = intensity > 0
         s_live = sigma[live]
+        if s_live.size == 1:
+            # degenerate slice (e.g. a chemo population owning ONE MGE
+            # component): the innermost->0 and outermost->x10 rules would
+            # collide on the same index and zero the anchor — which silently
+            # kills that population's rotation, since kappa(0) = 0.  Anchor
+            # at the component's own scale instead.
+            xn = np.zeros_like(sigma)
+            xn[live] = s_live[0]
+            return xn
         x = np.logspace(np.log10(s_live.min()), np.log10(s_live.max()), 100)
         weights = intensity[None, :] * np.exp(-0.5 * (x[:, None] / sigma[None, :]) ** 2)
         weights = weights / weights.sum(axis=1, keepdims=True)

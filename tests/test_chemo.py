@@ -222,3 +222,42 @@ class TestChemoRegressions:
         assert set(profiles) == {0, 1}
         assert (tmp_path / "prof_pop0.ecsv").exists()
         assert (tmp_path / "prof_pop1.ecsv").exists()
+
+    def test_predict_fields_per_population(self):
+        data = _data()
+        lum, mass = _tagged_mges()
+        params = _fixed_params(mu_feh_a=dict(min=-1.0, max=1.0))
+        fit = ChemoProfiles(data, mge_mass=mass, mge_lum=lum, parameters=params,
+                            n_pops=2, seed=9)
+        res = fit(n_walkers=8, n_steps=16, prefix=None)
+        pred = fit.predict_fields(res.chain, n_burn=8,
+                                  ra=u.Quantity([RA_C], "deg"),
+                                  dec=u.Quantity([DEC_C + 0.005], "deg"),
+                                  n_samples=4)
+        assert set(pred) == {0, 1}
+        for t in pred.values():
+            assert np.isfinite(np.asarray(t.value("v_los"))).all()
+            assert np.isfinite(np.asarray(t.value("sigma_los"))).all()
+
+    def test_single_component_population_rotates(self):
+        """Regression: a population owning ONE MGE component got a kappa
+        anchor of 0 (innermost/outermost rules colliding), silently zeroing
+        its rotation for any kappa_max.  Counter-rotating single-component
+        populations must now produce opposite-signed predictive v_los."""
+        data = _data()
+        lum, mass = _tagged_mges()
+        params = _fixed_params(mu_feh_a=dict(min=-1.0, max=0.1))
+        params["kappa_max_a"].set(value=0.6)
+        params["kappa_max_b"].set(value=-0.6)
+        fit = ChemoProfiles(data, mge_mass=mass, mge_lum=lum, parameters=params,
+                            n_pops=2, seed=3)
+        fit.n_u, fit.n_zeta = 8, 12
+        assert np.all(np.asarray(fit._x_kappa) > 0)
+        res = fit(n_walkers=8, n_steps=16, prefix=None)
+        ra_p = u.Quantity(
+            [RA_C - (20.0 / 3600.0) / math.cos(math.radians(DEC_C))], "deg")
+        pred = fit.predict_fields(res.chain, n_burn=8, ra=ra_p,
+                                  dec=u.Quantity([DEC_C], "deg"), n_samples=4)
+        va = float(pred[0].value("v_los")[0])
+        vb = float(pred[1].value("v_los")[0])
+        assert va > 0.05 and vb < -0.05, (va, vb)
