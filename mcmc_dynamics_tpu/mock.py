@@ -1,8 +1,9 @@
 """Synthetic star-cluster catalogs for verification and benchmarking.
 
 The reference's de-facto integration test builds a mock rotating cluster with known
-parameters (bin/run_tests.py:33-69); this module provides that generator as a reusable
-library function (plus an omega-Cen-like variant used for the bundled example data).
+parameters (bin/run_tests.py:33-69); this module provides that generator as a
+reusable library function (the bundled omega-Cen-like example catalog was produced
+with it under a production-scale configuration).
 """
 
 from __future__ import annotations

@@ -49,6 +49,10 @@ class Unit:
             return Unit(self.scale * other.scale,
                         tuple(a + b for a, b in zip(self.dims, other.dims)),
                         _join_names(self.name, other.name, "*"))
+        if isinstance(other, Quantity):
+            # unit * quantity forms the PRODUCT (like quantity * unit);
+            # the old Quantity(other, self) path silently CONVERTED instead
+            return Quantity(other.value, other.unit * self)
         return Quantity(other, self)
 
     __rmul__ = __mul__
@@ -102,7 +106,9 @@ class Unit:
         return NotImplemented
 
     def __hash__(self):
-        return hash((round(math.log(self.scale) if self.scale > 0 else 0.0, 9), self.dims))
+        # dims only: __eq__ uses isclose on the scale, and rounding the scale
+        # into the hash could split isclose-equal units across hash buckets
+        return hash(self.dims)
 
     def __repr__(self):
         return self.name or f"Unit(scale={self.scale}, dims={self.dims})"
@@ -119,6 +125,12 @@ class DexUnit(Unit):
         object.__setattr__(self, "dims", (0,) * 5)
         object.__setattr__(self, "name", f"dex({physical_unit.name})")
         object.__setattr__(self, "physical_unit", physical_unit)
+
+    def is_unity(self) -> bool:
+        # a dex column is NOT a bare number: returning True (inherited: scale 1,
+        # zero dims) made tables drop the dex tag and "convert" log10 values
+        # as if linear
+        return False
 
     def conversion_factor(self, other):
         if isinstance(other, DexUnit) and other.physical_unit.physically_equal(self.physical_unit):
@@ -185,7 +197,7 @@ def dex(unit) -> DexUnit:
     return DexUnit(parse_unit(unit))
 
 
-_POW_RE = re.compile(r"^([A-Za-z]+)(?:\*\*)?(-?\d+)?$")
+_POW_RE = re.compile(r"^([A-Za-z]+)\^?(-?\d+)?$")
 
 
 def parse_unit(text) -> Unit:
@@ -210,9 +222,14 @@ def parse_unit(text) -> Unit:
     num_den = text.split("/")
     for i, part in enumerate(num_den):
         sign = 1 if i == 0 else -1
-        for token in part.replace("·", " ").replace("*", " ").split():
+        # normalise '**' powers to '^' BEFORE '*' becomes a separator, else
+        # 'pc**2' tokenises as ['pc', '2'] and the power can never parse
+        for token in (part.replace("**", "^").replace("·", " ")
+                      .replace("*", " ").split()):
             token = token.strip()
             if not token:
+                continue
+            if token == "1":  # the ECSV spelling of dimensionless
                 continue
             mm = _POW_RE.match(token)
             if not mm:
@@ -294,7 +311,10 @@ class Quantity:
             # mirror astropy: plain-array view only well-defined for dimensionless
             raise UnitConversionError(
                 f"Refusing implicit unit drop for unit '{self.unit}'. Use .value or .to().")
-        return np.asarray(self.value, dtype=dtype)
+        # fold in a non-unity scale: arcmin/deg is dimensionless with scale
+        # 1/60, and np.asarray must see the converted-to-unity value (astropy
+        # semantics) — the raw value would be silently wrong by that factor
+        return np.asarray(self.value * self.unit.scale, dtype=dtype)
 
     def __float__(self):
         return float(self.value)

@@ -127,7 +127,11 @@ class Table:
         if hasattr(target, "write"):
             target.write(text)
         else:
-            pathlib.Path(target).write_text(text)
+            path = pathlib.Path(target)
+            if not overwrite and path.exists():
+                raise FileExistsError(
+                    f"{path} exists and overwrite=False.")
+            path.write_text(text)
 
     def _to_csv(self) -> str:
         buf = io.StringIO()
@@ -151,9 +155,14 @@ class Table:
             line += "}\n"
             buf.write(line)
         buf.write("# schema: astropy-2.0\n")
-        buf.write(" ".join(self.colnames) + "\n")
+        # csv-module writer: names/values containing the delimiter are quoted,
+        # so 'r mean'-style summary columns survive the round-trip
+        import csv
+        writer = csv.writer(buf, delimiter=" ", quotechar='"',
+                            lineterminator="\n")
+        writer.writerow(self.colnames)
         for i in range(len(self)):
-            buf.write(" ".join(_fmt(self.columns[n][i]) for n in self.colnames) + "\n")
+            writer.writerow([_fmt(self.columns[n][i]) for n in self.colnames])
         return buf.getvalue()
 
     @classmethod
@@ -178,8 +187,11 @@ class Table:
 
     @classmethod
     def _from_ecsv(cls, text: str) -> "Table":
+        import csv
+
         lines = text.splitlines()
         meta: List[dict] = []
+        delimiter = " "
         data_start = 0
         for i, line in enumerate(lines):
             if line.startswith("#"):
@@ -191,11 +203,25 @@ class Table:
                             k, v = part.split(":", 1)
                             entry[k.strip()] = v.strip().strip("'\"")
                     meta.append(entry)
+                d = re.match(r"#\s*delimiter:\s*(.+?)\s*$", line)
+                if d:
+                    delimiter = d.group(1).strip().strip("'\"") or " "
             else:
                 data_start = i
                 break
-        header = lines[data_start].split()
-        body = [ln.split() for ln in lines[data_start + 1:] if ln.strip()]
+        # csv reader handles quoted fields (names/strings with spaces); for the
+        # default space delimiter, runs of aligning spaces parse as empty
+        # fields and are dropped
+        reader = csv.reader(lines[data_start:], delimiter=delimiter,
+                            quotechar='"')
+        rows = []
+        for row in reader:
+            if delimiter == " ":
+                row = [f for f in row if f != ""]
+            if row:
+                rows.append(row)
+        header = rows[0]
+        body = rows[1:]
         arr = np.array(body, dtype=object)
 
         out = cls()

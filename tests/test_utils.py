@@ -225,3 +225,70 @@ class TestAmplitudeFillIn:
         from_x, _, _ = get_amplitude_and_angle({"theta_0": theta, "v_maxx": vx})
         for res in (from_y, from_x):
             assert abs(res.value("v_max")[0] - full.value("v_max")[0]) < 0.01
+
+
+class TestUnitsTableRegressions:
+    """Review-pass fixes in the units/table foundation."""
+
+    def test_spaced_column_names_round_trip(self):
+        """BinnedFitResult.summary's 'r mean'-style columns used to corrupt
+        the whitespace-split ECSV round-trip."""
+        import io
+        import numpy as np
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.utils import Table
+
+        t = Table({"r mean": np.array([1.0, 2.0]),
+                   "v_max median": np.array([3.0, 4.0])})
+        t.units["r mean"] = u.arcmin
+        buf = io.StringIO(); t.write(buf)
+        t2 = Table.read(io.StringIO(buf.getvalue()))
+        assert t2.colnames == ["r mean", "v_max median"]
+        np.testing.assert_array_equal(t2.value("v_max median"), [3.0, 4.0])
+        assert t2.units["r mean"] == u.arcmin
+
+    def test_ecsv_delimiter_directive_and_overwrite(self, tmp_path):
+        import io
+        import numpy as np
+        import pytest
+        from mcmc_dynamics_tpu.utils import Table
+
+        text = ("# %ECSV 1.0\n# ---\n# datatype:\n"
+                "# - {name: a, datatype: float64}\n"
+                "# - {name: b, datatype: float64}\n"
+                "# delimiter: ','\n# schema: astropy-2.0\na,b\n1.5,2.5\n")
+        t = Table.read(io.StringIO(text))
+        np.testing.assert_array_equal(t.value("b"), [2.5])
+        p = tmp_path / "x.ecsv"
+        t.write(p)
+        with pytest.raises(FileExistsError):
+            t.write(p, overwrite=False)
+
+    def test_scaled_dimensionless_and_dex_units(self):
+        import numpy as np
+        import pytest
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.utils import Table
+
+        q = u.Quantity(1.0, u.arcmin) / u.Quantity(1.0, u.deg)
+        assert abs(float(np.asarray(q)) - 1.0 / 60.0) < 1e-12
+
+        t = Table({"lg": u.Quantity(np.array([0.3]), u.dex("arcmin"))})
+        col = t["lg"]
+        assert isinstance(col.unit, u.DexUnit)
+        with pytest.raises(u.UnitConversionError):
+            t.value("lg", "arcmin")   # log10 values must not convert linearly
+
+    def test_unit_algebra_and_parse_edge_cases(self):
+        from mcmc_dynamics_tpu import units as u
+
+        a = u.deg * u.Quantity(2.0, u.arcmin)       # used to CONVERT
+        b = u.Quantity(2.0, u.arcmin) * u.deg
+        assert a.unit.dims == b.unit.dims and float(a.value) == 2.0
+        c = u.km * u.Quantity(2.0, u.s)             # used to raise
+        assert c.unit.dims == (u.km * u.s).dims
+        assert u.parse_unit("1").is_unity()
+        assert u.parse_unit("pc**2").dims == (u.pc ** 2).dims
+        u1 = u.Unit(1.0, (1, 0, 0, 0, 0))
+        u2 = u.Unit(1.0 + 1e-14, (1, 0, 0, 0, 0))
+        assert u1 == u2 and hash(u1) == hash(u2)
