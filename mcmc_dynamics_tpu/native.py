@@ -43,11 +43,22 @@ def _build_dir() -> pathlib.Path:
         base = os.path.join(tempfile.gettempdir(), f"mcmcd_native_{uid}")
     path = pathlib.Path(base)
     path.mkdir(parents=True, exist_ok=True, mode=0o700)
-    st = path.stat()
+    # lstat: a pre-planted symlink to a victim-owned but attacker-writable
+    # directory would pass a stat()-through-the-link ownership check
+    st = os.lstat(path)
+    import stat as stat_mod
+    if stat_mod.S_ISLNK(st.st_mode):
+        raise RuntimeError(
+            f"Native cache dir {path} is a symlink; refusing to load "
+            "libraries through it. Set MCMCD_NATIVE_CACHE.")
     if hasattr(os, "getuid") and st.st_uid != os.getuid():
         raise RuntimeError(
             f"Native cache dir {path} is owned by uid {st.st_uid}, not us; "
             "refusing to load libraries from it. Set MCMCD_NATIVE_CACHE.")
+    if st.st_mode & 0o022:
+        raise RuntimeError(
+            f"Native cache dir {path} is group/world-writable; refusing to "
+            "load libraries from it. Set MCMCD_NATIVE_CACHE.")
     return path
 
 
@@ -116,6 +127,8 @@ def native_available() -> bool:
 
 def read_csv(path, n_cols: int) -> Optional[np.ndarray]:
     """Fast numeric CSV parse -> (rows, n_cols) float64 array; None on fallback."""
+    if n_cols < 1 or n_cols > 64:
+        return None  # beyond the native row buffer: use the pandas fallback
     lib = load_library()
     if lib is None:
         return None

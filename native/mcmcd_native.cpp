@@ -44,6 +44,8 @@ long mcmcd_read_csv(const char* path, long n_cols, double** out_data) {
     fclose(f);
     buf[static_cast<size_t>(size)] = '\0';
 
+    if (n_cols < 1 || n_cols > 64) return -1;  // caller must use the fallback
+
     std::vector<double> values;
     values.reserve(1 << 20);
 
@@ -55,18 +57,35 @@ long mcmcd_read_csv(const char* path, long n_cols, double** out_data) {
         char* line_end = static_cast<char*>(memchr(p, '\n', end - p));
         if (!line_end) line_end = end;
         *line_end = '\0';
+        if (*p == '\0' || *p == '\r') { p = line_end + 1; continue; }  // blank
 
         double row[64];
         long col = 0;
         char* q = p;
         bool ok = true;
-        while (col < n_cols && col < 64) {
-            char* next = nullptr;
-            double v = strtod(q, &next);
-            if (next == q) { ok = false; break; }  // non-numeric field
-            row[col++] = v;
-            q = next;
-            while (*q == ',' || *q == ' ' || *q == '\t' || *q == ';') ++q;
+        // one field per separator: consecutive separators are EMPTY fields and
+        // parse as NaN (matching the pandas fallback), not silently-dropped rows
+        for (col = 0; col < n_cols; ++col) {
+            while (*q == ' ' || *q == '\t') ++q;
+            if (*q == ',' || *q == ';' || *q == '\0') {
+                row[col] = NAN;  // empty / missing field
+            } else {
+                char* next = nullptr;
+                double v = strtod(q, &next);
+                if (next == q) { ok = false; break; }  // non-numeric (header)
+                row[col] = v;
+                q = next;
+                while (*q == ' ' || *q == '\t') ++q;
+            }
+            if (col + 1 < n_cols) {
+                if (*q == ',' || *q == ';') {
+                    ++q;  // consume exactly ONE separator
+                } else if (*q == '\0') {
+                    for (long c2 = col + 1; c2 < n_cols; ++c2) row[c2] = NAN;
+                    col = n_cols - 1;
+                }
+                // whitespace-delimited: the next number simply starts here
+            }
         }
         if (ok && col == n_cols) {
             values.insert(values.end(), row, row + n_cols);
@@ -85,20 +104,34 @@ long mcmcd_read_csv(const char* path, long n_cols, double** out_data) {
 void mcmcd_free(double* ptr) { free(ptr); }
 
 // ---------------------------------------------------------------- binary cache
-// Layout: magic 'MCMD' | int64 rows | int64 cols | float64 data (row-major).
+// Layout (24-byte header so the float64 payload is 8-aligned):
+//   magic 'MCM2' | 4 pad bytes | int64 rows | int64 cols | float64 data.
+// Writes land on a temp file and rename() into place: a process killed
+// mid-write (ENOSPC, SIGKILL) must never leave a header-valid truncated file
+// that would poison every later load.
 int mcmcd_cache_write(const char* path, const double* data, long rows, long cols) {
-    FILE* f = fopen(path, "wb");
+    char tmp[4096];
+    if (snprintf(tmp, sizeof(tmp), "%s.tmp.%ld", path,
+                 static_cast<long>(getpid())) >= static_cast<int>(sizeof(tmp)))
+        return -1;
+    FILE* f = fopen(tmp, "wb");
     if (!f) return -1;
-    const char magic[4] = {'M', 'C', 'M', 'D'};
+    const char magic[4] = {'M', 'C', 'M', '2'};
+    const char pad[4] = {0, 0, 0, 0};
     int64_t r = rows, c = cols;
     int ok = fwrite(magic, 1, 4, f) == 4
+        && fwrite(pad, 1, 4, f) == 4
         && fwrite(&r, sizeof(r), 1, f) == 1
         && fwrite(&c, sizeof(c), 1, f) == 1
         && fwrite(data, sizeof(double),
                   static_cast<size_t>(rows) * cols, f)
             == static_cast<size_t>(rows) * cols;
-    fclose(f);
-    return ok ? 0 : -1;
+    ok = (fclose(f) == 0) && ok;
+    if (!ok || rename(tmp, path) != 0) {
+        remove(tmp);
+        return -1;
+    }
+    return 0;
 }
 
 // mmap the cache; returns pointer to the float64 payload (read-only shared map;
@@ -114,18 +147,26 @@ const double* mcmcd_cache_open(const char* path, long* rows, long* cols,
     close(fd);
     if (map == MAP_FAILED) return nullptr;
     const char* base = static_cast<const char*>(map);
-    if (st.st_size < 20 || memcmp(base, "MCMD", 4) != 0) {
+    if (st.st_size < 24 || memcmp(base, "MCM2", 4) != 0) {
         munmap(map, static_cast<size_t>(st.st_size));
         return nullptr;
     }
     int64_t r, c;
-    memcpy(&r, base + 4, sizeof(r));
-    memcpy(&c, base + 12, sizeof(c));
+    memcpy(&r, base + 8, sizeof(r));
+    memcpy(&c, base + 16, sizeof(c));
+    // reject corrupt/truncated headers BEFORE handing out a payload pointer:
+    // reading past the mapping would SIGBUS the whole Python process
+    if (r < 0 || c < 0
+        || (c > 0 && r > (INT64_MAX - 24) / (8 * c))
+        || st.st_size < 24 + 8 * r * c) {
+        munmap(map, static_cast<size_t>(st.st_size));
+        return nullptr;
+    }
     *rows = static_cast<long>(r);
     *cols = static_cast<long>(c);
     *handle = map;
     *mapped_size = static_cast<long>(st.st_size);
-    return reinterpret_cast<const double*>(base + 20);
+    return reinterpret_cast<const double*>(base + 24);
 }
 
 void mcmcd_cache_close(void* handle, long mapped_size) {
@@ -140,8 +181,15 @@ long mcmcd_radial_bins(const double* r, long n, long nstars, double dlogr,
                        int32_t* out) {
     std::vector<long> order(n);
     std::iota(order.begin(), order.end(), 0L);
-    std::sort(order.begin(), order.end(),
-              [r](long a, long b) { return r[a] < r[b]; });
+    // NaN-safe comparator (NaNs sort last, matching np.argsort): a plain
+    // r[a] < r[b] violates strict weak ordering under NaN — undefined
+    // behaviour in std::sort, up to out-of-bounds reads
+    std::sort(order.begin(), order.end(), [r](long a, long b) {
+        const double ra = r[a], rb = r[b];
+        if (std::isnan(ra)) return false;
+        if (std::isnan(rb)) return true;
+        return ra < rb;
+    });
 
     std::vector<int32_t> bins(n, -1);
     long i = 0;

@@ -49,10 +49,18 @@ class TestNativeCache:
 
 
 class TestNativeBinning:
-    def test_matches_numpy_reference(self):
+    def test_matches_numpy_reference(self, monkeypatch):
+        """Native C++ vs the PURE-NUMPY fallback.  radial_bin_numbers itself
+        dispatches to the native path first, so the fallback must be forced
+        (monkeypatched native -> None) or this comparison is a tautology."""
+        import mcmc_dynamics_tpu.native as native_mod
+
         rng = np.random.default_rng(3)
         for n, nstars, dlogr in ((500, 50, 0.2), (1000, 80, 0.05), (120, 50, 0.3)):
             r = rng.lognormal(0.0, 1.0, size=n)
-            expected = radial_bin_numbers(r, nstars=nstars, dlogr=dlogr)
             got = native.radial_bins(r, nstars, dlogr)
+            monkeypatch.setattr(native_mod, "radial_bins",
+                                lambda *a, **k: None)
+            expected = radial_bin_numbers(r, nstars=nstars, dlogr=dlogr)
+            monkeypatch.undo()
             np.testing.assert_array_equal(got, expected)
