@@ -29,8 +29,7 @@ import jax.numpy as jnp
 
 from .. import units as u
 from ..parameters import CompiledParameters, Parameters
-from ..sampler import (init_state, key_from_arrays, key_to_arrays,
-                       make_key, run_ensemble)
+from ..sampler import init_state, key_from_arrays, make_key, run_ensemble
 from ..utils.coordinates import get_amplitude_and_angle
 from ..utils.data import DataReader
 from ..utils.table import Table
@@ -626,10 +625,14 @@ class Runner:
         ``__call__`` driven through the shard_map SPMD sampler (walkers over
         ``dp_axis``, stars over ``sp_axis`` when present in the mesh).
 
-        ``state=`` continues from a checkpointed EnsembleState (coordinates and
-        PRNG key; the per-device key folding makes the continuation
-        deterministic, though not bitwise-identical to an unsharded run)."""
+        ``state=`` continues from a checkpointed EnsembleState (coordinates,
+        PRNG key, cumulative acceptance counters and true step index); a
+        sharded->sharded resume on the same mesh reproduces the uninterrupted
+        run bitwise, including the acceptance bookkeeping.  (A sharded run is
+        deterministic but not bitwise-identical to an *unsharded* run: the
+        per-device key folding differs.)"""
         from ..parallel import run_ensemble_sharded
+        from ..parallel.distributed import fetch
         from ..sampler import EnsembleState
 
         if state is not None:
@@ -659,15 +662,20 @@ class Runner:
         chunk = n_out if n_out else n_steps
         done = 0
         result = None
-        accepted_total = np.zeros(n_walkers)
+        # whole-run bookkeeping survives resumes: a checkpointed state carries
+        # the cumulative per-walker acceptance counts and the true step index
+        accepted0 = (np.asarray(fetch(state.accepted), dtype=np.int64)
+                     if state is not None else np.zeros(n_walkers, np.int64))
+        step0 = int(state.step) if state is not None else 0
+        accepted_run = np.zeros(n_walkers, np.int64)
 
         def snapshot():
             return EnsembleState(
-                coords=jnp.asarray(coords),
-                log_prob=jnp.asarray(result.final_log_prob),
+                coords=jnp.asarray(fetch(coords)),
+                log_prob=jnp.asarray(fetch(result.final_log_prob)),
                 key=key,
-                accepted=jnp.zeros(n_walkers, dtype=jnp.int32),
-                step=jnp.asarray(done, dtype=jnp.int32))
+                accepted=jnp.asarray(accepted0 + accepted_run, dtype=jnp.int64),
+                step=jnp.asarray(step0 + done, dtype=jnp.int64))
 
         while done < n_steps:
             steps = min(chunk, n_steps - done)
@@ -682,9 +690,9 @@ class Runner:
                 result = run_ensemble_sharded(self, coords, key, n_steps=steps,
                                               mesh=mesh, dp_axis=dp_axis,
                                               sp_axis=sp_axis, a=a, move=move)
-            chain_parts.append(np.asarray(result.chain))
-            lnp_parts.append(np.asarray(result.log_prob))
-            accepted_total += np.asarray(result.acceptance_fraction) * steps
+            chain_parts.append(fetch(result.chain))
+            lnp_parts.append(fetch(result.log_prob))
+            accepted_run += np.asarray(fetch(result.accepted), dtype=np.int64)
             coords = result.final_coords
             key = result.final_key
             done += steps
@@ -702,9 +710,8 @@ class Runner:
 
         chain = np.concatenate(chain_parts, axis=1)
         lnprobability = np.concatenate(lnp_parts, axis=1)
-        # whole-run acceptance: the sharded runner reports per-chunk
-        # fractions, so weight them by their chunk lengths
-        acceptance = accepted_total / max(done, 1)
+        # acceptance over THIS call's steps (exact integer counts per chunk)
+        acceptance = accepted_run / max(done, 1)
         sampler = SamplerResult(chain=chain, lnprobability=lnprobability,
                                 final_state=snapshot(),
                                 acceptance_fraction=acceptance)
@@ -736,11 +743,23 @@ class Runner:
 
     @staticmethod
     def save_current_status_arrays(chain, lnprob, state, prefix: str = "sampler"):
-        key_data, key_impl = key_to_arrays(state.key)
-        np.savez(f"{prefix}_chain.npz", chain=chain, lnprob=lnprob,
-                 key=key_data, key_impl=np.asarray(key_impl),
-                 coords=np.asarray(state.coords),
-                 accepted=np.asarray(state.accepted), step=np.asarray(state.step))
+        from ..parallel.distributed import barrier, fetch, is_primary
+
+        # fetch() is collective on process-spanning arrays: every process must
+        # reach it; only the primary then touches the filesystem
+        key = state.key
+        if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
+            key_data = fetch(jax.random.key_data(key))
+            key_impl = str(jax.random.key_impl(key))
+        else:
+            key_data, key_impl = fetch(key), "legacy"
+        arrays = dict(chain=fetch(chain), lnprob=fetch(lnprob),
+                      key=key_data, key_impl=np.asarray(key_impl),
+                      coords=fetch(state.coords),
+                      accepted=fetch(state.accepted), step=fetch(state.step))
+        if is_primary():
+            np.savez(f"{prefix}_chain.npz", **arrays)
+        barrier("checkpoint")
 
     def load_state(self, filename: str):
         """Rebuild the resumable EnsembleState (coords + lnP + PRNG key + counters)

@@ -29,9 +29,20 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..sampler.stretch import normalize_move, propose_mixture
+from .distributed import fetch, mesh_spans_processes, to_global
 
 __all__ = ["pad_star_axis", "star_sharded_lnprob", "run_ensemble_sharded",
            "ShardedResult"]
+
+
+def _globalize_key(key, mesh, spec):
+    """Lay a PRNG key (typed or legacy uint32) out on a process-spanning mesh
+    so it can feed a ``shard_map`` in_spec (replicated or per-dp-rank)."""
+    if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
+        data = fetch(jax.random.key_data(key))
+        gdata = to_global(mesh, spec, data)
+        return jax.random.wrap_key_data(gdata, impl=jax.random.key_impl(key))
+    return to_global(mesh, spec, fetch(key))
 
 
 def pad_star_axis(data: Dict[str, jnp.ndarray], n_shards: int) -> Dict[str, jnp.ndarray]:
@@ -99,13 +110,15 @@ class ShardedResult:
     """Output of :func:`run_ensemble_sharded`: globally-shaped jax.Arrays (sharded
     across the mesh) plus the resumable pieces."""
 
-    def __init__(self, chain, log_prob, coords, lnp, key, acceptance_fraction):
+    def __init__(self, chain, log_prob, coords, lnp, key, acceptance_fraction,
+                 accepted=None):
         self.chain = chain                    # (W, S, K) — walker axis dp-sharded
         self.log_prob = log_prob              # (W, S)
         self.final_coords = coords            # (W, K)
         self.final_log_prob = lnp             # (W,)
         self.final_key = key
         self.acceptance_fraction = acceptance_fraction
+        self.accepted = accepted              # (W,) int: exact per-walker counts
 
 
 def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
@@ -124,7 +137,27 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
     use_sp = sp_axis is not None and sp_axis in mesh.shape
     n_sp = mesh.shape[sp_axis] if use_sp else 1
 
-    coords = jnp.asarray(coords, dtype=runner.dtype)
+    # The key arrives replicated (fresh run: it is folded by dp rank below) or
+    # as a stacked per-dp-rank array (a prior chunk's ``final_key`` or a
+    # checkpointed sharded state).  Returning the stacked form and consuming
+    # it un-refolded makes a chunked sharded run bitwise-identical to an
+    # uninterrupted one — checkpoint resume included.
+    key_arr = key if hasattr(key, "ndim") else jnp.asarray(key)
+    typed_key = jnp.issubdtype(key_arr.dtype, jax.dtypes.prng_key)
+    key_prefolded = key_arr.ndim == (1 if typed_key else 2)
+    if key_prefolded and key_arr.shape[0] != n_dp:
+        raise ValueError(
+            f"Resuming a sharded run requires the same dp extent: state "
+            f"carries {key_arr.shape[0]} per-rank keys, mesh has dp={n_dp}.")
+    key_spec = P(dp_axis) if key_prefolded else P()
+
+    # process-spanning meshes (multi-host): inputs must become global arrays;
+    # bring coords to host first (it may itself be a prior chunk's global output)
+    spans = mesh_spans_processes(mesh)
+    if spans:
+        coords = fetch(coords)
+    coords = jnp.asarray(coords, dtype=runner.dtype) if not spans \
+        else np.asarray(coords, dtype=runner.dtype)
     n_walkers, ndim = coords.shape
     assert n_walkers % (2 * n_dp) == 0, \
         f"walkers ({n_walkers}) must be a multiple of 2*dp ({2 * n_dp})"
@@ -145,8 +178,16 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
     data_arrays = [data[k] for k in data_names]
 
     star_spec = P(sp_axis) if use_sp else P()
-    in_specs = (P(dp_axis, None), P()) + tuple(star_spec for _ in data_arrays)
-    out_specs = (P(dp_axis, None), P(dp_axis), P(),
+    if spans:
+        # per-process feeding: every host holds the full catalog; each
+        # materialises only the shards its local devices own (DCN never
+        # carries the catalog — only psum partials and gathered half-ensembles)
+        coords = to_global(mesh, P(dp_axis, None), coords)
+        key = _globalize_key(key, mesh, key_spec)
+        data_arrays = [to_global(mesh, star_spec, fetch(a))
+                       for a in data_arrays]
+    in_specs = (P(dp_axis, None), key_spec) + tuple(star_spec for _ in data_arrays)
+    out_specs = (P(dp_axis, None), P(dp_axis), P(dp_axis),
                  P(None, dp_axis, None), P(None, dp_axis), P(dp_axis))
 
     def local_lnprob(theta, local):
@@ -177,8 +218,11 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
     def sharded_run(coords_local, key, *shards):
         local = dict(zip(data_names, shards))
         dp_idx = jax.lax.axis_index(dp_axis)
-        # identical stream across sp ranks of a dp row; distinct across dp
-        key = jax.random.fold_in(key, dp_idx)
+        if key_prefolded:
+            key = key[0]        # this rank's block of the stacked key array
+        else:
+            # identical stream across sp ranks of a dp row; distinct across dp
+            key = jax.random.fold_in(key, dp_idx)
 
         if batched_tier is not None:
             batched_lnprob = batched_tier
@@ -224,7 +268,7 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         (c_fin, lnp_fin, acc, key_fin), (chain, lnp_hist) = jax.lax.scan(
             body, (coords_local, lnp0, jnp.zeros(w_local, jnp.int32), key),
             None, length=n_steps)
-        return c_fin, lnp_fin, key_fin, chain, lnp_hist, acc
+        return c_fin, lnp_fin, key_fin[None], chain, lnp_hist, acc
 
     c_fin, lnp_fin, key_fin, chain, lnp_hist, acc = sharded_run(
         coords, key, *data_arrays)
@@ -232,7 +276,9 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
     # undo the interleaved layout -> original walker order, emcee chain layout
     chain = jnp.swapaxes(chain, 0, 1)[inverse_order]        # (W, S, K)
     log_prob = jnp.swapaxes(lnp_hist, 0, 1)[inverse_order]  # (W, S)
+    accepted = acc[inverse_order]
     return ShardedResult(chain=chain, log_prob=log_prob,
                          coords=c_fin[inverse_order], lnp=lnp_fin[inverse_order],
                          key=key_fin,
-                         acceptance_fraction=acc[inverse_order] / max(n_steps, 1))
+                         acceptance_fraction=accepted / max(n_steps, 1),
+                         accepted=accepted)

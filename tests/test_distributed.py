@@ -1,0 +1,204 @@
+"""Multi-host (jax.distributed) layer: helpers + an honest two-process run.
+
+The two-process test launches real subprocesses that rendezvous through
+``jax.distributed.initialize`` on localhost (CPU backend, Gloo collectives) —
+the closest thing to a pod the sandbox offers (SURVEY §2.6: reference
+runner.py:398-401 fork pools -> multi-controller SPMD over DCN).
+"""
+
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from mcmc_dynamics_tpu.parallel import (barrier, fetch, is_distributed,
+                                        is_primary, make_mesh, to_global)
+from mcmc_dynamics_tpu.parallel import distributed as dist
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+class TestSingleProcessDegradation:
+    """Every helper must be a clean no-op/thin-wrapper without a cluster."""
+
+    def test_initialize_without_coordinator_is_noop(self):
+        assert dist.initialize() is False
+        assert not is_distributed()
+        assert is_primary()
+
+    def test_initialize_rejects_inconsistent_args(self):
+        with pytest.raises(ValueError, match="coordinator_address"):
+            dist.initialize(num_processes=2)
+
+    def test_to_global_fetch_roundtrip(self):
+        mesh = make_mesh(("dp", "sp"), (4, 2))
+        host = np.arange(24.0).reshape(8, 3)
+        arr = to_global(mesh, P("dp", None), host)
+        assert isinstance(arr, jax.Array)
+        assert arr.sharding.spec == P("dp", None)
+        np.testing.assert_array_equal(fetch(arr), host)
+        # replicated spec too
+        rep = to_global(mesh, P(), host)
+        np.testing.assert_array_equal(fetch(rep), host)
+
+    def test_fetch_passthrough_plain_arrays(self):
+        np.testing.assert_array_equal(fetch(np.arange(3.0)), np.arange(3.0))
+        np.testing.assert_array_equal(fetch(jnp.arange(3.0)), np.arange(3.0))
+
+    def test_barrier_noop(self):
+        barrier("test")  # must not raise
+
+    def test_mesh_spans_processes_false_locally(self):
+        mesh = make_mesh(("dp",), (8,))
+        assert dist.mesh_spans_processes(mesh) is False
+
+
+_WORKER = textwrap.dedent("""
+    import json, os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_ENABLE_X64"] = "1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
+                                sys.argv[3], sys.argv[4])
+
+    from mcmc_dynamics_tpu.parallel import distributed as dist
+    assert dist.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=nproc, process_id=pid) is True
+    assert dist.is_distributed()
+    assert dist.is_primary() == (pid == 0)
+    assert jax.device_count() == 2 * nproc
+
+    import numpy as np
+    from mcmc_dynamics_tpu import units as u
+    from mcmc_dynamics_tpu.models import ConstantFit
+    from mcmc_dynamics_tpu.parallel import run_ensemble_sharded
+    from mcmc_dynamics_tpu.utils import DataReader
+
+    RA_C, DEC_C = 56.345, -26.675
+    rng = np.random.default_rng(0)
+    n = 333
+    data = DataReader({
+        "ra": u.Quantity(RA_C + 0.03 * rng.normal(size=n), "deg"),
+        "dec": u.Quantity(DEC_C + 0.03 * rng.normal(size=n), "deg"),
+        "v": u.Quantity(5.0 * rng.normal(size=n), "km/s"),
+        "verr": u.Quantity(0.5 + 0.5 * rng.random(n), "km/s"),
+    })
+    params = ConstantFit.default_parameters()
+    params["ra_center"].set(value=RA_C, fixed=True)
+    params["dec_center"].set(value=DEC_C, fixed=True)
+    fit = ConstantFit(data, parameters=params)
+
+    # dp x sp mesh spanning both processes (4 global devices)
+    mesh = dist.global_mesh(("dp", "sp"), (2, 2))
+    assert dist.mesh_spans_processes(mesh)
+
+    pos = fit.get_initials(8)
+    res = run_ensemble_sharded(fit, pos, jax.random.PRNGKey(7), n_steps=6,
+                               mesh=mesh)
+    chain = dist.fetch(res.chain)
+    lnp = dist.fetch(res.log_prob)
+    acc = dist.fetch(res.accepted)
+    assert chain.shape == (8, 6, 4)
+    assert np.isfinite(lnp).all()
+
+    # checkpoint discipline: every process participates in the gather,
+    # only the primary writes
+    from mcmc_dynamics_tpu.models.base import Runner
+    from mcmc_dynamics_tpu.sampler import EnsembleState
+    import jax.numpy as jnp
+    state = EnsembleState(coords=res.final_coords, log_prob=res.final_log_prob,
+                          key=res.final_key,
+                          accepted=jnp.asarray(acc), step=jnp.asarray(6))
+    os.chdir(outdir)
+    Runner.save_current_status_arrays(chain, lnp, state, prefix="dist")
+
+    np.savez(os.path.join(outdir, f"worker{pid}.npz"),
+             chain=chain, lnp=lnp, acc=acc)
+    dist.barrier("done")
+    print(json.dumps({"pid": pid, "ok": True}))
+""")
+
+
+class TestTwoProcessLocalhost:
+    def test_two_process_sharded_run_agrees(self, tmp_path):
+        """Two real processes, one global dp x sp mesh, identical results on
+        both hosts; checkpoint written by the primary only."""
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        worker = tmp_path / "worker.py"
+        worker.write_text(_WORKER)
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(pid), "2", str(port),
+                 str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True)
+            for pid in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            outs.append((p.returncode, out, err))
+        for rc, out, err in outs:
+            assert rc == 0, f"worker failed:\nstdout:{out}\nstderr:{err}"
+            assert json.loads(out.strip().splitlines()[-1])["ok"]
+
+        w0 = np.load(tmp_path / "worker0.npz")
+        w1 = np.load(tmp_path / "worker1.npz")
+        # both hosts fetched the same global chain
+        np.testing.assert_array_equal(w0["chain"], w1["chain"])
+        np.testing.assert_array_equal(w0["lnp"], w1["lnp"])
+        np.testing.assert_array_equal(w0["acc"], w1["acc"])
+        assert np.isfinite(w0["lnp"]).all()
+        # some proposals accepted in 6 steps of 8 walkers
+        assert w0["acc"].sum() > 0
+
+        # primary-only checkpoint write
+        assert (tmp_path / "dist_chain.npz").exists()
+        with np.load(tmp_path / "dist_chain.npz") as ck:
+            np.testing.assert_array_equal(ck["chain"], w0["chain"])
+
+        # the distributed run must equal the same mesh shape run inside ONE
+        # process (the virtual 8-device mesh): same dp folding, same psum
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.models import ConstantFit
+        from mcmc_dynamics_tpu.parallel import run_ensemble_sharded
+        from mcmc_dynamics_tpu.utils import DataReader
+
+        ra_c, dec_c = 56.345, -26.675
+        rng = np.random.default_rng(0)
+        n = 333
+        data = DataReader({
+            "ra": u.Quantity(ra_c + 0.03 * rng.normal(size=n), "deg"),
+            "dec": u.Quantity(dec_c + 0.03 * rng.normal(size=n), "deg"),
+            "v": u.Quantity(5.0 * rng.normal(size=n), "km/s"),
+            "verr": u.Quantity(0.5 + 0.5 * rng.random(n), "km/s"),
+        })
+        params = ConstantFit.default_parameters()
+        params["ra_center"].set(value=ra_c, fixed=True)
+        params["dec_center"].set(value=dec_c, fixed=True)
+        fit = ConstantFit(data, parameters=params)
+        mesh = make_mesh(("dp", "sp"), (2, 2), devices=jax.devices()[:4])
+        pos = fit.get_initials(8)
+        ref = run_ensemble_sharded(fit, pos, jax.random.PRNGKey(7), n_steps=6,
+                                   mesh=mesh)
+        np.testing.assert_allclose(w0["chain"], np.asarray(ref.chain),
+                                   rtol=1e-12, atol=0)
