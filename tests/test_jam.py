@@ -213,6 +213,27 @@ class TestQuadratureConvergence:
         np.testing.assert_allclose(np.asarray(coarse.vz), np.asarray(fine.vz),
                                    rtol=3e-2, atol=5e-3)
 
+    def test_default_orders_converged_with_and_without_bh(self):
+        """The CLASS DEFAULTS (n_u=24, n_zeta=32) are converged to the levels
+        the round-3 certification rests on: sigma_los relative error <= 1e-4
+        without a BH and <= 1e-3 with one (the BH-aware geometric-mean LOS
+        scale in moments.py; the old clip rule left ~1e-2 at small radii)."""
+        mge = dict(lum_i=[5000.0, 1000.0], lum_s=[10.0, 40.0],
+                   lum_q=[0.9, 0.85], mass_i=[12500.0, 2500.0],
+                   mass_s=[10.0, 40.0], mass_q=[0.85, 0.9])
+        r = np.geomspace(0.3, 300.0, 16)
+        x = np.concatenate([r * math.cos(0.3), r * math.cos(1.2)])
+        y = np.concatenate([r * math.sin(0.3), r * math.sin(1.2)])
+
+        for mbh, tol in ((0.0, 1e-4), (1e5, 1e-3)):
+            kwargs = dict(d=5.0, beta=0.1, kappa=0.5, mscale=2.0,
+                          incl=math.radians(70.0), mbh=mbh, rbh=1.0)
+            got = jam_los_moments(x, y, **mge, **kwargs)   # class defaults
+            ref = jam_los_moments(x, y, **mge, **kwargs, n_u=48, n_zeta=192)
+            sig = np.sqrt(np.asarray(got.v2zz) - np.asarray(got.vz) ** 2)
+            sig_ref = np.sqrt(np.asarray(ref.v2zz) - np.asarray(ref.vz) ** 2)
+            np.testing.assert_allclose(sig, sig_ref, rtol=tol)
+
 
 class TestBlackHoleSpherical:
     def test_bh_dominated_sphere_matches_independent_solution(self):
