@@ -16,7 +16,15 @@ Config schema (JSON):
   "background": {"type": "single_stars", "file": "field.csv", "column": "v"},
   "parameters": {"d": {"value": 5.2, "fixed": true}, ...},   # per-parameter set()
   "sampling": {"n_walkers": 100, "n_steps": 500, "n_burn": 100, "n_out": 100,
-                "seed": 1},
+                "seed": 1,
+                "move": "stretch" | "de" | "snooker" | [["stretch",0.5],["de",0.5]],
+                "sampler": "ensemble" | "tempered" | "hmc",
+                # tempered:  "n_temps": 8, "beta_min": 1e-3, "swap_every": 5
+                # hmc:       "n_leapfrog": 10, "n_warmup": 200, "step_size": 0.05
+               },
+  "parallel": {"axes": {"dp": 4, "sp": 2},        # device mesh for the sampler
+               "distributed": {"coordinator": "host0:1234",   # multi-host opt-in
+                                "num_processes": 2, "process_id": 0}},
   "binned": {"nstars": 50, "dlogr": 0.2, "n_walkers": 16, "n_steps": 300},
   "profiles": {"n_samples": 100, "n_theta": 10}
 }
@@ -105,6 +113,50 @@ def build_background(cfg, v_sys: float = 0.0):
         v = table.value(cfg.get("column", "v")) - v_sys
         return SingleStars(u.Quantity(v, "km/s"))
     raise ValueError(f"Unknown background type '{cfg['type']}'.")
+
+
+def build_mesh(cfg):
+    """Device mesh (and optional multi-host runtime) from the ``parallel``
+    config block.  ``axes`` maps mesh axis names to extents — the sampler
+    understands ``dp`` (walkers), ``sp`` (stars) and ``tp`` (temperature
+    ladder, tempered sampler only).  A ``distributed`` sub-block wires this
+    process into a multi-host runtime first (parallel/distributed.py)."""
+    if not cfg:
+        return None
+    import jax
+
+    from ..parallel import distributed as dist
+    from ..parallel import make_mesh
+
+    dcfg = cfg.get("distributed")
+    if dcfg is not None:
+        dist.initialize(coordinator_address=dcfg.get("coordinator"),
+                        num_processes=dcfg.get("num_processes"),
+                        process_id=dcfg.get("process_id"),
+                        auto=bool(dcfg.get("auto", False)))
+    axes = cfg.get("axes")
+    if not axes:
+        return None
+    names = tuple(axes.keys())
+    shape = tuple(int(v) for v in axes.values())
+    n = int(np.prod(shape))
+    devices = jax.devices()
+    if n > len(devices):
+        raise ValueError(f"parallel.axes {dict(axes)} needs {n} devices; "
+                         f"only {len(devices)} available.")
+    mesh = make_mesh(names, shape, devices=devices[:n])
+    logger.info("device mesh: %s over %d %s device(s)", dict(zip(names, shape)),
+                n, devices[0].platform)
+    return mesh
+
+
+def _normalize_move(move_cfg):
+    """Config move spec -> the sampler's move argument (name or weighted list)."""
+    if move_cfg is None:
+        return "stretch"
+    if isinstance(move_cfg, str):
+        return move_cfg
+    return [(str(name), float(weight)) for name, weight in move_cfg]
 
 
 def make_overlay_plot(profile, binned, filename):
@@ -213,7 +265,44 @@ def main(argv=None):
         raise ValueError(
             f"sampling.n_steps must be an integer or the string \"auto\" "
             f"(got {n_steps!r}).")
-    if n_steps == "auto":
+    move = _normalize_move(sampling.get("move"))
+    mesh = build_mesh(cfg.get("parallel"))
+    sampler_kind = sampling.get("sampler", "ensemble")
+    if sampler_kind not in ("ensemble", "tempered", "hmc"):
+        raise ValueError(f"Unknown sampling.sampler '{sampler_kind}' "
+                         "(supported: ensemble, tempered, hmc).")
+    if n_steps == "auto" and sampler_kind != "ensemble":
+        raise ValueError('sampling.n_steps = "auto" requires the ensemble '
+                         "sampler (tau-based auto-stop).")
+
+    if mesh is not None:
+        want = "tp" if sampler_kind == "tempered" else "dp"
+        if want not in mesh.shape:
+            raise ValueError(
+                f"sampling.sampler = '{sampler_kind}' needs a '{want}' axis in "
+                f"parallel.axes (got {dict(mesh.shape)}).")
+        if sampler_kind == "hmc":
+            raise ValueError("sampling.sampler = 'hmc' does not take a device "
+                             "mesh; drop the parallel.axes block.")
+    mesh_kw = {"mesh": mesh} if mesh is not None else {}
+    n_burn = sampling.get("n_burn", 100)
+    if sampler_kind == "tempered":
+        sampler, log_z = fit.sample_tempered(
+            n_walkers=sampling.get("n_walkers", 100), n_steps=n_steps,
+            n_temps=int(sampling.get("n_temps", 8)),
+            beta_min=float(sampling.get("beta_min", 1e-3)),
+            swap_every=int(sampling.get("swap_every", 5)),
+            pos=pos, move=move, **mesh_kw)
+        logger.info("thermodynamic-integration log-evidence: %.4f", log_z)
+        fit.save_current_status(sampler, prefix=prefix)
+    elif sampler_kind == "hmc":
+        sampler = fit.sample_hmc(
+            n_walkers=sampling.get("n_walkers", 32), n_steps=n_steps,
+            n_warmup=int(sampling.get("n_warmup", 200)),
+            n_leapfrog=int(sampling.get("n_leapfrog", 10)),
+            step_size=float(sampling.get("step_size", 0.05)), pos=pos)
+        fit.save_current_status(sampler, prefix=prefix)
+    elif n_steps == "auto":
         # tau-driven auto-stop: chunks of n_out until the chain certifies its
         # own convergence (Runner.sample_to_convergence); max_steps bounds it
         sampler = fit.sample_to_convergence(
@@ -221,7 +310,7 @@ def main(argv=None):
             max_steps=int(sampling.get("max_steps", 50_000)),
             check_every=int(sampling.get("n_out", 500)),
             tau_factor=float(sampling.get("tau_factor", 50.0)),
-            pos=pos, prefix=prefix)
+            pos=pos, prefix=prefix, move=move, **mesh_kw)
         logger.info("auto-stop: %d steps, converged=%s, tau=%s",
                     sampler.iteration, sampler.converged,
                     np.array2string(sampler.tau, precision=1))
@@ -235,8 +324,7 @@ def main(argv=None):
         sampler = fit(n_walkers=sampling.get("n_walkers", 100),
                       n_steps=n_steps,
                       n_out=sampling.get("n_out", 100),
-                      pos=pos, prefix=prefix)
-        n_burn = sampling.get("n_burn", 100)
+                      pos=pos, prefix=prefix, move=move, **mesh_kw)
 
     best = fit.compute_bestfit_values(sampler.chain, n_burn=n_burn)
     print(best.to_pandas().to_string())
