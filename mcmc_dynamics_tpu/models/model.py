@@ -100,10 +100,12 @@ class ModelFit(Runner):
 
         In ``auto`` mode the tier is picked only for large catalogs: its
         per-walker cost is O(n_bins x n_coef x 61) independent of N, which
-        out-runs the direct O(N) paths once N is a few x 10^4 — and unlike
-        them it is approximate (~1e-4 in lnL), so it must never silently
-        replace the exact likelihood for ordinary catalogs on ANY backend.
-        ``MCMC_TPU_LNPROB=sufficient`` forces it regardless of size."""
+        out-runs the direct O(N) paths once N is beyond ~1.5e4 (round-3 v5e
+        rates: direct 1.19e7 evals/s at 1e4 stars and falling ~1/N; table
+        1.08e7 at any N) — and unlike them it is approximate (~1e-4 in lnL),
+        so it must never silently replace the exact likelihood for ordinary
+        catalogs on ANY backend.  ``MCMC_TPU_LNPROB=sufficient`` forces it
+        regardless of size."""
         import os
 
         mode = os.environ.get("MCMC_TPU_LNPROB", "auto")
@@ -112,7 +114,7 @@ class ModelFit(Runner):
         if not self._canonical_layout():
             return False
         if mode == "auto":
-            return int(self._data_arrays["v"].shape[0]) >= 32768
+            return int(self._data_arrays["v"].shape[0]) >= 16384
         return True
 
     def _internal_col_scale(self):

@@ -97,15 +97,21 @@ class ModelSufficientStats(NamedTuple):
         measured error budget (16k-walker probe, 1e4-star catalog): in float32
         the table *evaluation* floor (coefficient cancellation in the (D, 61)
         contraction) dominates at ~2.4e-6 relative lnL for every bin count in
-        96-256, so 128 bins is accuracy-neutral and ~1.5x faster per walker
-        than 192; in float64 the O(d^3) Taylor term is visible (5.6e-3 abs at
-        192 bins vs 2.7e-2 at 128 on the probe), so float64 keeps 192.
+        96-256, so 96 bins is accuracy-neutral (the O(d^3) binning term is
+        ~6e-2 abs there, under the ~7e-2 f32 floor) and 1.33x faster per
+        walker than 128; in float64 the Taylor term is what's visible
+        (5.6e-3 abs at 192 bins vs 2.7e-2 at 128 on the probe), so float64
+        keeps 192.
 
         ``n_coef=None`` picks the Chebyshev degree from the pole geometry: in
         t = log(S + E_min) the pole lattice sits a distance pi off the real
         interval of half-length L, giving a convergence factor
-        rho = eta + sqrt(1 + eta^2), eta = pi/L; the degree is sized for
-        ~1e-9 relative truncation (tighter sigma_max priors need fewer terms).
+        rho = eta + sqrt(1 + eta^2), eta = pi/L.  The degree is sized for the
+        dtype's useful truncation level — 1e-9 in float64, 1e-6 in float32
+        (the f32 evaluation floor is 2.4e-6; terms below it are dead weight —
+        dropping them took the default unbounded-prior degree from 52 to 35,
+        a measured 1.2x on the v5e kernel).  Tighter sigma_max priors shrink
+        the interval and need fewer terms still.
         """
         dxm = np.asarray(dxm, np.float64)
         dym = np.asarray(dym, np.float64)
@@ -114,8 +120,9 @@ class ModelSufficientStats(NamedTuple):
         m = np.ones_like(v) if mask is None else np.asarray(mask, np.float64)
         if dtype is None:
             dtype = jnp.zeros(0).dtype
+        is_f64 = jnp.dtype(dtype) == jnp.float64
         if n_bins is None:
-            n_bins = 192 if jnp.dtype(dtype) == jnp.float64 else 128
+            n_bins = 192 if is_f64 else 96
 
         u = dxm * dxm + dym * dym
         x = dym
@@ -139,15 +146,16 @@ class ModelSufficientStats(NamedTuple):
             half_len = 0.5 * (t_hi - t_lo)
             eta = math.pi / max(half_len, 1e-6)
             rho = eta + math.sqrt(1.0 + eta * eta)
-            needed = math.ceil(math.log(1e9) / math.log(rho))
+            trunc = 1e9 if is_f64 else 1e6
+            needed = math.ceil(math.log(trunc) / math.log(rho))
             n_coef = int(np.clip(needed, 16, 96))
             if needed > 96:
                 import logging
                 logging.getLogger(__name__).warning(
                     "Chebyshev degree capped at 96 (pole geometry wants %d for "
-                    "1e-9 truncation; expect ~%.0e relative instead). Tighten "
+                    "%.0e truncation; expect ~%.0e relative instead). Tighten "
                     "the sigma_max prior or raise the minimum velocity error.",
-                    needed, rho ** -96.0)
+                    needed, 1.0 / trunc, rho ** -96.0)
         xi = _chebyshev_nodes(n_coef)                       # (K,)
         t_nodes = 0.5 * (t_hi + t_lo) + 0.5 * (t_hi - t_lo) * xi
         s_nodes = np.exp(t_nodes) - off                     # (K,) in S-space
@@ -297,25 +305,37 @@ def _combine_channels(get, ff, a1, a2, c0, c1, c2, v_sys, vx, vy):
 
 # ------------------------------------------------------------------- Pallas kernel
 def model_sufficient_lnlike_pallas(stats: "ModelSufficientStats", params,
-                                   walker_tile: int = 512, bin_block: int = 8):
+                                   walker_tile: int = 2048, bin_block: int = 8):
     """Fused TPU evaluation of the table tier, laid out for the VPU.
 
     Walkers live on the lane axis, radial bins on the sublane axis (blocks of
     ``bin_block``): every per-(walker, bin) quantity is a full (G, TW) vector
     register tile, the Chebyshev series is evaluated by the three-term basis
-    recurrence followed by per-channel FMA accumulation (no MXU — at D ~ 48 and
-    61 channels the f32 matmul would be bf16-pass bound and K-underutilised),
-    and the only HBM traffic is the (6, W) parameter read and (W,) output.
+    recurrence followed by per-channel FMA accumulation (no MXU — at D ~ 35 and
+    61 channels the f32 matmul would be bf16-pass bound and K-underutilised;
+    the dot formulation was built and measured, see
+    :func:`model_sufficient_lnlike_pallas_mxu`), and the only HBM traffic is
+    the (6, W) parameter read and (W,) output.
 
     Cost is O(n_bins * n_coef * 61) per walker, independent of the catalog
     size — this is the production tier for large catalogs, where the direct
-    O(N_stars) kernels lose.
+    O(N_stars) kernels lose.  ``walker_tile`` trades VPU occupancy against
+    scoped VMEM: at the default tables (B=96, D=35) the measured v5e rates are
+    7.7e6 (tile 512), 1.07e7 (1024), 1.13e7 evals/s (2048); 4096 exceeds the
+    16 MB scoped-VMEM limit, so 2048 is the ceiling and the default.  The
+    tile shrinks automatically for small ensembles and high degrees.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = params.dtype
     n_bins, n_coef, n_ch = stats.coeffs.shape
+    # scoped-VMEM guard: the D (G, TW) basis tiles + per-channel accumulators
+    # are the footprint; halve the tile when a capped-degree table would bust
+    if n_coef > 64 and walker_tile > 1024:
+        walker_tile = 1024
+    while walker_tile > 256 and walker_tile > 2 * params.shape[0]:
+        walker_tile //= 2  # small ensembles: don't pad 100 walkers to 2048
     g = bin_block
     b_pad = (-n_bins) % g
     coeffs = np.asarray(stats.coeffs, np.float32)
@@ -413,6 +433,122 @@ def model_sufficient_lnlike_pallas(stats: "ModelSufficientStats", params,
             flops=2 * w_padded * b_tot * n_coef * n_ch,
             bytes_accessed=4 * (w_padded * 8 + b_tot * n_ch * n_coef),
             transcendentals=2 * w_padded * b_tot,
+        ),
+    )(pt, u_col, ctab)
+    return out[0, :w]
+
+
+def model_sufficient_lnlike_pallas_mxu(stats: "ModelSufficientStats", params,
+                                       walker_tile: int = 512):
+    """MXU formulation of the table tier: per bin, the (CH, D) coefficient
+    tile is matmul'd against the (D, TW) Chebyshev basis of the walker tile,
+    so the dominant D x CH contraction rides the systolic array instead of
+    VPU FMA chains.  Layout:
+
+    * walkers on the LANE axis everywhere — per-(walker, bin) scalars are
+      (1, TW) rows, the basis is built by the three-term recurrence as D such
+      rows, and the matmul output (CH, TW) keeps channels on sublanes so the
+      channel-combination step is row-wise FMA;
+    * the coefficient table is pre-transposed host-side to (B * CH_pad, D):
+      bin b's tile is a contiguous (CH_pad, D) row block (CH padded to the
+      sublane multiple), loaded from VMEM with a dynamic row slice;
+    * f32 accuracy: jnp.dot with preferred_element_type=float32 — on v5e this
+      lowers to bf16x3 passes, preserving the table tier's f32 error floor
+      (validated on-device by ``bench.py --validate``).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = params.dtype
+    n_bins, n_coef, n_ch = stats.coeffs.shape
+    ch_pad = (-n_ch) % 8
+    ch_tot = n_ch + ch_pad
+    coeffs = np.asarray(stats.coeffs, np.float32)          # (B, D, CH)
+    # (B, CH_pad, D) -> rows (B * CH_pad, D): bin tiles are contiguous
+    ctab = np.zeros((n_bins, ch_tot, n_coef), np.float32)
+    ctab[:, :n_ch, :] = np.swapaxes(coeffs, 1, 2)
+    ctab = jnp.asarray(np.ascontiguousarray(
+        ctab.reshape(n_bins * ch_tot, n_coef)))
+    u_col = jnp.asarray(np.asarray(stats.u_bins, np.float32).reshape(n_bins, 1))
+
+    t_lo = float(stats.t_lo)
+    t_hi = float(stats.t_hi)
+    offset = float(stats.offset)
+    n_stars = float(stats.n_stars)
+
+    w = params.shape[0]
+    w_pad = (-w) % walker_tile
+    pt = jnp.swapaxes(jnp.asarray(params, jnp.float32), 0, 1)     # (6, W)
+    if w_pad:
+        pt = jnp.concatenate(
+            [pt, jnp.broadcast_to(pt[:, :1], (pt.shape[0], w_pad))], axis=1)
+    w_padded = pt.shape[1]
+    combo_col = {jk: i for i, jk in enumerate(_COMBOS)}
+
+    def kernel(p_ref, u_ref, c_ref, out_ref):
+        v_sys = p_ref[0:1, :]                               # (1, TW)
+        s = p_ref[1:2, :] * p_ref[1:2, :]
+        za = jnp.maximum(p_ref[2:3, :] * p_ref[2:3, :], 1e-30)
+        vx = p_ref[3:4, :]
+        vy = p_ref[4:5, :]
+        rp = p_ref[5:6, :]
+        lam = rp * rp
+        inv_za = 1.0 / za
+
+        def body(b, acc):
+            ub = u_ref[b, 0]                                # scalar
+            ctile = c_ref[pl.ds(b * ch_tot, ch_tot), :]     # (CH_pad, D)
+
+            g0 = jax.lax.rsqrt(1.0 + ub * inv_za)           # (1, TW)
+            g0_3 = g0 * g0 * g0
+            a1 = s * (-0.5 * inv_za * g0_3)
+            a2 = s * (0.375 * inv_za * inv_za * (g0_3 * g0 * g0))
+            h = 1.0 / (lam + ub)
+            c0 = 2.0 * rp * h
+            c1 = -c0 * h
+            c2 = c0 * h * h
+
+            t = jnp.log(s * g0 + offset)
+            xi = jnp.clip((2.0 * t - (t_hi + t_lo)) / (t_hi - t_lo), -1.0, 1.0)
+
+            rows = [jnp.ones_like(xi), xi]
+            for _ in range(n_coef - 2):
+                rows.append(2.0 * xi * rows[-1] - rows[-2])
+            basis = jnp.concatenate(rows, axis=0)           # (D, TW)
+
+            mom = jnp.dot(ctile, basis,
+                          preferred_element_type=jnp.float32)  # (CH_pad, TW)
+
+            def get(pay, j, k):
+                ch = 1 + 6 * pay + combo_col[(j, k)]
+                return mom[ch:ch + 1, :]                    # (1, TW)
+
+            contrib = _combine_channels(get, mom[0:1, :], a1, a2, c0, c1, c2,
+                                        v_sys, vx, vy)
+            return acc + contrib
+
+        acc = jax.lax.fori_loop(0, n_bins, body,
+                                jnp.zeros((1, v_sys.shape[1]), jnp.float32))
+        out_ref[:] = (-0.5 * (acc + n_stars * _LOG_2PI)).astype(dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(w_padded // walker_tile,),
+        in_specs=[
+            pl.BlockSpec((pt.shape[0], walker_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bins, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bins * ch_tot, n_coef), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, walker_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, w_padded), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * w_padded * n_bins * n_coef * ch_tot,
+            bytes_accessed=4 * (w_padded * 8 + n_bins * ch_tot * n_coef),
+            transcendentals=2 * w_padded * n_bins,
         ),
     )(pt, u_col, ctab)
     return out[0, :w]
