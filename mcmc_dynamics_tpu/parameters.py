@@ -169,10 +169,27 @@ class Parameter:
                    label=label, initials=initials, lnprior=lnprior, expr=expr,
                    user_data=user_data)
 
-    # numeric protocol (reference parameter.py:886-1008): a Parameter can be used
-    # directly in arithmetic with its bare value
+    def to_reference_tuple(self) -> list:
+        """Inverse of :meth:`from_reference_tuple`: the 11-tuple the reference's
+        JSON config files store, for interchange with reference installs."""
+        return [self.name, self._value, u.unit_to_string(self.unit) or None,
+                self.fixed, self.min, self.max, self.label, self.initials,
+                self.lnprior, self.user_data, self.expr]
+
+    # numeric protocol (full surface of reference parameter.py:886-1008): a
+    # Parameter can be used directly in arithmetic with its bare value
     def __float__(self):
         return float(self._value)
+
+    def __int__(self):
+        return int(self._value)
+
+    def __bool__(self):
+        return bool(self._value)
+
+    def __trunc__(self):
+        import math
+        return math.trunc(self._value)
 
     def __array__(self, dtype=None):
         return np.asarray(float(self._value), dtype=dtype)
@@ -199,11 +216,35 @@ class Parameter:
     def __rtruediv__(self, other):
         return other / self._value
 
+    def __floordiv__(self, other):
+        return self._value // other
+
+    def __rfloordiv__(self, other):
+        return other // self._value
+
+    def __mod__(self, other):
+        return self._value % other
+
+    def __rmod__(self, other):
+        return other % self._value
+
+    def __divmod__(self, other):
+        return divmod(self._value, other)
+
+    def __rdivmod__(self, other):
+        return divmod(other, self._value)
+
     def __pow__(self, other):
         return self._value ** other
 
+    def __rpow__(self, other):
+        return other ** self._value
+
     def __neg__(self):
         return -self._value
+
+    def __pos__(self):
+        return +self._value
 
     def __abs__(self):
         return abs(self._value)
@@ -219,6 +260,16 @@ class Parameter:
 
     def __ge__(self, other):
         return self._value >= other
+
+    def __eq__(self, other):
+        return self._value == other
+
+    def __ne__(self, other):
+        return self._value != other
+
+    # value-equality makes instances unhashable by default; identity hashing is
+    # what dict-of-parameters semantics want (reference behaviour)
+    __hash__ = object.__hash__
 
     def __repr__(self):
         bits = [f"value={self._value!r}"]
@@ -356,13 +407,26 @@ class Parameters(OrderedDict):
         self._rng = np.random.default_rng(seed)
 
     # ------------------------------------------------------------------ JSON
-    def dumps(self, **kws) -> str:
-        payload = {
-            "schema": "mcmc_dynamics_tpu/1",
-            "rng_seed": self.rng_seed,
-            "rng_state": self._rng_state(),
-            "parameters": [p.to_dict() for p in self.values()],
-        }
+    def dumps(self, format: str = "native", **kws) -> str:
+        """Serialise to JSON.  ``format="native"`` (default) writes the full
+        schema including the RNG bit-generator state; ``format="reference"``
+        writes the reference's 11-tuple schema (parameter.py:844-847) so a
+        Parameters object round-trips into a reference install unchanged."""
+        if format == "reference":
+            payload = {
+                "unique_symbols": {"rng_seed": self.rng_seed},
+                "params": [p.to_reference_tuple() for p in self.values()],
+            }
+        elif format == "native":
+            payload = {
+                "schema": "mcmc_dynamics_tpu/1",
+                "rng_seed": self.rng_seed,
+                "rng_state": self._rng_state(),
+                "parameters": [p.to_dict() for p in self.values()],
+            }
+        else:
+            raise ValueError(f"Unknown dumps format {format!r} "
+                             "(use 'native' or 'reference').")
         return json.dumps(payload, **kws)
 
     def loads(self, text: str, **kws) -> "Parameters":
@@ -405,6 +469,29 @@ class Parameters(OrderedDict):
                     v = u.unit_to_string(p.unit) or ""
                 cells.append(f"{v!s:>12.12}")
             print(f"{name:<{name_len}} " + " ".join(cells))
+
+    def to_html(self, columns=None) -> str:
+        """HTML table of the parameter set (the lmfit ``params_html_table``
+        analog the reference gets for free via lmfit; used by
+        ``_repr_html_`` for notebook display)."""
+        import html
+
+        if columns is None:
+            columns = ["value", "unit", "min", "max", "fixed", "initials",
+                       "lnprior", "expr"]
+        head = "".join(f"<th>{html.escape(c)}</th>" for c in ["name"] + columns)
+        rows = []
+        for name, p in self.items():
+            cells = [f"<td><b>{html.escape(name)}</b></td>"]
+            for c in columns:
+                v = u.unit_to_string(p.unit) if c == "unit" else getattr(p, c)
+                v = "" if v is None else v
+                cells.append(f"<td>{html.escape(str(v))}</td>")
+            rows.append("<tr>" + "".join(cells) + "</tr>")
+        return ("<table><tr>" + head + "</tr>" + "".join(rows) + "</table>")
+
+    def _repr_html_(self) -> str:
+        return self.to_html()
 
     # ------------------------------------------------------------------ compilation
     def compile(self) -> "CompiledParameters":
