@@ -34,6 +34,32 @@ __all__ = ["fit_radial_bins", "BinnedFitResult"]
 _PROGRAM_CACHE: Dict[tuple, object] = {}
 
 
+def _size_buckets(counts, min_saving: float = 0.2):
+    """Partition bin ids into at most two size buckets for rectangular packing.
+
+    Returns a list of sorted index arrays.  The split point minimises the
+    total padded cell count sum_bucket len(bucket) * max(bucket); a second
+    bucket is only opened when it saves at least ``min_saving`` of the padded
+    work (each bucket costs one extra XLA compile), so the common
+    evenly-binned case stays a single program.
+    """
+    counts = np.asarray(counts)
+    n = counts.size
+    if n < 2:
+        return [np.arange(n)]
+    order = np.argsort(counts, kind="stable")
+    sorted_c = counts[order]
+    base = n * int(sorted_c[-1])
+    best_k, best_cost = None, base
+    for k in range(1, n):
+        cost = k * int(sorted_c[k - 1]) + (n - k) * int(sorted_c[-1])
+        if cost < best_cost:
+            best_cost, best_k = cost, k
+    if best_k is None or best_cost > (1.0 - min_saving) * base:
+        return [np.arange(n)]
+    return [np.sort(order[:best_k]), np.sort(order[best_k:])]
+
+
 class BinnedFitResult:
     """Chains and summary statistics of a batched per-bin fit."""
 
@@ -146,38 +172,35 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
     columns += ["gx", "gy", "dxm", "dym"]
     if background is not None:
         columns += ["pmember"]
-    arrays, mask = packed.padded_bins(columns)
-    n_bins = arrays["gx"].shape[0]
-
-    if background is not None:
         lnb = np.asarray(background(data.data["v"], data.data["verr"]),
                          dtype=np.float64)
         work["_lnb"] = lnb
-        arr_lnb, _ = DataReader(work).padded_bins(["_lnb"])
-        arrays["lnlike_background"] = arr_lnb["_lnb"]
+
+    bins_col = np.asarray(data.data["bin"])
+    n_bins = packed.n_bins
+    counts = np.bincount(bins_col, minlength=n_bins)[:n_bins]
+    # size-bucketed packing: with the reference's greedy binning the outer bin
+    # can be several x the inner ones, and a single rectangular (B, N_max)
+    # layout makes EVERY ensemble pay N_max per step.  Split the bins into at
+    # most two size buckets (each its own batched program) when that removes
+    # a substantial fraction of the padded work.
+    buckets = _size_buckets(counts)
+    if len(buckets) > 1:
+        logger.info(
+            "bin packing: 2 size buckets (%d bins <= %d stars, %d bins <= %d "
+            "stars) — %.0f%% less padded work than one (B, N_max) block",
+            len(buckets[0]), counts[buckets[0]].max(),
+            len(buckets[1]), counts[buckets[1]].max(),
+            100.0 * (1.0 - (sum(len(b) * counts[b].max() for b in buckets)
+                            / (n_bins * counts.max()))))
 
     dtype = template.dtype
-    stacked = {name: jnp.asarray(arr, dtype=dtype) for name, arr in arrays.items()}
-    stacked["mask"] = jnp.asarray(mask, dtype=dtype)
 
-    n_padded_bins = n_bins
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        n_dev = mesh.shape[bin_axis]
-        n_pad = (-n_bins) % n_dev
-        if n_pad:
-            # replicate the first bin into padded slots; results are sliced off
-            stacked = {k: jnp.concatenate(
-                [v, jnp.broadcast_to(v[:1], (n_pad,) + v.shape[1:])], axis=0)
-                for k, v in stacked.items()}
-            n_padded_bins = n_bins + n_pad
-        sharding = NamedSharding(mesh, P(bin_axis))
-        stacked = {k: jax.device_put(v, sharding) for k, v in stacked.items()}
-
-    # per-bin walker initials (host) and keys
-    coords = np.stack([compiled.sample_initials(n_walkers)
-                       for _ in range(n_padded_bins)])
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_padded_bins)
+    # per-bin walker initials (host) and keys — drawn once in bin order, so
+    # results are independent of the bucket partition
+    coords_all = np.stack([compiled.sample_initials(n_walkers)
+                           for _ in range(n_bins)])
+    keys_all = jax.random.split(jax.random.PRNGKey(seed), n_bins)
 
     lnprior_batched = jax.vmap(compiled.lnprior)
 
@@ -224,32 +247,75 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
             out = run_ensemble(fn, state, n_steps=n_steps)
             return out.chain, out.log_prob
 
-    # cache the jitted program: a fresh closure per call would force XLA to
-    # recompile identical binned fits (the closure's behaviour is fully
-    # determined by the key below — model class, parameter fingerprint, tier,
-    # shapes, sharding)
-    cache_key = (model_cls.__qualname__, parameters.fingerprint(), n_walkers,
-                 n_steps, use_sufficient, background is not None,
-                 None if mesh is None else (tuple(mesh.shape.items()), bin_axis),
-                 tuple(sorted((k, v.shape, str(v.dtype))
-                              for k, v in stacked.items())),
-                 # instance state baked into the closure as constants (e.g.
-                 # JAM MGE tables): without it, two analyses with identical
-                 # shapes but different tables would reuse the wrong program
-                 template.program_cache_salt())
-    run_all = _PROGRAM_CACHE.get(cache_key)
-    if run_all is None:
-        if len(_PROGRAM_CACHE) >= 8:
-            _PROGRAM_CACHE.clear()
-        run_all = jax.jit(jax.vmap(run_one))
-        _PROGRAM_CACHE[cache_key] = run_all
-    chains, log_probs = run_all(stacked, jnp.asarray(coords, dtype=dtype), keys)
-    chains = chains[:n_bins]
-    log_probs = log_probs[:n_bins]
+    chains_np = None
+    logp_np = None
+    for bucket in buckets:
+        arrays, mask_b = packed.padded_bins(columns, bins_subset=bucket)
+        if background is not None:
+            arr_lnb, _ = DataReader(work).padded_bins(["_lnb"],
+                                                      bins_subset=bucket)
+            arrays["lnlike_background"] = arr_lnb["_lnb"]
+        stacked = {name: jnp.asarray(arr, dtype=dtype)
+                   for name, arr in arrays.items()}
+        stacked["mask"] = jnp.asarray(mask_b, dtype=dtype)
 
-    bins = np.asarray(data.data["bin"])
+        nb = len(bucket)
+        coords = coords_all[bucket]
+        keys = np.asarray(jax.random.key_data(keys_all))[bucket]
+        keys = jax.random.wrap_key_data(jnp.asarray(keys),
+                                        impl=jax.random.key_impl(keys_all))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_dev = mesh.shape[bin_axis]
+            n_pad = (-nb) % n_dev
+            if n_pad:
+                # replicate the first bin into padded slots; results sliced off
+                stacked = {k: jnp.concatenate(
+                    [v, jnp.broadcast_to(v[:1], (n_pad,) + v.shape[1:])],
+                    axis=0) for k, v in stacked.items()}
+                coords = np.concatenate(
+                    [coords, np.broadcast_to(coords[:1],
+                                             (n_pad,) + coords.shape[1:])])
+                pad_keys = jax.random.split(jax.random.PRNGKey(seed + 1), n_pad)
+                keys = jnp.concatenate([keys, pad_keys])
+            sharding = NamedSharding(mesh, P(bin_axis))
+            stacked = {k: jax.device_put(v, sharding)
+                       for k, v in stacked.items()}
+
+        # cache the jitted program: a fresh closure per call would force XLA
+        # to recompile identical binned fits (the closure's behaviour is fully
+        # determined by the key below — model class, parameter fingerprint,
+        # tier, shapes, sharding)
+        cache_key = (model_cls.__qualname__, parameters.fingerprint(),
+                     n_walkers, n_steps, use_sufficient,
+                     background is not None,
+                     None if mesh is None else (tuple(mesh.shape.items()),
+                                                bin_axis),
+                     tuple(sorted((k, v.shape, str(v.dtype))
+                                  for k, v in stacked.items())),
+                     # instance state baked into the closure as constants
+                     # (e.g. JAM MGE tables): without it, two analyses with
+                     # identical shapes but different tables would reuse the
+                     # wrong program
+                     template.program_cache_salt())
+        run_all = _PROGRAM_CACHE.get(cache_key)
+        if run_all is None:
+            if len(_PROGRAM_CACHE) >= 8:
+                _PROGRAM_CACHE.clear()
+            run_all = jax.jit(jax.vmap(run_one))
+            _PROGRAM_CACHE[cache_key] = run_all
+        ch, lp = run_all(stacked, jnp.asarray(coords, dtype=dtype), keys)
+        ch = np.asarray(ch[:nb])
+        lp = np.asarray(lp[:nb])
+        if chains_np is None:
+            chains_np = np.empty((n_bins,) + ch.shape[1:], ch.dtype)
+            logp_np = np.empty((n_bins,) + lp.shape[1:], lp.dtype)
+        chains_np[bucket] = ch
+        logp_np[bucket] = lp
+
+    bins = bins_col
     arcmin = 10800.0 / np.pi
-    n_per = np.bincount(bins, minlength=n_bins)[:n_bins]
+    n_per = counts
     sums = np.bincount(bins, weights=r, minlength=n_bins)[:n_bins]
     r_mean = sums / np.maximum(n_per, 1) * arcmin
     order = np.argsort(bins, kind="stable")   # one pass for per-bin min/max
@@ -260,5 +326,5 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
     r_max = np.array([r_sorted[edges[b]:edges[b + 1]].max()
                       for b in range(n_bins)]) * arcmin
 
-    return BinnedFitResult(np.asarray(chains), np.asarray(log_probs), template,
+    return BinnedFitResult(chains_np, logp_np, template,
                            r_mean, r_min, r_max, n_per)

@@ -152,31 +152,37 @@ class DataReader:
             return None
         return DataReader(self.data[bins == i])
 
-    def padded_bins(self, columns, dtype=np.float64):
+    def padded_bins(self, columns, dtype=np.float64, bins_subset=None):
         """Pack radial bins into rectangular arrays for a single batched TPU fit.
 
         Returns ``(arrays, mask)`` where ``arrays[name]`` has shape (B, N_max) (padded
         with the bin's first entry so padded lanes stay numerically benign) and ``mask``
         is (B, N_max) float {0,1}; masked lanes contribute zero to likelihood sums.
+
+        ``bins_subset``: optional sequence of bin ids to pack (in the given
+        order) — the hook for size-bucketed packing, where one oversized outer
+        bin must not set N_max for every small inner bin.
         """
         if "bin" not in self.data:
             raise ValueError("Call make_radial_bins first.")
         bins = self.data["bin"]
-        n_bins = self.n_bins
-        counts = np.array([(bins == b).sum() for b in range(n_bins)])
+        bin_ids = (np.arange(self.n_bins) if bins_subset is None
+                   else np.asarray(bins_subset))
+        counts = np.array([(bins == b).sum() for b in bin_ids])
         n_max = int(counts.max())
 
-        arrays = {name: np.zeros((n_bins, n_max), dtype=dtype) for name in columns}
-        mask = np.zeros((n_bins, n_max), dtype=dtype)
-        for b in range(n_bins):
+        arrays = {name: np.zeros((len(bin_ids), n_max), dtype=dtype)
+                  for name in columns}
+        mask = np.zeros((len(bin_ids), n_max), dtype=dtype)
+        for row, b in enumerate(bin_ids):
             sel = bins == b
             k = int(sel.sum())
-            mask[b, :k] = 1.0
+            mask[row, :k] = 1.0
             for name in columns:
                 col = np.asarray(self.data.value(name), dtype=dtype)[sel]
-                arrays[name][b, :k] = col
+                arrays[name][row, :k] = col
                 if k < n_max:
-                    arrays[name][b, k:] = col[0]
+                    arrays[name][row, k:] = col[0]
         return arrays, mask
 
     # ------------------------------------------------------------------ I/O

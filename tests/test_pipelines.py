@@ -163,3 +163,60 @@ class TestDispersionOnlySummary:
         table = res.summary(n_burn=30)
         assert "sigma_max median" in table.columns
         assert "v_max median" not in table.columns
+
+
+class TestBucketedPacking:
+    def test_size_buckets_partition(self):
+        from mcmc_dynamics_tpu.pipelines import _size_buckets
+
+        # one giant outer bin: must split off so 15 small bins stop paying 4096
+        counts = np.array([256] * 15 + [4096])
+        buckets = _size_buckets(counts)
+        assert len(buckets) == 2
+        padded = sum(len(b) * counts[b].max() for b in buckets)
+        assert padded * 2 <= 16 * 4096  # >= 2x less padded work
+        # even bins: a second compile is not worth it
+        assert len(_size_buckets(np.array([300, 310, 305, 298]))) == 1
+        # reassembly covers every bin exactly once
+        got = np.sort(np.concatenate(buckets))
+        np.testing.assert_array_equal(got, np.arange(16))
+
+    def test_bucketed_results_match_monolithic(self, monkeypatch):
+        """Bucketing is a pure packing change: per-bin chains are bitwise
+        identical to the single-block layout (padded lanes are masked out of
+        every likelihood sum)."""
+        import mcmc_dynamics_tpu.pipelines as pl
+
+        # skewed catalog: inner bins ~120 stars, outer bin ~1200
+        rng = np.random.default_rng(3)
+        n_in, n_out = 600, 1200
+        r_in = 0.02 + 0.1 * rng.random(n_in)
+        r_out = 0.5 + 0.5 * rng.random(n_out)
+        r = np.concatenate([r_in, r_out])
+        phi = rng.uniform(-np.pi, np.pi, r.size)
+        ra = RA_C + r * np.cos(phi) / np.cos(np.radians(DEC_C))
+        dec = DEC_C + r * np.sin(phi)
+        data = {
+            "ra": u.Quantity(ra, "deg"), "dec": u.Quantity(dec, "deg"),
+            "v": u.Quantity(5 * rng.normal(size=r.size), "km/s"),
+            "verr": u.Quantity(0.5 + 0.5 * rng.random(r.size), "km/s"),
+        }
+
+        def run(force_single):
+            reader = DataReader({k: u.Quantity(np.array(v.value), v.unit)
+                                 for k, v in data.items()})
+            if force_single:
+                monkeypatch.setattr(pl, "_size_buckets",
+                                    lambda counts, min_saving=0.2:
+                                    [np.arange(len(counts))])
+            else:
+                monkeypatch.undo()
+            return pl.fit_radial_bins(
+                reader, RA_C * u.deg, DEC_C * u.deg, nstars=120, dlogr=0.01,
+                n_walkers=16, n_steps=40, seed=5)
+
+        mono = run(force_single=True)
+        buck = run(force_single=False)
+        assert buck.n_bins == mono.n_bins
+        np.testing.assert_array_equal(buck.chains, mono.chains)
+        np.testing.assert_array_equal(buck.log_probs, mono.log_probs)
