@@ -291,13 +291,25 @@ def bench_jam(rows):
     fit = Axisymmetric(data, mge_mass=mass, mge_lum=lum, parameters=params)
 
     free = fit.compiled.free_names
-    draws = {"mlr": rng.uniform(1.5, 2.5, n_walkers),
-             "barq": rng.uniform(0.41, 0.45, n_walkers),
-             "kappa_x": rng.uniform(0.3, 0.7, n_walkers),
-             "kappa_y": rng.uniform(-0.1, 0.1, n_walkers)}
-    pos = np.column_stack([draws[n] for n in free])
+
+    def jam_pos(w):
+        d = {"mlr": rng.uniform(1.5, 2.5, w),
+             "barq": rng.uniform(0.41, 0.45, w),
+             "kappa_x": rng.uniform(0.3, 0.7, w),
+             "kappa_y": rng.uniform(-0.1, 0.1, w)}
+        return d, np.column_stack([d[n] for n in free])
+
+    draws, pos = jam_pos(n_walkers)
     rows["jam/xla"] = _measure(fit.build_lnprob_batched(), pos, fit.dtype,
                                n_steps=n_steps)
+
+    # ensemble scaling: a production IMBH fit wants hundreds of walkers; this
+    # row pins the vmapped moment engine at W=512 (the (L, P) pair tables grow
+    # with W under vmap — a memory wall would show up here, linear scaling
+    # keeps the row ~8x the W=64 rate)
+    _, pos512 = jam_pos(512)
+    rows["jam/xla@512w"] = _measure(fit.build_lnprob_batched(), pos512,
+                                    fit.dtype, n_steps=100)
 
     # IMBH production variant: mbh sampled, so the closed-form erfcx black-hole
     # Jeans chain is live in the hot loop (reference run.py JAM workload)
