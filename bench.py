@@ -467,6 +467,75 @@ def validate():
     if dfit._pallas_eligible():
         check("double-model/pallas", dfit, dpos)
 
+    # JAM: no fused tier to cross-check, but the heavy physics path must agree
+    # between the attached accelerator and the CPU backend at the SAME dtype
+    # (catches TPU-specific lowering/underflow issues the f64 CPU suite cannot;
+    # the catalog deliberately includes stars far outside the tracer MGE to
+    # exercise the f32 dominant-exponent scaling in moments.py)
+    from mcmc_dynamics_tpu import units as u
+    from mcmc_dynamics_tpu.models import Axisymmetric
+    from mcmc_dynamics_tpu.utils import MgeReader, Table
+
+    jrng = np.random.default_rng(6)
+    nj = 400
+    ra_c2, dec_c2 = 56.345, -26.675
+    jdata, _, _ = _mock_catalog(nj, jrng)
+    # push a tail of stars to 15-25 sigma of the outer 40" tracer Gaussian
+    far = jrng.integers(0, nj, 40)
+    ra_col = np.asarray(jdata.data.value("ra"))
+    ra_col[far] = ra_c2 + jrng.uniform(0.18, 0.28, far.size)
+    jdata.data["ra"] = u.Quantity(ra_col, "deg")
+
+    lum = MgeReader(Table({"i": u.Quantity([5000.0, 1000.0], "solLum/pc2"),
+                           "s": u.Quantity([10.0, 40.0], "arcsec"),
+                           "q": [0.9, 0.85]}), lum=True)
+    mass = MgeReader(Table({"i": u.Quantity([5000.0, 1000.0], "solMass/pc2"),
+                            "s": u.Quantity([10.0, 40.0], "arcsec"),
+                            "q": [0.9, 0.85]}), lum=False)
+    jparams = Axisymmetric.default_parameters()
+    for name, val in dict(d=5.0, beta=0.0, ra_center=ra_c2, dec_center=dec_c2,
+                          rbh=1.0, delta_v=0.0).items():
+        jparams[name].set(value=val, fixed=True)
+    jparams["mlr"].set(value=2.0, min=0.1, max=10.0, fixed=False)
+    jparams["barq"].set(value=0.4, fixed=False)
+    jparams["kappa_x"].set(value=0.5, min=-2.0, max=2.0, fixed=False)
+    jparams["kappa_y"].set(value=0.0, min=-2.0, max=2.0, fixed=False)
+    jparams["mbh"].set(value=1e4, min=0.0, max=1e6, fixed=False,
+                       initials="rng.uniform(5e3, 5e4, size=n)")
+
+    def jam_lnprob(device):
+        with jax.default_device(device):
+            fitj = Axisymmetric(jdata, mge_mass=mass, mge_lum=lum,
+                                parameters=jparams.copy())
+            free = fitj.compiled.free_names
+            draws = {"mlr": jrng.uniform(1.5, 2.5, 64),
+                     "barq": jrng.uniform(0.41, 0.45, 64),
+                     "kappa_x": jrng.uniform(0.3, 0.7, 64),
+                     "kappa_y": jrng.uniform(-0.1, 0.1, 64),
+                     "mbh": jrng.uniform(5e3, 5e4, 64)}
+            jpos = jnp.asarray(np.column_stack([draws[n] for n in free]),
+                               fitj.dtype)
+            return np.asarray(jax.jit(fitj.build_lnprob_batched())(jpos))
+
+    jrng_state = jrng.bit_generator.state
+    got_j = jam_lnprob(jax.devices()[0])
+    jrng.bit_generator.state = jrng_state      # same walker draws on CPU
+    ref_j = jam_lnprob(jax.devices("cpu")[0])
+    try:
+        # some draws are legitimately -inf (validity gate: deprojection or
+        # sigma^2 <= 0); the PATTERN must agree across backends, the finite
+        # values to f32 tolerance
+        ok = np.isfinite(ref_j)
+        assert ok.sum() > 16, f"too few finite JAM walkers ({ok.sum()}/64)"
+        assert (np.isfinite(got_j) == ok).all(), "-inf pattern differs"
+        np.testing.assert_allclose(got_j[ok], ref_j[ok], rtol=2e-4, atol=0.3)
+        print(f"  {'jam/accelerator-vs-cpu':24s} OK   (finite {ok.sum()}/64, "
+              f"max|d| {np.max(np.abs(got_j[ok] - ref_j[ok])):.3g})",
+              file=sys.stderr)
+    except AssertionError as exc:
+        failures.append("jam/accelerator-vs-cpu")
+        print(f"  {'jam/accelerator-vs-cpu':24s} FAIL {exc}", file=sys.stderr)
+
     if failures:
         print(f"VALIDATE FAILED: {failures}", file=sys.stderr)
         return 1

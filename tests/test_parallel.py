@@ -354,3 +354,19 @@ class TestPartialTierSharding:
             want = float(fit.lnprob(chain[w, -1]))
             assert math.isclose(lnp[w, -1], want, rel_tol=1e-10), (w, lnp[w, -1],
                                                                    want)
+
+    def test_sample_to_convergence_with_mesh(self):
+        """The tau-driven auto-stop drives the sharded production loop:
+        mesh= flows through sample_to_convergence -> __call__ -> _call_sharded
+        and the whole-run acceptance accounting stays exact across chunks."""
+        fit = _fit(n=60, seed=11)
+        mesh = make_mesh(("dp", "sp"), (4, 2))
+        res = fit.sample_to_convergence(n_walkers=16, max_steps=1500,
+                                        check_every=500, tau_factor=20.0,
+                                        seed=2, mesh=mesh)
+        assert res.chain.shape[0] == 16
+        assert 500 <= res.chain.shape[1] <= 1500
+        assert np.isfinite(res.lnprobability).all()
+        assert res.tau.shape == (4,)
+        acc = np.asarray(res.acceptance_fraction)
+        assert (acc >= 0).all() and (acc <= 1).all() and acc.mean() > 0.05
