@@ -391,6 +391,7 @@ class Runner:
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
 
         if mesh is not None:
+            from ..parallel.distributed import fetch
             from ..parallel.tempered import run_tempered_sharded
 
             n_temps = mesh.shape[temp_axis]
@@ -399,6 +400,12 @@ class Runner:
                                        temp_axis=temp_axis, beta_min=beta_min,
                                        swap_every=swap_every, move=move)
             betas = make_beta_ladder(n_temps, beta_min)
+            result = SamplerResult(chain=fetch(res.chain),
+                                   lnprobability=fetch(res.log_prob),
+                                   final_state=res.final,
+                                   acceptance_fraction=fetch(
+                                       res.acceptance_fraction)[0])
+            return result, log_evidence(betas, fetch(res.mean_lnp_by_beta))
         else:
             from ..sampler.tempered import init_tempered, run_tempered
 

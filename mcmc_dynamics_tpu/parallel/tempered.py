@@ -34,6 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..sampler.stretch import normalize_move, propose_mixture
 from ..sampler.tempered import TemperedResult, TemperedState, make_beta_ladder
+from .distributed import fetch, mesh_spans_processes, to_global
 
 __all__ = ["run_tempered_sharded"]
 
@@ -64,6 +65,15 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
     betas = jnp.asarray(make_beta_ladder(n_temps, beta_min), coords.dtype)
     moves = normalize_move(move)
     batched_lnprob = runner.build_lnprob_batched()
+
+    # process-spanning (multi-host) meshes: inputs become global arrays —
+    # the ladder sharded over tp, starting ensemble and key replicated
+    if mesh_spans_processes(mesh):
+        from .sharded import _globalize_key
+
+        betas = to_global(mesh, P(temp_axis), fetch(betas))
+        coords = to_global(mesh, P(), fetch(coords))
+        key = _globalize_key(key, mesh, P())
 
     # even-odd phase pairings as static ppermute permutations
     def _phase_perm(phase):

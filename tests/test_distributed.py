@@ -125,8 +125,16 @@ _WORKER = textwrap.dedent("""
     os.chdir(outdir)
     Runner.save_current_status_arrays(chain, lnp, state, prefix="dist")
 
+    # temperature-parallel ladder over the same two hosts (tp x 4)
+    from mcmc_dynamics_tpu.parallel import run_tempered_sharded
+    tp_mesh = dist.global_mesh(("tp",), (4,))
+    tres = run_tempered_sharded(fit, fit.get_initials(8), jax.random.PRNGKey(3),
+                                n_steps=4, mesh=tp_mesh, swap_every=2)
+    tchain = dist.fetch(tres.chain)
+    assert tchain.shape == (8, 4, 4)
+
     np.savez(os.path.join(outdir, f"worker{pid}.npz"),
-             chain=chain, lnp=lnp, acc=acc)
+             chain=chain, lnp=lnp, acc=acc, tchain=tchain)
     dist.barrier("done")
     print(json.dumps({"pid": pid, "ok": True}))
 """)
@@ -167,6 +175,9 @@ class TestTwoProcessLocalhost:
         np.testing.assert_array_equal(w0["chain"], w1["chain"])
         np.testing.assert_array_equal(w0["lnp"], w1["lnp"])
         np.testing.assert_array_equal(w0["acc"], w1["acc"])
+        # ... and the same tempered cold chain (tp ladder across both hosts)
+        np.testing.assert_array_equal(w0["tchain"], w1["tchain"])
+        assert np.isfinite(w0["tchain"]).all()
         assert np.isfinite(w0["lnp"]).all()
         # some proposals accepted in 6 steps of 8 walkers
         assert w0["acc"].sum() > 0
