@@ -34,14 +34,20 @@ __all__ = ["fit_radial_bins", "BinnedFitResult"]
 _PROGRAM_CACHE: Dict[tuple, object] = {}
 
 
-def _size_buckets(counts, min_saving: float = 0.2):
+def _size_buckets(counts, min_saving: float = 0.25, min_cells: int = 200_000):
     """Partition bin ids into at most two size buckets for rectangular packing.
 
     Returns a list of sorted index arrays.  The split point minimises the
-    total padded cell count sum_bucket len(bucket) * max(bucket); a second
-    bucket is only opened when it saves at least ``min_saving`` of the padded
-    work (each bucket costs one extra XLA compile), so the common
-    evenly-binned case stays a single program.
+    total padded cell count sum_bucket len(bucket) * max(bucket).  A second
+    bucket is only opened when BOTH hold:
+
+    * it saves at least ``min_saving`` of the padded work (each bucket costs
+      one extra XLA compile), and
+    * the single-block layout has at least ``min_cells`` padded cells —
+      below that the batched per-bin step is latency/occupancy-bound, not
+      FLOP-bound, and running two sequential programs costs more than the
+      padding it removes (measured on the 16-bin omega-Cen workload, where
+      an unconditional split halved the pipeline rate).
     """
     counts = np.asarray(counts)
     n = counts.size
@@ -50,6 +56,8 @@ def _size_buckets(counts, min_saving: float = 0.2):
     order = np.argsort(counts, kind="stable")
     sorted_c = counts[order]
     base = n * int(sorted_c[-1])
+    if base < min_cells:
+        return [np.arange(n)]
     best_k, best_cost = None, base
     for k in range(1, n):
         cost = k * int(sorted_c[k - 1]) + (n - k) * int(sorted_c[-1])

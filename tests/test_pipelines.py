@@ -170,13 +170,15 @@ class TestBucketedPacking:
         from mcmc_dynamics_tpu.pipelines import _size_buckets
 
         # one giant outer bin: must split off so 15 small bins stop paying 4096
-        counts = np.array([256] * 15 + [4096])
+        counts = np.array([1024] * 15 + [16384])
         buckets = _size_buckets(counts)
         assert len(buckets) == 2
         padded = sum(len(b) * counts[b].max() for b in buckets)
-        assert padded * 2 <= 16 * 4096  # >= 2x less padded work
+        assert padded * 2 <= 16 * 16384  # >= 2x less padded work
         # even bins: a second compile is not worth it
-        assert len(_size_buckets(np.array([300, 310, 305, 298]))) == 1
+        assert len(_size_buckets(np.array([3000, 3100, 3050, 2980]))) == 1
+        # small workloads are latency-bound: never split below min_cells
+        assert len(_size_buckets(counts // 16)) == 1
         # reassembly covers every bin exactly once
         got = np.sort(np.concatenate(buckets))
         np.testing.assert_array_equal(got, np.arange(16))
@@ -202,15 +204,20 @@ class TestBucketedPacking:
             "verr": u.Quantity(0.5 + 0.5 * rng.random(r.size), "km/s"),
         }
 
+        orig = pl._size_buckets
+
         def run(force_single):
             reader = DataReader({k: u.Quantity(np.array(v.value), v.unit)
                                  for k, v in data.items()})
             if force_single:
                 monkeypatch.setattr(pl, "_size_buckets",
-                                    lambda counts, min_saving=0.2:
+                                    lambda counts, **kw:
                                     [np.arange(len(counts))])
             else:
-                monkeypatch.undo()
+                # drop the latency-bound floor so this small test case buckets
+                monkeypatch.setattr(pl, "_size_buckets",
+                                    lambda counts, **kw:
+                                    orig(counts, min_cells=0))
             return pl.fit_radial_bins(
                 reader, RA_C * u.deg, DEC_C * u.deg, nstars=120, dlogr=0.01,
                 n_walkers=16, n_steps=40, seed=5)
