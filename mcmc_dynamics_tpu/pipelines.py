@@ -269,9 +269,12 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
 
         nb = len(bucket)
         coords = coords_all[bucket]
-        keys = np.asarray(jax.random.key_data(keys_all))[bucket]
-        keys = jax.random.wrap_key_data(jnp.asarray(keys),
-                                        impl=jax.random.key_impl(keys_all))
+        if nb == n_bins:
+            keys = keys_all            # single bucket: no key shuffling
+        else:
+            keys = np.asarray(jax.random.key_data(keys_all))[bucket]
+            keys = jax.random.wrap_key_data(jnp.asarray(keys),
+                                            impl=jax.random.key_impl(keys_all))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             n_dev = mesh.shape[bin_axis]
@@ -315,6 +318,9 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
         ch, lp = run_all(stacked, jnp.asarray(coords, dtype=dtype), keys)
         ch = np.asarray(ch[:nb])
         lp = np.asarray(lp[:nb])
+        if nb == n_bins:
+            chains_np, logp_np = ch, lp
+            break
         if chains_np is None:
             chains_np = np.empty((n_bins,) + ch.shape[1:], ch.dtype)
             logp_np = np.empty((n_bins,) + lp.shape[1:], lp.dtype)
