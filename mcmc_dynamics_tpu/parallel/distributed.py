@@ -145,7 +145,12 @@ def fetch(value) -> np.ndarray:
     output — the collective rides ICI/DCN), then read out locally.
     """
     if isinstance(value, jax.Array) and not value.is_fully_addressable:
-        mesh = value.sharding.mesh  # shard_map/pjit outputs carry NamedSharding
+        mesh = getattr(value.sharding, "mesh", None)
+        if mesh is None or not isinstance(mesh, Mesh):
+            # not a NamedSharding (e.g. a GSPMD sharding from an eager op on
+            # global arrays): rebuild a trivial mesh over the array's devices
+            devs = sorted(value.sharding.device_set, key=lambda d: d.id)
+            mesh = Mesh(np.asarray(devs), ("_fetch",))
         replicated = jax.jit(
             lambda x: x, out_shardings=NamedSharding(mesh, P()))(value)
         return np.asarray(replicated.addressable_data(0))
