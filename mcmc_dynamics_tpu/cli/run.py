@@ -276,14 +276,14 @@ def main(argv=None):
                          "sampler (tau-based auto-stop).")
 
     if mesh is not None:
+        if sampler_kind == "hmc":
+            raise ValueError("sampling.sampler = 'hmc' does not take a device "
+                             "mesh; drop the parallel.axes block.")
         want = "tp" if sampler_kind == "tempered" else "dp"
         if want not in mesh.shape:
             raise ValueError(
                 f"sampling.sampler = '{sampler_kind}' needs a '{want}' axis in "
                 f"parallel.axes (got {dict(mesh.shape)}).")
-        if sampler_kind == "hmc":
-            raise ValueError("sampling.sampler = 'hmc' does not take a device "
-                             "mesh; drop the parallel.axes block.")
     mesh_kw = {"mesh": mesh} if mesh is not None else {}
     n_burn = sampling.get("n_burn", 100)
     if sampler_kind == "tempered":

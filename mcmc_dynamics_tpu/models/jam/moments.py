@@ -251,7 +251,13 @@ def _jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     # moment-assembly level; it makes float32 JAM valid at ANY radius.
     e_proj = (x_pc[None, :] ** 2 + (y_pc[None, :] ** 2) / (lum_q[:, None] ** 2)) \
         / (2.0 * lum_s[:, None] ** 2)                        # (L, N)
-    g_star = jnp.min(e_proj, axis=0)                         # (N,)
+    # zero-intensity components (population-weighted MGEs in the chemo models
+    # carry them) must not set the scale: they contribute nothing to surf, so
+    # letting one dominate the min would re-introduce the very underflow this
+    # scaling removes
+    e_masked = jnp.where(lum_i[:, None] > 0, e_proj, jnp.inf)
+    g_star = jnp.min(e_masked, axis=0)                       # (N,)
+    g_star = jnp.where(jnp.isfinite(g_star), g_star, 0.0)    # all-zero MGE
 
     # -------------------------------------------------------------- contractions
     # S[r, p] = sum_t C[r, t] exp(-beta_k(t) R_p^2 - beta~_k(t) z_p^2) over the

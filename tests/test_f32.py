@@ -160,3 +160,28 @@ class TestDensityMixtureFloat32Corner:
                                       dtype=jnp.float64).lnprob(
                 jnp.asarray(theta, jnp.float64)))
             assert abs(v32 - v64) / abs(v64) < 1e-4
+
+    def test_jam_f32_scaling_ignores_zero_intensity_components(self):
+        """A zero-weight narrow MGE component (population-weighted MGEs of the
+        chemo models) must not set the per-star scaling exponent — otherwise a
+        far-out star's scaled normalisation underflows exactly like the
+        unscaled one did."""
+        from mcmc_dynamics_tpu.models.jam.moments import jam_los_moments
+
+        # narrow component has ZERO weight; real tracer is the wide one
+        mge = dict(lum_i=np.array([0.0, 1000.0]), lum_s=[2.0, 40.0],
+                   lum_q=[0.9, 0.85], mass_i=np.array([0.0, 2500.0]),
+                   mass_s=[2.0, 40.0], mass_q=[0.9, 0.85])
+        kwargs = dict(d=5.0, beta=0.1, kappa=0.5, mscale=2.0,
+                      incl=math.radians(70.0), mbh=0.0, rbh=1.0)
+        x = np.array([400.0, 800.0])   # 10/20 sigma of the wide tracer,
+        y = np.array([100.0, -300.0])  # but 200-400 sigma of the narrow one
+
+        r64 = jam_los_moments(x, y, **mge, **kwargs)
+        r32 = jam_los_moments(
+            x.astype(np.float32), y.astype(np.float32),
+            **{k: np.asarray(v, np.float32) for k, v in mge.items()},
+            **kwargs)
+        v2_32 = np.asarray(r32.v2zz)
+        assert np.all(np.isfinite(v2_32)) and np.all(v2_32 > 0.0)
+        np.testing.assert_allclose(v2_32, np.asarray(r64.v2zz), rtol=5e-3)
