@@ -190,6 +190,29 @@ class Axisymmetric(Runner):
                                          data["pmember"])
         return jnp.where(ok, terms, -jnp.inf)
 
+    # big-ensemble memory containment: the moment engine materialises the
+    # (u-node x mass-component, star x LOS-node) pair table PER WALKER
+    # (~6 MB at 1e3 stars, n_u=24, n_zeta=32), so a plain vmap over a
+    # 2048-walker ensemble wants >= 12 GB of HBM for the tables alone and
+    # OOMs.  Chunking the walker axis with lax.map(batch_size=) caps the
+    # live footprint at lnprob_chunk walkers (the same HBM traffic — the
+    # engine is bandwidth-bound there either way, docs/design.md — but a
+    # bounded working set at ANY ensemble size).
+    lnprob_chunk = 256
+
+    def build_lnprob_batched(self):
+        import jax
+
+        fn = self.build_lnprob()
+        chunk = int(self.lnprob_chunk)
+
+        def batched(thetas):
+            if thetas.shape[0] <= chunk:
+                return jax.vmap(fn)(thetas)
+            return jax.lax.map(fn, thetas, batch_size=chunk)
+
+        return batched
+
     # ------------------------------------------------------------------ profiles
     def create_profiles(self, chain, n_burn: int, n_samples: int = 100, radii=None,
                         n_theta: int = 10, filename=None, n_threads: int = 1,

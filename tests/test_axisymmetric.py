@@ -439,3 +439,36 @@ class TestQuadraturePosteriorAccuracy:
             assert shift < 0.35 * width, (
                 f"{name}: quadrature bias {shift:.4g} vs posterior sigma "
                 f"{width:.4g} (ratio {shift / width:.2f})")
+
+
+class TestWalkerChunking:
+    def test_chunked_batched_lnprob_matches_vmap(self):
+        """Beyond lnprob_chunk walkers the batched JAM lnprob runs through
+        lax.map(batch_size=) — bounded pair-table memory at any ensemble
+        size — and must equal the plain vmap bitwise (incl. the -inf
+        validity pattern and a non-divisible remainder chunk)."""
+        data, lum, mass = _mock_jam_data(n=80, seed=3)
+        params = _base_params()
+        params["mlr"].set(fixed=False, min=0.2, max=8.0,
+                          initials="rng.uniform(1.0, 4.0, size=n)")
+        params["barq"].set(fixed=False)
+        fit = Axisymmetric(data, parameters=params, mge_mass=mass, mge_lum=lum)
+        fit.n_u, fit.n_zeta = 8, 12
+
+        rng = np.random.default_rng(0)
+        thetas = np.column_stack([
+            rng.uniform(1.0, 4.0, 11),
+            rng.uniform(0.40, 0.90, 11),   # some barq beyond the clamp -> -inf
+        ])
+        free = fit.compiled.free_names
+        assert free == ["mlr", "barq"]
+        th = jnp.asarray(thetas, fit.dtype)
+
+        ref = np.asarray(jax.jit(jax.vmap(fit.build_lnprob()))(th))
+        fit.lnprob_chunk = 4               # force chunking with remainder 3
+        got = np.asarray(jax.jit(fit.build_lnprob_batched())(th))
+        # jit-fusion ordering differs between the vmap and lax.map programs
+        # at the 1e-16 level; the -inf pattern must be identical
+        np.testing.assert_array_equal(np.isfinite(got), np.isfinite(ref))
+        np.testing.assert_allclose(got, ref, rtol=1e-12)
+        assert np.isfinite(got).any()
