@@ -322,6 +322,33 @@ def bench_jam(rows):
     rows["jam-bh/xla"] = _measure(bhfit.build_lnprob_batched(), bhpos,
                                   bhfit.dtype, n_steps=n_steps)
 
+    # AnalyticalProfiles: the reference's flagship production model
+    # (bin/run.py:444-450) — radially varying M/L and rotation on top of the
+    # JAM chain; the per-component profile evaluation rides the same engine
+    from mcmc_dynamics_tpu.models import AnalyticalProfiles
+
+    aparams = AnalyticalProfiles.default_parameters()
+    for name, val in dict(d=5.0, beta=0.0, mbh=0.0, ra_center=ra_c,
+                          dec_center=dec_c, rbh=1.0, delta_v=0.0).items():
+        aparams[name].set(value=val, fixed=True)
+    aparams["mlr_0"].set(value=2.5, min=0.1, max=10.0, fixed=False)
+    aparams["mlr_t"].set(value=2.0, min=0.1, max=10.0, fixed=False)
+    aparams["mlr_inf"].set(value=1.5, min=0.1, max=10.0, fixed=False)
+    aparams["barq"].set(value=0.4, fixed=False)
+    aparams["kappa_x"].set(value=0.5, min=-2.0, max=2.0, fixed=False)
+    aparams["kappa_y"].set(value=0.0, min=-2.0, max=2.0, fixed=False)
+    afit = AnalyticalProfiles(data, mge_mass=mass, mge_lum=lum,
+                              parameters=aparams)
+    afree = afit.compiled.free_names
+    adraws = dict(draws, mlr_0=rng.uniform(2.0, 3.0, n_walkers),
+                  mlr_t=rng.uniform(1.5, 2.5, n_walkers),
+                  mlr_inf=rng.uniform(1.0, 2.0, n_walkers),
+                  r_mlr=rng.uniform(15.0, 30.0, n_walkers),
+                  r_kappa=rng.uniform(15.0, 30.0, n_walkers))
+    apos = np.column_stack([adraws[n] for n in afree])
+    rows["jam-profiles/xla"] = _measure(afit.build_lnprob_batched(), apos,
+                                        afit.dtype, n_steps=n_steps)
+
 
 def bench_binned_pipeline(rows):
     """The reference's production workload (bin/run.py:146-259): every radial
