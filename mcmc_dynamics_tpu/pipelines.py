@@ -277,6 +277,10 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
                                             impl=jax.random.key_impl(keys_all))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.distributed import (fetch, mesh_spans_processes,
+                                               to_global)
+
             n_dev = mesh.shape[bin_axis]
             n_pad = (-nb) % n_dev
             if n_pad:
@@ -289,9 +293,22 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
                                              (n_pad,) + coords.shape[1:])])
                 pad_keys = jax.random.split(jax.random.PRNGKey(seed + 1), n_pad)
                 keys = jnp.concatenate([keys, pad_keys])
-            sharding = NamedSharding(mesh, P(bin_axis))
-            stacked = {k: jax.device_put(v, sharding)
-                       for k, v in stacked.items()}
+            if mesh_spans_processes(mesh):
+                # multi-host: all inputs become global arrays (bins sharded
+                # over the processes' devices, walker initials and keys
+                # replicated alongside their bins)
+                stacked = {k: to_global(mesh, P(bin_axis), fetch(v))
+                           for k, v in stacked.items()}
+                coords = to_global(mesh, P(bin_axis),
+                                   np.asarray(coords, dtype=dtype))
+                kdata = to_global(mesh, P(bin_axis),
+                                  fetch(jax.random.key_data(keys)))
+                keys = jax.random.wrap_key_data(
+                    kdata, impl=jax.random.key_impl(keys))
+            else:
+                sharding = NamedSharding(mesh, P(bin_axis))
+                stacked = {k: jax.device_put(v, sharding)
+                           for k, v in stacked.items()}
 
         # cache the jitted program: a fresh closure per call would force XLA
         # to recompile identical binned fits (the closure's behaviour is fully
@@ -316,8 +333,9 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
             run_all = jax.jit(jax.vmap(run_one))
             _PROGRAM_CACHE[cache_key] = run_all
         ch, lp = run_all(stacked, jnp.asarray(coords, dtype=dtype), keys)
-        ch = np.asarray(ch[:nb])
-        lp = np.asarray(lp[:nb])
+        from .parallel.distributed import fetch as _fetch
+        ch = _fetch(ch)[:nb]
+        lp = _fetch(lp)[:nb]
         if nb == n_bins:
             chains_np, logp_np = ch, lp
             break

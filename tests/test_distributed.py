@@ -133,8 +133,17 @@ _WORKER = textwrap.dedent("""
     tchain = dist.fetch(tres.chain)
     assert tchain.shape == (8, 4, 4)
 
+    # batched per-bin pipeline with the bin axis sharded across both hosts
+    from mcmc_dynamics_tpu.pipelines import fit_radial_bins
+    bin_mesh = dist.global_mesh(("dp",), (4,))
+    bres = fit_radial_bins(data, u.Quantity(RA_C, "deg"),
+                           u.Quantity(DEC_C, "deg"), nstars=60, dlogr=0.01,
+                           n_walkers=8, n_steps=10, seed=4, mesh=bin_mesh)
+    assert np.isfinite(bres.log_probs).all()
+
     np.savez(os.path.join(outdir, f"worker{pid}.npz"),
-             chain=chain, lnp=lnp, acc=acc, tchain=tchain)
+             chain=chain, lnp=lnp, acc=acc, tchain=tchain,
+             bchains=bres.chains)
     dist.barrier("done")
     print(json.dumps({"pid": pid, "ok": True}))
 """)
@@ -178,6 +187,9 @@ class TestTwoProcessLocalhost:
         # ... and the same tempered cold chain (tp ladder across both hosts)
         np.testing.assert_array_equal(w0["tchain"], w1["tchain"])
         assert np.isfinite(w0["tchain"]).all()
+        # ... and the same bin-sharded pipeline chains
+        np.testing.assert_array_equal(w0["bchains"], w1["bchains"])
+        assert np.isfinite(w0["bchains"]).all()
         assert np.isfinite(w0["lnp"]).all()
         # some proposals accepted in 6 steps of 8 walkers
         assert w0["acc"].sum() > 0
