@@ -19,7 +19,7 @@ Architecture (TPU-first, not a port):
 from . import units
 from .parameters import Parameter, Parameters, CompiledParameters
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "units", "Parameter", "Parameters", "CompiledParameters",

@@ -1,0 +1,307 @@
+"""Drop-in ``emcee``-style :class:`EnsembleSampler` on the TPU sampler core.
+
+The reference drives the external ``emcee.EnsembleSampler`` (reference
+runner.py:403, 416-419); this framework replaces it internally with a native
+`lax.scan` ensemble sampler.  This module exposes that engine through emcee's
+own user surface, so code written against emcee — custom log-probabilities
+far beyond stellar kinematics — can switch with an import change:
+
+    from mcmc_dynamics_tpu.emcee_compat import EnsembleSampler
+
+    sampler = EnsembleSampler(nwalkers, ndim, log_prob)
+    sampler.run_mcmc(p0, 5000, progress=False)
+    chain = sampler.get_chain(discard=1000, thin=10, flat=True)
+
+Two execution paths, selected automatically:
+
+* **JAX path** — ``log_prob`` is trace-safe (jnp/np-ufunc math): the whole
+  chain advances inside one jitted ``lax.scan`` on the accelerator
+  (thousands of walkers per XLA step, bitwise-resumable PRNG);
+* **NumPy fallback** — ``log_prob`` calls non-traceable code (scipy, I/O,
+  external libraries): a faithful host-side half-ensemble sampler with the
+  same move math, at ordinary emcee speeds.  The class tells you which path
+  it took via ``.backend_kind`` ("jax" or "numpy").
+
+Supported surface: ``run_mcmc`` / ``reset`` / ``get_chain`` /
+``get_log_prob`` / ``get_last_sample`` / ``get_autocorr_time`` /
+``acceptance_fraction`` / ``chain`` / ``flatchain`` / ``lnprobability``,
+``args``/``kwargs`` closures, ``vectorize=``, and ``moves=`` as either this
+package's move specs ("stretch"/"de"/"snooker" or weighted pairs) or emcee
+move *instances* (recognised by class name).  emcee's file backends and the
+``sample()`` generator are not implemented.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .sampler import init_state, make_key, run_ensemble
+from .sampler.diagnostics import autocorr_time
+
+__all__ = ["EnsembleSampler"]
+
+_EMCEE_MOVE_NAMES = {
+    "StretchMove": "stretch",
+    "DEMove": "de",
+    "DESnookerMove": "snooker",
+}
+
+
+def _normalize_moves(moves):
+    """emcee ``moves=`` (None, move instance, or [(move, weight), ...]) or this
+    package's specs -> the sampler-core move argument."""
+    if moves is None:
+        return "stretch"
+    if isinstance(moves, str):
+        return moves
+
+    def one(m):
+        if isinstance(m, str):
+            return m
+        name = type(m).__name__
+        if name in _EMCEE_MOVE_NAMES:
+            return _EMCEE_MOVE_NAMES[name]
+        raise ValueError(
+            f"Unsupported move {m!r}: use 'stretch'/'de'/'snooker', weighted "
+            "pairs of those, or emcee StretchMove/DEMove/DESnookerMove "
+            "instances.")
+
+    if isinstance(moves, Sequence):
+        out = []
+        for entry in moves:
+            if isinstance(entry, (tuple, list)) and len(entry) == 2 \
+                    and isinstance(entry[1], (int, float)):
+                out.append((one(entry[0]), float(entry[1])))
+            else:
+                out.append((one(entry), 1.0))
+        return out
+    return one(moves)
+
+
+class EnsembleSampler:
+    """emcee-compatible affine-invariant ensemble sampler (see module doc)."""
+
+    def __init__(self, nwalkers: int, ndim: int, log_prob_fn: Callable,
+                 args=(), kwargs=None, moves=None, a: float = 2.0,
+                 vectorize: bool = False, seed: int = 0, dtype=None):
+        if nwalkers % 2:
+            raise ValueError("nwalkers must be even (half-ensemble moves).")
+        if nwalkers < 2 * ndim:
+            import logging
+            logging.getLogger(__name__).warning(
+                "nwalkers (%d) < 2*ndim (%d): stretch moves mix poorly on "
+                "thin ensembles.", nwalkers, ndim)
+        self.nwalkers = int(nwalkers)
+        self.ndim = int(ndim)
+        self.a = float(a)
+        self._moves = _normalize_moves(moves)
+        kwargs = kwargs or {}
+        self._user_fn = log_prob_fn
+        self._vectorize = bool(vectorize)
+        self._fn = (lambda x: log_prob_fn(x, *args, **kwargs)) \
+            if (args or kwargs) else log_prob_fn
+        if dtype is None:
+            from . import default_dtype
+            dtype = default_dtype()
+        self.dtype = dtype
+        self._seed = seed
+        self._rng = np.random.default_rng(seed)
+
+        self.backend_kind = self._probe_backend()
+        self._state = None        # JAX EnsembleState or (pos, lnp) for numpy
+        self._chain_parts = []    # list of (W, S, K)
+        self._lnp_parts = []
+        self._accepted = np.zeros(self.nwalkers)
+        self._n_steps_done = 0
+
+    # ------------------------------------------------------------------ backends
+    def _probe_backend(self) -> str:
+        """'jax' when log_prob traces cleanly AND returns a scalar; else 'numpy'."""
+        probe = jnp.zeros((self.nwalkers, self.ndim), self.dtype) \
+            if self._vectorize else jnp.zeros((self.ndim,), self.dtype)
+        try:
+            out = jax.eval_shape(self._fn, probe)
+        except Exception:
+            return "numpy"
+        expected = (self.nwalkers,) if self._vectorize else ()
+        if tuple(out.shape) != expected:
+            return "numpy"
+        return "jax"
+
+    def _lnprob_batched_np(self, pos: np.ndarray) -> np.ndarray:
+        if self._vectorize:
+            return np.asarray(self._fn(pos), dtype=np.float64)
+        return np.array([float(self._fn(p)) for p in pos], dtype=np.float64)
+
+    # ------------------------------------------------------------------ emcee API
+    def run_mcmc(self, initial_state, nsteps: int, progress: bool = False,
+                 thin_by: int = 1, store: bool = True, **kwargs):
+        """Advance the chain ``nsteps`` steps from ``initial_state`` (or from
+        the current state when ``initial_state`` is None).  Returns the final
+        (coords, log_prob) pair à la emcee's State."""
+        del progress  # accepted for signature parity; sampling is one XLA call
+        if kwargs:
+            import logging
+            logging.getLogger(__name__).warning(
+                "run_mcmc: ignoring unsupported keyword arguments %s",
+                list(kwargs))
+        if initial_state is not None:
+            pos = np.asarray(initial_state, dtype=np.float64)
+            if pos.shape != (self.nwalkers, self.ndim):
+                raise ValueError(
+                    f"initial_state has shape {pos.shape}, expected "
+                    f"{(self.nwalkers, self.ndim)}.")
+            self._init_from(pos)
+        elif self._state is None:
+            raise ValueError("No initial_state and no previous state: pass "
+                             "starting positions on the first run_mcmc call.")
+
+        if self.backend_kind == "jax":
+            result = run_ensemble(self._batched_jax(), self._state,
+                                  n_steps=int(nsteps) * int(thin_by),
+                                  a=self.a, thin=int(thin_by),
+                                  store_chain=store, batched=True,
+                                  move=self._moves)
+            if store:
+                self._chain_parts.append(np.asarray(result.chain))
+                self._lnp_parts.append(np.asarray(result.log_prob))
+            self._accepted += np.asarray(result.acceptance_fraction) \
+                * nsteps * thin_by
+            self._state = result.final
+            self._n_steps_done += int(nsteps) * int(thin_by)
+            return (np.asarray(result.final.coords),
+                    np.asarray(result.final.log_prob))
+
+        pos, lnp = self._state
+        chain = np.empty((self.nwalkers, nsteps, self.ndim)) if store else None
+        lnps = np.empty((self.nwalkers, nsteps)) if store else None
+        for s in range(int(nsteps) * int(thin_by)):
+            pos, lnp, acc = self._numpy_step(pos, lnp)
+            self._accepted += acc
+            if store and (s + 1) % thin_by == 0:
+                chain[:, s // thin_by, :] = pos
+                lnps[:, s // thin_by] = lnp
+        if store:
+            self._chain_parts.append(chain)
+            self._lnp_parts.append(lnps)
+        self._state = (pos, lnp)
+        self._n_steps_done += int(nsteps) * int(thin_by)
+        return pos.copy(), lnp.copy()
+
+    def reset(self):
+        """Drop the stored chain and counters, keeping the current position."""
+        self._chain_parts = []
+        self._lnp_parts = []
+        self._accepted = np.zeros(self.nwalkers)
+        self._n_steps_done = 0
+
+    # ------------------------------------------------------------------ accessors
+    @property
+    def acceptance_fraction(self) -> np.ndarray:
+        return self._accepted / max(self._n_steps_done, 1)
+
+    def get_chain(self, flat: bool = False, thin: int = 1, discard: int = 0):
+        """(steps, walkers, ndim) — emcee v3 layout."""
+        if not self._chain_parts:
+            raise AttributeError("No chain stored yet: call run_mcmc first.")
+        v = np.swapaxes(np.concatenate(self._chain_parts, axis=1),
+                        0, 1)[discard::thin]
+        return v.reshape(-1, self.ndim) if flat else v
+
+    def get_log_prob(self, flat: bool = False, thin: int = 1, discard: int = 0):
+        if not self._lnp_parts:
+            raise AttributeError("No chain stored yet: call run_mcmc first.")
+        v = np.swapaxes(np.concatenate(self._lnp_parts, axis=1),
+                        0, 1)[discard::thin]
+        return v.reshape(-1) if flat else v
+
+    def get_last_sample(self):
+        if self.backend_kind == "jax":
+            return (np.asarray(self._state.coords),
+                    np.asarray(self._state.log_prob))
+        return self._state[0].copy(), self._state[1].copy()
+
+    def get_autocorr_time(self, discard: int = 0, thin: int = 1, c: float = 5.0,
+                          tol: float = 50.0, quiet: bool = False):
+        from .sampler.diagnostics import AutocorrError
+
+        sub = np.swapaxes(self.get_chain(discard=discard, thin=thin), 0, 1)
+        tau = autocorr_time(sub, c=c) * thin
+        n_eff = sub.shape[1] * thin
+        if not quiet and np.any(tau * tol > n_eff):
+            raise AutocorrError(
+                tau, f"The chain is shorter than tol={tol:g} times the "
+                     f"integrated autocorrelation time; run longer, lower "
+                     "tol, or pass quiet=True.")
+        return tau
+
+    # emcee v2 attribute surface
+    @property
+    def chain(self) -> np.ndarray:
+        """(walkers, steps, ndim) — the emcee v2 layout."""
+        return np.concatenate(self._chain_parts, axis=1)
+
+    @property
+    def flatchain(self) -> np.ndarray:
+        return self.chain.reshape(-1, self.ndim)
+
+    @property
+    def lnprobability(self) -> np.ndarray:
+        return np.concatenate(self._lnp_parts, axis=1)
+
+    @property
+    def iteration(self) -> int:
+        return self._n_steps_done
+
+    # ------------------------------------------------------------------ internals
+    def _batched_jax(self):
+        fn = self._fn
+        if self._vectorize:
+            return fn
+        return jax.vmap(fn)
+
+    def _init_from(self, pos: np.ndarray):
+        if self.backend_kind == "jax":
+            key = make_key(int(self._rng.integers(0, 2 ** 31)))
+            self._state = init_state(self._batched_jax(),
+                                     jnp.asarray(pos, self.dtype), key,
+                                     batched=True)
+            lnp0 = np.asarray(self._state.log_prob)
+        else:
+            lnp0 = self._lnprob_batched_np(pos)
+            self._state = (pos.copy(), lnp0)
+        bad = ~np.isfinite(lnp0)
+        if bad.all():
+            raise ValueError("All walkers start at log_prob = -inf/nan.")
+
+    def _numpy_step(self, pos, lnp):
+        """One full step (both half-ensembles) of the host-side sampler.
+
+        Stretch moves only on this path (the fallback exists for non-traceable
+        log-probs; DE/snooker need the JAX path)."""
+        if self._moves != "stretch":
+            raise NotImplementedError(
+                "The numpy fallback supports moves='stretch' only; make the "
+                "log-probability JAX-traceable to use DE/snooker moves.")
+        w = self.nwalkers
+        half = w // 2
+        acc_total = np.zeros(w)
+        idx_a = np.arange(half)
+        idx_b = np.arange(half, w)
+        for active_idx, other_idx in ((idx_a, idx_b), (idx_b, idx_a)):
+            z = ((self.a - 1.0) * self._rng.random(half) + 1.0) ** 2 / self.a
+            partners = other_idx[self._rng.integers(0, half, half)]
+            prop = pos[partners] + z[:, None] * (pos[active_idx] - pos[partners])
+            lnp_prop = self._lnprob_batched_np(prop)
+            ln_acc = (self.ndim - 1) * np.log(z) + lnp_prop - lnp[active_idx]
+            accept = np.log(self._rng.random(half)) < ln_acc
+            accept &= np.isfinite(lnp_prop)
+            pos[active_idx[accept]] = prop[accept]
+            lnp[active_idx[accept]] = lnp_prop[accept]
+            acc_total[active_idx] += accept
+        return pos, lnp, acc_total

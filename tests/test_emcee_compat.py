@@ -1,0 +1,159 @@
+"""emcee-compatible EnsembleSampler: both backends against known posteriors."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mcmc_dynamics_tpu.emcee_compat import EnsembleSampler, _normalize_moves
+
+
+def _jax_lnprob(theta):
+    # correlated 2-D Gaussian, jnp math -> traceable
+    d0 = theta[0] - 1.0
+    d1 = theta[1] + 2.0
+    return -0.5 * (d0 * d0 + d1 * d1 + d0 * d1)
+
+
+def _scipy_lnprob(theta):
+    # scipy.stats breaks tracing -> numpy fallback path
+    from scipy import stats
+    return float(stats.norm.logpdf(theta[0], loc=1.0)
+                 + stats.norm.logpdf(theta[1], loc=-2.0))
+
+
+class TestJaxBackend:
+    def test_posterior_and_surface(self):
+        nwalkers, ndim = 64, 2
+        s = EnsembleSampler(nwalkers, ndim, _jax_lnprob, seed=1)
+        assert s.backend_kind == "jax"
+        p0 = np.random.default_rng(0).normal(size=(nwalkers, ndim))
+        pos, lnp = s.run_mcmc(p0, 600)
+        assert pos.shape == (nwalkers, ndim) and lnp.shape == (nwalkers,)
+
+        flat = s.get_chain(discard=200, flat=True)
+        # target: cov = inv([[1, .5], [.5, 1]]) -> var = 4/3
+        assert abs(np.mean(flat[:, 0]) - 1.0) < 0.1
+        assert abs(np.mean(flat[:, 1]) + 2.0) < 0.1
+        assert abs(np.var(flat[:, 0]) - 4.0 / 3.0) < 0.2
+
+        # emcee v3/v2 accessors
+        assert s.get_chain().shape == (600, nwalkers, ndim)
+        assert s.get_chain(thin=10, discard=100).shape == (50, nwalkers, ndim)
+        assert s.get_log_prob(flat=True).shape == (600 * nwalkers,)
+        assert s.chain.shape == (nwalkers, 600, ndim)
+        assert s.flatchain.shape == (600 * nwalkers, ndim)
+        assert s.lnprobability.shape == (nwalkers, 600)
+        acc = s.acceptance_fraction
+        assert acc.shape == (nwalkers,)
+        assert 0.1 < acc.mean() < 0.95
+        assert s.iteration == 600
+
+        # continuation without initial_state
+        s.run_mcmc(None, 50)
+        assert s.get_chain().shape == (650, nwalkers, ndim)
+
+        # reset keeps the position, drops the history
+        last = s.get_last_sample()[0]
+        s.reset()
+        with pytest.raises(AttributeError):
+            s.get_chain()
+        s.run_mcmc(None, 10)
+        np.testing.assert_allclose(s.chain[:, 0, :].mean(), last.mean(),
+                                   atol=1.0)
+
+    def test_vectorized_lnprob(self):
+        def batched(thetas):
+            d = thetas - jnp.asarray([1.0, -2.0])
+            return -0.5 * jnp.sum(d * d, axis=1)
+
+        s = EnsembleSampler(32, 2, batched, vectorize=True, seed=3)
+        assert s.backend_kind == "jax"
+        s.run_mcmc(np.zeros((32, 2)) + 0.1 * np.random.default_rng(1)
+                   .normal(size=(32, 2)), 400)
+        flat = s.get_chain(discard=100, flat=True)
+        assert abs(np.mean(flat[:, 0]) - 1.0) < 0.15
+
+    def test_thin_by(self):
+        s = EnsembleSampler(16, 2, _jax_lnprob, seed=5)
+        s.run_mcmc(np.random.default_rng(2).normal(size=(16, 2)), 50, thin_by=4)
+        assert s.get_chain().shape == (50, 16, 2)
+        assert s.iteration == 200   # 50 recorded x 4 actual
+
+    def test_de_moves(self):
+        s = EnsembleSampler(32, 2, _jax_lnprob, moves="de", seed=7)
+        s.run_mcmc(np.random.default_rng(3).normal(size=(32, 2)), 300)
+        flat = s.get_chain(discard=100, flat=True)
+        assert abs(np.mean(flat[:, 0]) - 1.0) < 0.2
+
+
+class TestNumpyFallback:
+    def test_scipy_lnprob_recovers_posterior(self):
+        s = EnsembleSampler(24, 2, _scipy_lnprob, seed=11)
+        assert s.backend_kind == "numpy"
+        s.run_mcmc(np.random.default_rng(4).normal(size=(24, 2)), 400)
+        flat = s.get_chain(discard=150, flat=True)
+        assert abs(np.mean(flat[:, 0]) - 1.0) < 0.15
+        assert abs(np.mean(flat[:, 1]) + 2.0) < 0.15
+        assert abs(np.std(flat[:, 0]) - 1.0) < 0.2
+        assert 0.1 < s.acceptance_fraction.mean() < 0.95
+
+    def test_args_closure(self):
+        def lnprob(theta, mu, scale=1.0):
+            from scipy import stats
+            return float(stats.norm.logpdf(theta[0], loc=mu, scale=scale))
+
+        s = EnsembleSampler(16, 1, lnprob, args=(3.0,),
+                            kwargs={"scale": 0.5}, seed=13)
+        assert s.backend_kind == "numpy"
+        s.run_mcmc(3.0 + 0.1 * np.random.default_rng(5).normal(size=(16, 1)),
+                   300)
+        flat = s.get_chain(discard=100, flat=True)
+        assert abs(np.mean(flat) - 3.0) < 0.1
+        assert abs(np.std(flat) - 0.5) < 0.1
+
+    def test_de_moves_rejected_on_fallback(self):
+        s = EnsembleSampler(16, 2, _scipy_lnprob, moves="de")
+        with pytest.raises(NotImplementedError, match="traceable"):
+            s.run_mcmc(np.random.default_rng(6).normal(size=(16, 2)), 5)
+
+
+class TestMoveNormalization:
+    def test_specs(self):
+        assert _normalize_moves(None) == "stretch"
+        assert _normalize_moves("snooker") == "snooker"
+        assert _normalize_moves([("de", 0.8), ("stretch", 0.2)]) == \
+            [("de", 0.8), ("stretch", 0.2)]
+
+    def test_emcee_instances_by_class_name(self):
+        class DEMove:      # stands in for emcee.moves.DEMove
+            pass
+
+        class StretchMove:
+            pass
+
+        assert _normalize_moves([(DEMove(), 0.7), (StretchMove(), 0.3)]) == \
+            [("de", 0.7), ("stretch", 0.3)]
+        assert _normalize_moves([DEMove()]) == [("de", 1.0)]
+
+    def test_unknown_move_rejected(self):
+        with pytest.raises(ValueError, match="Unsupported move"):
+            _normalize_moves([object()])
+
+
+class TestValidation:
+    def test_odd_walkers_rejected(self):
+        with pytest.raises(ValueError, match="even"):
+            EnsembleSampler(7, 2, _jax_lnprob)
+
+    def test_all_invalid_start_rejected(self):
+        s = EnsembleSampler(8, 2, lambda t: -jnp.inf * jnp.sum(t * 0 + 1.0))
+        with pytest.raises(ValueError, match="-inf"):
+            s.run_mcmc(np.ones((8, 2)), 5)
+
+    def test_bad_shape_rejected(self):
+        s = EnsembleSampler(8, 2, _jax_lnprob)
+        with pytest.raises(ValueError, match="shape"):
+            s.run_mcmc(np.ones((4, 2)), 5)
