@@ -33,7 +33,7 @@ move *instances* (recognised by class name).  emcee's file backends and the
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 
@@ -151,6 +151,9 @@ class EnsembleSampler:
                 "run_mcmc: ignoring unsupported keyword arguments %s",
                 list(kwargs))
         if initial_state is not None:
+            # emcee passes State objects around; accept those too
+            if hasattr(initial_state, "coords"):
+                initial_state = initial_state.coords
             pos = np.asarray(initial_state, dtype=np.float64)
             if pos.shape != (self.nwalkers, self.ndim):
                 raise ValueError(
