@@ -452,6 +452,31 @@ def validate():
     check("model/sufficient", mfit, mpos, build=mfit.build_lnprob_sufficient,
           atol=0.5)  # the table tier is approximate (~f32 eval floor)
 
+    # the measured-alternative MXU formulation of the table tier: not in the
+    # default dispatch (within ~5% of the VPU kernel, ops/model_sufficient.py)
+    # but kept honest here so it cannot rot
+    if jax.default_backend() == "tpu":
+        from mcmc_dynamics_tpu.ops.model_sufficient import (
+            ModelSufficientStats, model_sufficient_lnlike_pallas_mxu)
+
+        mdata = mfit.prepare_data(dict(mfit._data_arrays))
+        mstats = ModelSufficientStats.build(
+            mdata["dxm"], mdata["dym"], mdata["v"],
+            mdata["verr"] * mdata["verr"], s_max=mfit._sufficient_s_max(),
+            dtype=mfit.dtype)
+        th_i = jnp.asarray(mpos, mfit.dtype) \
+            * np.asarray(mfit._internal_col_scale())[None, :]
+        got_mxu = np.asarray(jax.jit(
+            lambda t: model_sufficient_lnlike_pallas_mxu(mstats, t))(th_i))
+        ref_tab = np.asarray(jax.jit(mstats.lnlike)(th_i))
+        try:
+            np.testing.assert_allclose(got_mxu, ref_tab, rtol=2e-5, atol=0.05)
+            print(f"  {'model/sufficient-mxu':24s} OK   (max|d| "
+                  f"{np.max(np.abs(got_mxu - ref_tab)):.3g})", file=sys.stderr)
+        except AssertionError as exc:
+            failures.append("model/sufficient-mxu")
+            print(f"  {'model/sufficient-mxu':24s} FAIL {exc}", file=sys.stderr)
+
     # density mixtures: every fused GB kernel, incl. f_back = 0 walkers
     def gb_pos(extra_rng):
         p = np.column_stack([
