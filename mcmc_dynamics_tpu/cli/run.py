@@ -218,6 +218,12 @@ def main(argv=None):
                                   logging.FileHandler(f"{prefix}.log")])
     logger.info("run configuration: %s", json.dumps(cfg, indent=1))
 
+    # The mesh (and especially a parallel.distributed block) must be set up
+    # BEFORE any JAX computation: jax.distributed.initialize() raises if the
+    # XLA backend is already live, and loading the catalog / building the
+    # model below touches jnp.
+    mesh = build_mesh(cfg.get("parallel"))
+
     from .. import units as u
 
     data = load_catalog(cfg["data"])
@@ -266,7 +272,6 @@ def main(argv=None):
             f"sampling.n_steps must be an integer or the string \"auto\" "
             f"(got {n_steps!r}).")
     move = _normalize_move(sampling.get("move"))
-    mesh = build_mesh(cfg.get("parallel"))
     sampler_kind = sampling.get("sampler", "ensemble")
     if sampler_kind not in ("ensemble", "tempered", "hmc"):
         raise ValueError(f"Unknown sampling.sampler '{sampler_kind}' "

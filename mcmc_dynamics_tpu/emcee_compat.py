@@ -27,13 +27,14 @@ Supported surface: ``run_mcmc`` / ``reset`` / ``get_chain`` /
 ``acceptance_fraction`` / ``chain`` / ``flatchain`` / ``lnprobability``,
 ``args``/``kwargs`` closures, ``vectorize=``, and ``moves=`` as either this
 package's move specs ("stretch"/"de"/"snooker" or weighted pairs) or emcee
-move *instances* (recognised by class name).  emcee's file backends and the
-``sample()`` generator are not implemented.
+move *instances* (recognised by class name).  emcee's file backends, the
+``sample()`` generator, and blobs (a ``(log_prob, blobs)`` return from the
+log-probability) are not implemented — blobs raise a clear error.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable, NamedTuple, Sequence
 
 import numpy as np
 
@@ -43,7 +44,29 @@ import jax.numpy as jnp
 from .sampler import init_state, make_key, run_ensemble
 from .sampler.diagnostics import autocorr_time
 
-__all__ = ["EnsembleSampler"]
+__all__ = ["EnsembleSampler", "State"]
+
+
+class State(NamedTuple):
+    """Minimal emcee-compatible sampler state.
+
+    Returned by :meth:`EnsembleSampler.run_mcmc` and
+    :meth:`EnsembleSampler.get_last_sample`; can be passed back as
+    ``initial_state`` (the standard emcee burn-in idiom).  As a NamedTuple it
+    still unpacks as the ``(coords, log_prob)`` pair older code expects.
+    """
+
+    coords: np.ndarray
+    log_prob: np.ndarray
+
+
+def _reject_blobs(out):
+    """Raise a clear error for emcee-style ``(log_prob, blobs)`` returns."""
+    if isinstance(out, (tuple, list)):
+        raise NotImplementedError(
+            "log_prob_fn returned a tuple — emcee-style blobs are not "
+            "supported here; return only the scalar log-probability.")
+    return out
 
 _EMCEE_MOVE_NAMES = {
     "StretchMove": "stretch",
@@ -113,6 +136,12 @@ class EnsembleSampler:
         self._rng = np.random.default_rng(seed)
 
         self.backend_kind = self._probe_backend()
+        # one vmapped closure for the life of the sampler: the scan is jitted
+        # with the lnprob function as a static argument keyed by identity, so
+        # a fresh jax.vmap per run_mcmc call would recompile the whole chain
+        # (same reason as Runner._batched_lnprob_cached)
+        self._batched = ((self._fn if self._vectorize else jax.vmap(self._fn))
+                         if self.backend_kind == "jax" else None)
         self._state = None        # JAX EnsembleState or (pos, lnp) for numpy
         self._chain_parts = []    # list of (W, S, K)
         self._lnp_parts = []
@@ -128,6 +157,7 @@ class EnsembleSampler:
             out = jax.eval_shape(self._fn, probe)
         except Exception:
             return "numpy"
+        _reject_blobs(out)
         expected = (self.nwalkers,) if self._vectorize else ()
         if tuple(out.shape) != expected:
             return "numpy"
@@ -135,15 +165,19 @@ class EnsembleSampler:
 
     def _lnprob_batched_np(self, pos: np.ndarray) -> np.ndarray:
         if self._vectorize:
-            return np.asarray(self._fn(pos), dtype=np.float64)
-        return np.array([float(self._fn(p)) for p in pos], dtype=np.float64)
+            return np.asarray(_reject_blobs(self._fn(pos)), dtype=np.float64)
+        return np.array([float(_reject_blobs(self._fn(p))) for p in pos],
+                        dtype=np.float64)
 
     # ------------------------------------------------------------------ emcee API
     def run_mcmc(self, initial_state, nsteps: int, progress: bool = False,
                  thin_by: int = 1, store: bool = True, **kwargs):
         """Advance the chain ``nsteps`` steps from ``initial_state`` (or from
         the current state when ``initial_state`` is None).  Returns the final
-        (coords, log_prob) pair à la emcee's State."""
+        :class:`State` (attribute access like emcee's State, unpacks as a
+        (coords, log_prob) pair); it may be passed back as ``initial_state``
+        — the standard burn-in idiom ``state = sampler.run_mcmc(p0, n);
+        sampler.reset(); sampler.run_mcmc(state, m)`` works."""
         del progress  # accepted for signature parity; sampling is one XLA call
         if kwargs:
             import logging
@@ -151,9 +185,15 @@ class EnsembleSampler:
                 "run_mcmc: ignoring unsupported keyword arguments %s",
                 list(kwargs))
         if initial_state is not None:
-            # emcee passes State objects around; accept those too
+            # emcee passes State objects around (ours is a NamedTuple with a
+            # .coords field); also accept a bare (coords, log_prob) pair from
+            # older code
             if hasattr(initial_state, "coords"):
                 initial_state = initial_state.coords
+            elif (isinstance(initial_state, (tuple, list))
+                  and len(initial_state) == 2
+                  and np.shape(initial_state[0]) == (self.nwalkers, self.ndim)):
+                initial_state = initial_state[0]
             pos = np.asarray(initial_state, dtype=np.float64)
             if pos.shape != (self.nwalkers, self.ndim):
                 raise ValueError(
@@ -165,7 +205,7 @@ class EnsembleSampler:
                              "starting positions on the first run_mcmc call.")
 
         if self.backend_kind == "jax":
-            result = run_ensemble(self._batched_jax(), self._state,
+            result = run_ensemble(self._batched, self._state,
                                   n_steps=int(nsteps) * int(thin_by),
                                   a=self.a, thin=int(thin_by),
                                   store_chain=store, batched=True,
@@ -177,8 +217,8 @@ class EnsembleSampler:
                 * nsteps * thin_by
             self._state = result.final
             self._n_steps_done += int(nsteps) * int(thin_by)
-            return (np.asarray(result.final.coords),
-                    np.asarray(result.final.log_prob))
+            return State(np.asarray(result.final.coords),
+                         np.asarray(result.final.log_prob))
 
         pos, lnp = self._state
         chain = np.empty((self.nwalkers, nsteps, self.ndim)) if store else None
@@ -194,7 +234,7 @@ class EnsembleSampler:
             self._lnp_parts.append(lnps)
         self._state = (pos, lnp)
         self._n_steps_done += int(nsteps) * int(thin_by)
-        return pos.copy(), lnp.copy()
+        return State(pos.copy(), lnp.copy())
 
     def reset(self):
         """Drop the stored chain and counters, keeping the current position."""
@@ -225,9 +265,9 @@ class EnsembleSampler:
 
     def get_last_sample(self):
         if self.backend_kind == "jax":
-            return (np.asarray(self._state.coords),
-                    np.asarray(self._state.log_prob))
-        return self._state[0].copy(), self._state[1].copy()
+            return State(np.asarray(self._state.coords),
+                         np.asarray(self._state.log_prob))
+        return State(self._state[0].copy(), self._state[1].copy())
 
     def get_autocorr_time(self, discard: int = 0, thin: int = 1, c: float = 5.0,
                           tol: float = 50.0, quiet: bool = False):
@@ -262,16 +302,10 @@ class EnsembleSampler:
         return self._n_steps_done
 
     # ------------------------------------------------------------------ internals
-    def _batched_jax(self):
-        fn = self._fn
-        if self._vectorize:
-            return fn
-        return jax.vmap(fn)
-
     def _init_from(self, pos: np.ndarray):
         if self.backend_kind == "jax":
             key = make_key(int(self._rng.integers(0, 2 ** 31)))
-            self._state = init_state(self._batched_jax(),
+            self._state = init_state(self._batched,
                                      jnp.asarray(pos, self.dtype), key,
                                      batched=True)
             lnp0 = np.asarray(self._state.log_prob)

@@ -292,6 +292,12 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
                     [coords, np.broadcast_to(coords[:1],
                                              (n_pad,) + coords.shape[1:])])
                 pad_keys = jax.random.split(jax.random.PRNGKey(seed + 1), n_pad)
+                if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+                    # multi-bucket `keys` are typed key arrays; raw uint32 pad
+                    # keys cannot be concatenated with them
+                    pad_keys = jax.random.wrap_key_data(
+                        jax.random.key_data(pad_keys),
+                        impl=jax.random.key_impl(keys))
                 keys = jnp.concatenate([keys, pad_keys])
             if mesh_spans_processes(mesh):
                 # multi-host: all inputs become global arrays (bins sharded

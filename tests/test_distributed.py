@@ -225,3 +225,88 @@ class TestTwoProcessLocalhost:
                                    mesh=mesh)
         np.testing.assert_allclose(w0["chain"], np.asarray(ref.chain),
                                    rtol=1e-12, atol=0)
+
+
+_CLI_WORKER = textwrap.dedent("""
+    import json, os, pathlib, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_ENABLE_X64"] = "1"
+    os.environ["MPLBACKEND"] = "Agg"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
+                                sys.argv[3], sys.argv[4])
+    workdir = pathlib.Path(outdir) / f"proc{pid}"
+    workdir.mkdir(exist_ok=True)
+    os.chdir(workdir)
+
+    cfg = {
+        "prefix": "clidist",
+        "data": {"file": os.path.join(outdir, "catalog.csv"),
+                  "format": "csv"},
+        "model": "constant",
+        "parameters": {"ra_center": {"value": 56.345, "fixed": True},
+                        "dec_center": {"value": -26.675, "fixed": True}},
+        "sampling": {"n_walkers": 8, "n_steps": 20, "n_out": 20,
+                      "n_burn": 5, "seed": 1},
+        "parallel": {"axes": {"dp": 4},
+                      "distributed": {"coordinator": f"localhost:{port}",
+                                       "num_processes": nproc,
+                                       "process_id": pid}},
+    }
+    pathlib.Path("cfg.json").write_text(json.dumps(cfg))
+
+    # The regression this guards: cli.run.main must wire the distributed
+    # runtime BEFORE any JAX computation (catalog load / model build), or
+    # jax.distributed.initialize raises RuntimeError.
+    from mcmc_dynamics_tpu.cli.run import main
+    rc = main(["cfg.json", "--skip-binned", "--skip-profiles"])
+    assert rc == 0
+    assert jax.process_count() == nproc
+    print(json.dumps({"pid": pid, "ok": True}))
+""")
+
+
+class TestDistributedCli:
+    def test_cli_distributed_block_two_processes(self, tmp_path):
+        """The production driver brings up jax.distributed from the config's
+        parallel.distributed block and samples over the global dp mesh."""
+        rng = np.random.default_rng(0)
+        n = 200
+        ra_c, dec_c = 56.345, -26.675
+        lines = ["ra,dec,v,verr"]
+        for i in range(n):
+            lines.append(f"{ra_c + 0.03 * rng.normal()},"
+                         f"{dec_c + 0.03 * rng.normal()},"
+                         f"{5.0 * rng.normal()},{0.5 + 0.5 * rng.random()}")
+        (tmp_path / "catalog.csv").write_text("\n".join(lines) + "\n")
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        worker = tmp_path / "cli_worker.py"
+        worker.write_text(_CLI_WORKER)
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(pid), "2", str(port),
+                 str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True)
+            for pid in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            outs.append((p.returncode, out, err))
+        for rc, out, err in outs:
+            assert rc == 0, f"cli worker failed:\nstdout:{out}\nstderr:{err}"
+            assert json.loads(out.strip().splitlines()[-1])["ok"]
+
+        # the sampled chain checkpoint exists where the run happened
+        assert (tmp_path / "proc0" / "clidist_chain.npz").exists()

@@ -157,3 +157,72 @@ class TestValidation:
         s = EnsembleSampler(8, 2, _jax_lnprob)
         with pytest.raises(ValueError, match="shape"):
             s.run_mcmc(np.ones((4, 2)), 5)
+
+
+class TestStateRoundTrip:
+    def test_burn_in_idiom(self):
+        """run_mcmc's return value is a State that can be passed straight back
+        as initial_state (the canonical emcee burn-in pattern)."""
+        from mcmc_dynamics_tpu.emcee_compat import State
+
+        s = EnsembleSampler(16, 2, _jax_lnprob, seed=3)
+        p0 = np.random.default_rng(0).normal(size=(16, 2))
+        state = s.run_mcmc(p0, 10)
+        assert isinstance(state, State)
+        coords, log_prob = state           # still unpacks as a pair
+        assert coords.shape == (16, 2) and log_prob.shape == (16,)
+        s.reset()
+        s.run_mcmc(state, 20)
+        assert s.get_chain().shape == (20, 16, 2)
+
+        # a bare (coords, log_prob) tuple from older code also works
+        s.run_mcmc((coords, log_prob), 5)
+
+        # get_last_sample returns the same State type
+        last = s.get_last_sample()
+        assert isinstance(last, State)
+        s.run_mcmc(last, 3)
+
+    def test_numpy_backend_returns_state(self):
+        from mcmc_dynamics_tpu.emcee_compat import State
+
+        s = EnsembleSampler(8, 2, _scipy_lnprob, seed=4)
+        state = s.run_mcmc(np.random.default_rng(1).normal(size=(8, 2)), 5)
+        assert isinstance(state, State)
+        s.run_mcmc(state, 5)
+
+
+class TestNoRecompile:
+    def test_vmap_closure_is_cached(self):
+        """A second run_mcmc with identical shapes must not retrace (the
+        sampler scan is jitted keyed on the lnprob function's identity)."""
+        traces = {"n": 0}
+
+        def lnp(theta):
+            traces["n"] += 1      # incremented once per (re)trace
+            return -0.5 * jnp.sum(theta * theta)
+
+        s = EnsembleSampler(16, 2, lnp, seed=5)
+        p0 = np.random.default_rng(2).normal(size=(16, 2))
+        s.run_mcmc(p0, 5)
+        n_first = traces["n"]
+        assert n_first > 0
+        s.run_mcmc(None, 5)
+        assert traces["n"] == n_first
+
+
+class TestBlobsRejected:
+    def test_jax_blobs_clear_error(self):
+        def lnp_blob(theta):
+            return -0.5 * jnp.sum(theta * theta), theta[0]
+
+        with pytest.raises(NotImplementedError, match="blobs"):
+            EnsembleSampler(8, 2, lnp_blob)
+
+    def test_numpy_blobs_clear_error(self):
+        def lnp_blob(theta):
+            return _scipy_lnprob(theta), 1.0
+
+        s = EnsembleSampler(8, 2, lnp_blob)
+        with pytest.raises(NotImplementedError, match="blobs"):
+            s.run_mcmc(np.zeros((8, 2)), 2)

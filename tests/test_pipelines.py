@@ -227,3 +227,56 @@ class TestBucketedPacking:
         assert buck.n_bins == mono.n_bins
         np.testing.assert_array_equal(buck.chains, mono.chains)
         np.testing.assert_array_equal(buck.log_probs, mono.log_probs)
+
+    def test_bucketed_bins_on_mesh(self, monkeypatch):
+        """Bucketing composes with a device mesh even when a bucket needs
+        padding to the mesh extent (regression: the padded-slot PRNG keys were
+        legacy uint32 arrays and could not be concatenated with the typed key
+        arrays the multi-bucket path carries)."""
+        import mcmc_dynamics_tpu.pipelines as pl
+
+        rng = np.random.default_rng(3)
+        # inner stars spread over ~0.8 dex (-> ~120-star bins); outer stars in
+        # a shell narrower than dlogr (-> one 1200-star bin): strong skew
+        n_in, n_out = 600, 1200
+        r = np.concatenate([0.02 + 0.1 * rng.random(n_in),
+                            0.5 * (1.0 + 0.01 * rng.random(n_out))])
+        phi = rng.uniform(-np.pi, np.pi, r.size)
+        data = {
+            "ra": u.Quantity(RA_C + r * np.cos(phi)
+                             / np.cos(np.radians(DEC_C)), "deg"),
+            "dec": u.Quantity(DEC_C + r * np.sin(phi), "deg"),
+            "v": u.Quantity(5 * rng.normal(size=r.size), "km/s"),
+            "verr": u.Quantity(0.5 + 0.5 * rng.random(r.size), "km/s"),
+        }
+
+        orig = pl._size_buckets
+        bucket_sizes = []
+
+        def patched(counts, **kw):
+            buckets = orig(counts, min_saving=0.0, min_cells=0)
+            bucket_sizes.append([len(b) for b in buckets])
+            return buckets
+
+        monkeypatch.setattr(pl, "_size_buckets", patched)
+
+        def run(mesh):
+            reader = DataReader({k: u.Quantity(np.array(v.value), v.unit)
+                                 for k, v in data.items()})
+            return pl.fit_radial_bins(
+                reader, RA_C * u.deg, DEC_C * u.deg, nstars=120, dlogr=0.01,
+                n_walkers=16, n_steps=40, seed=5, mesh=mesh)
+
+        plain = run(mesh=None)
+        # the regression needs >1 bucket AND a bucket not divisible by the
+        # mesh extent (so the typed-key padding branch runs)
+        assert len(bucket_sizes[-1]) > 1
+        assert any(sz % 8 for sz in bucket_sizes[-1])
+        meshed = run(mesh=make_mesh(("dp",), (8,)))
+        assert meshed.n_bins == plain.n_bins
+        # sharding reassociates the per-bin reductions, so lnp can differ in
+        # the last ulps; the sampled coordinates must still agree to fp noise
+        np.testing.assert_allclose(meshed.chains, plain.chains,
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(meshed.log_probs, plain.log_probs,
+                                   rtol=1e-10)
