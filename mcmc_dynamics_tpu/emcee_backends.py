@@ -1,0 +1,312 @@
+"""emcee-style chain backends for :mod:`mcmc_dynamics_tpu.emcee_compat`.
+
+The reference drives ``emcee`` whose v3 backends (``emcee.backends.Backend`` /
+``HDFBackend``) are the standard way long astronomy runs survive restarts
+(reference runner.py:403 constructs the sampler these would plug into).  This
+module provides the same user surface over the native TPU sampler:
+
+* :class:`Backend` — in-memory storage (the default inside
+  :class:`~mcmc_dynamics_tpu.emcee_compat.EnsembleSampler`);
+* :class:`HDFBackend` — persistent HDF5 storage.  The file layout matches
+  emcee v3 (group with ``chain`` (steps, walkers, ndim), ``log_prob``
+  (steps, walkers), ``accepted`` (walkers,), ``iteration`` attr,
+  ``has_blobs = False``), so chains written here open with real emcee and
+  vice versa.  On top of emcee's layout the sampler PRNG state is stored
+  (JAX key data + impl, or the NumPy bit-generator state), which makes a
+  restart bitwise-identical to an uninterrupted run — emcee itself cannot
+  promise that across processes.
+
+Unlike emcee, the sampler appends whole blocks (one jitted ``lax.scan``
+produces thousands of steps per call) instead of one step at a time, so the
+backend write cost is amortised to nothing.
+
+Usage, exactly the emcee idiom::
+
+    from mcmc_dynamics_tpu.emcee_compat import EnsembleSampler, backends
+
+    backend = backends.HDFBackend("chain.h5")
+    sampler = EnsembleSampler(64, 5, log_prob, backend=backend)
+    sampler.run_mcmc(p0, 5000)
+
+    # ... later, any process: resume or just read
+    backend = backends.HDFBackend("chain.h5")
+    print(backend.iteration, backend.get_chain(discard=100, flat=True).shape)
+    sampler = EnsembleSampler(64, 5, log_prob, backend=backend)
+    sampler.run_mcmc(None, 5000)        # continues bitwise from the file
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+__all__ = ["Backend", "HDFBackend"]
+
+
+class Backend:
+    """In-memory chain storage with the emcee v3 backend surface."""
+
+    def __init__(self):
+        self.nwalkers = None
+        self.ndim = None
+        self._chain_parts = []      # list of (W, S, K) blocks
+        self._lnp_parts = []        # list of (W, S) blocks
+        self._accepted = None       # (W,) float
+        self._proposals = 0
+        self._state = None          # payload dict (see append())
+
+    # ------------------------------------------------------------- lifecycle
+    @property
+    def initialized(self) -> bool:
+        return self.nwalkers is not None
+
+    def reset(self, nwalkers: int, ndim: int):
+        """Clear all stored samples and counters and fix the shape."""
+        self.nwalkers = int(nwalkers)
+        self.ndim = int(ndim)
+        self._chain_parts = []
+        self._lnp_parts = []
+        self._accepted = np.zeros(self.nwalkers)
+        self._proposals = 0
+        self._state = None
+
+    # ------------------------------------------------------------- counters
+    @property
+    def iteration(self) -> int:
+        """Number of *stored* steps (emcee's meaning)."""
+        return sum(p.shape[1] for p in self._chain_parts)
+
+    @property
+    def proposals(self) -> int:
+        """Total proposal steps made (≥ iteration when thinning)."""
+        return self._proposals
+
+    @property
+    def accepted(self) -> np.ndarray:
+        """(walkers,) cumulative accepted-proposal counts."""
+        return self._accepted
+
+    # ------------------------------------------------------------- writing
+    def append(self, chain_block, lnp_block, accepted_delta, proposals_delta,
+               state):
+        """Record one sampler advance.
+
+        ``chain_block``: (W, S, K) or None when the run did not store;
+        ``lnp_block``: (W, S) or None; ``accepted_delta``: (W,) accepted
+        counts in this advance; ``proposals_delta``: proposal steps made;
+        ``state``: payload dict with keys ``coords`` (W, K), ``log_prob``
+        (W,), and either ``key_data``/``key_impl`` (JAX path) or
+        ``rng_state`` (NumPy path) for exact resume.
+        """
+        if chain_block is not None:
+            self._chain_parts.append(np.asarray(chain_block))
+            self._lnp_parts.append(np.asarray(lnp_block))
+        self._accepted = self._accepted + np.asarray(accepted_delta)
+        self._proposals += int(proposals_delta)
+        self._state = dict(state)
+
+    def load_state(self):
+        """The resume payload from the most recent :meth:`append`, or None."""
+        return None if self._state is None else dict(self._state)
+
+    # ------------------------------------------------------------- reading
+    def _full_chain(self) -> np.ndarray:
+        """(W, S_total, K) concatenation of all stored blocks."""
+        if not self._chain_parts:
+            raise AttributeError("No chain stored yet: call run_mcmc first.")
+        return np.concatenate(self._chain_parts, axis=1)
+
+    def _full_lnp(self) -> np.ndarray:
+        if not self._lnp_parts:
+            raise AttributeError("No chain stored yet: call run_mcmc first.")
+        return np.concatenate(self._lnp_parts, axis=1)
+
+    def get_chain(self, flat: bool = False, thin: int = 1, discard: int = 0):
+        """(steps, walkers, ndim) — emcee v3 layout."""
+        v = np.swapaxes(self._full_chain(), 0, 1)[discard::thin]
+        return v.reshape(-1, self.ndim) if flat else v
+
+    def get_log_prob(self, flat: bool = False, thin: int = 1, discard: int = 0):
+        v = np.swapaxes(self._full_lnp(), 0, 1)[discard::thin]
+        return v.reshape(-1) if flat else v
+
+    def get_last_sample(self):
+        from .emcee_compat import State
+        payload = self.load_state()
+        if payload is None:
+            raise AttributeError("No samples stored yet: call run_mcmc first.")
+        return State(np.asarray(payload["coords"]),
+                     np.asarray(payload["log_prob"]))
+
+
+class HDFBackend(Backend):
+    """Persistent HDF5 backend, file-layout-compatible with emcee v3.
+
+    Parameters mirror emcee: ``filename`` and HDF5 group ``name``
+    (default ``"mcmc"``), ``read_only=True`` opens without write intent.
+    All reads/writes open the file per operation, so a crashed process never
+    holds the file hostage and several readers can watch a running chain.
+    """
+
+    def __init__(self, filename: str, name: str = "mcmc",
+                 read_only: bool = False):
+        try:
+            import h5py  # noqa: F401
+        except ImportError as exc:       # pragma: no cover - h5py is bundled
+            raise ImportError(
+                "HDFBackend needs h5py; use the in-memory Backend or install "
+                "h5py.") from exc
+        self.filename = str(filename)
+        self.name = str(name)
+        self.read_only = bool(read_only)
+
+    def _open(self, mode: str = "r"):
+        import h5py
+        if self.read_only and mode != "r":
+            raise RuntimeError(
+                f"HDFBackend({self.filename!r}) is read-only; cannot write.")
+        return h5py.File(self.filename, mode)
+
+    # ------------------------------------------------------------- lifecycle
+    @property
+    def initialized(self) -> bool:
+        import os
+        if not os.path.exists(self.filename):
+            return False
+        try:
+            with self._open() as f:
+                return self.name in f
+        except OSError:
+            return False
+
+    def reset(self, nwalkers: int, ndim: int):
+        nwalkers, ndim = int(nwalkers), int(ndim)
+        with self._open("a") as f:
+            if self.name in f:
+                del f[self.name]
+            g = f.create_group(self.name)
+            g.attrs["version"] = 3          # emcee v3 layout
+            g.attrs["nwalkers"] = nwalkers
+            g.attrs["ndim"] = ndim
+            g.attrs["iteration"] = 0
+            g.attrs["proposals"] = 0
+            g.attrs["has_blobs"] = False
+            g.create_dataset("chain", (0, nwalkers, ndim),
+                             maxshape=(None, nwalkers, ndim), dtype="f8")
+            g.create_dataset("log_prob", (0, nwalkers),
+                             maxshape=(None, nwalkers), dtype="f8")
+            g.create_dataset("accepted", data=np.zeros(nwalkers))
+
+    def _group(self, f):
+        if self.name not in f:
+            raise AttributeError(
+                f"No group {self.name!r} in {self.filename!r}: the backend "
+                "was never reset/written.")
+        return f[self.name]
+
+    @property
+    def nwalkers(self):
+        if not self.initialized:
+            return None
+        with self._open() as f:
+            return int(self._group(f).attrs["nwalkers"])
+
+    @property
+    def ndim(self):
+        if not self.initialized:
+            return None
+        with self._open() as f:
+            return int(self._group(f).attrs["ndim"])
+
+    # ------------------------------------------------------------- counters
+    @property
+    def iteration(self) -> int:
+        if not self.initialized:
+            return 0
+        with self._open() as f:
+            return int(self._group(f).attrs["iteration"])
+
+    @property
+    def proposals(self) -> int:
+        with self._open() as f:
+            return int(self._group(f).attrs.get("proposals", 0))
+
+    @property
+    def accepted(self) -> np.ndarray:
+        with self._open() as f:
+            return np.asarray(self._group(f)["accepted"])
+
+    # ------------------------------------------------------------- writing
+    def append(self, chain_block, lnp_block, accepted_delta, proposals_delta,
+               state):
+        with self._open("a") as f:
+            g = self._group(f)
+            if chain_block is not None:
+                block = np.swapaxes(np.asarray(chain_block), 0, 1)  # (S, W, K)
+                lnp = np.swapaxes(np.asarray(lnp_block), 0, 1)      # (S, W)
+                n0 = int(g.attrs["iteration"])
+                g["chain"].resize(n0 + block.shape[0], axis=0)
+                g["chain"][n0:] = block
+                g["log_prob"].resize(n0 + lnp.shape[0], axis=0)
+                g["log_prob"][n0:] = lnp
+                g.attrs["iteration"] = n0 + block.shape[0]
+            g["accepted"][:] = (np.asarray(g["accepted"])
+                                + np.asarray(accepted_delta))
+            g.attrs["proposals"] = int(g.attrs.get("proposals", 0)) \
+                + int(proposals_delta)
+            for key in ("last_coords", "last_log_prob", "key_data"):
+                if key in g:
+                    del g[key]
+            g.create_dataset("last_coords",
+                             data=np.asarray(state["coords"], dtype="f8"))
+            g.create_dataset("last_log_prob",
+                             data=np.asarray(state["log_prob"], dtype="f8"))
+            if state.get("key_data") is not None:
+                g.create_dataset(
+                    "key_data",
+                    data=np.asarray(state["key_data"], dtype=np.uint32))
+                g.attrs["key_impl"] = str(state["key_impl"])
+            if state.get("rng_state") is not None:
+                g.attrs["rng_state"] = json.dumps(state["rng_state"])
+
+    def load_state(self):
+        if not self.initialized:
+            return None
+        with self._open() as f:
+            g = self._group(f)
+            if "last_coords" in g:
+                coords = np.asarray(g["last_coords"])
+                log_prob = np.asarray(g["last_log_prob"])
+            elif int(g.attrs["iteration"]) > 0:
+                # a chain written by real emcee: resume from the last stored
+                # step (emcee's own get_last_sample semantics); no PRNG state.
+                coords = np.asarray(g["chain"][-1])
+                log_prob = np.asarray(g["log_prob"][-1])
+            else:
+                return None
+            payload = {"coords": coords, "log_prob": log_prob,
+                       "key_data": None, "key_impl": None, "rng_state": None}
+            if "key_data" in g:
+                payload["key_data"] = np.asarray(g["key_data"])
+                payload["key_impl"] = str(g.attrs["key_impl"])
+            if "rng_state" in g.attrs:
+                payload["rng_state"] = json.loads(g.attrs["rng_state"])
+            return payload
+
+    # ------------------------------------------------------------- reading
+    def _full_chain(self) -> np.ndarray:
+        with self._open() as f:
+            g = self._group(f)
+            if int(g.attrs["iteration"]) == 0:
+                raise AttributeError(
+                    "No chain stored yet: call run_mcmc first.")
+            return np.swapaxes(np.asarray(g["chain"]), 0, 1)
+
+    def _full_lnp(self) -> np.ndarray:
+        with self._open() as f:
+            g = self._group(f)
+            if int(g.attrs["iteration"]) == 0:
+                raise AttributeError(
+                    "No chain stored yet: call run_mcmc first.")
+            return np.swapaxes(np.asarray(g["log_prob"]), 0, 1)

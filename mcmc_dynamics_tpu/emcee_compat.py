@@ -22,14 +22,19 @@ Two execution paths, selected automatically:
   same move math, at ordinary emcee speeds.  The class tells you which path
   it took via ``.backend_kind`` ("jax" or "numpy").
 
-Supported surface: ``run_mcmc`` / ``reset`` / ``get_chain`` /
-``get_log_prob`` / ``get_last_sample`` / ``get_autocorr_time`` /
-``acceptance_fraction`` / ``chain`` / ``flatchain`` / ``lnprobability``,
-``args``/``kwargs`` closures, ``vectorize=``, and ``moves=`` as either this
+Supported surface: ``run_mcmc`` / ``sample`` (generator) / ``reset`` /
+``get_chain`` / ``get_log_prob`` / ``get_last_sample`` /
+``get_autocorr_time`` / ``acceptance_fraction`` / ``chain`` / ``flatchain``
+/ ``lnprobability``, ``args``/``kwargs`` closures, ``vectorize=``,
+``pool=`` (used by the NumPy fallback, ignored on the JAX path where the
+accelerator batches all walkers), ``backend=`` (in-memory
+:class:`~mcmc_dynamics_tpu.emcee_backends.Backend` or persistent
+:class:`~mcmc_dynamics_tpu.emcee_backends.HDFBackend`, emcee-v3
+file-compatible, with bitwise restart), and ``moves=`` as either this
 package's move specs ("stretch"/"de"/"snooker" or weighted pairs) or emcee
-move *instances* (recognised by class name).  emcee's file backends, the
-``sample()`` generator, and blobs (a ``(log_prob, blobs)`` return from the
-log-probability) are not implemented — blobs raise a clear error.
+move *instances* (recognised by class name).  Blobs (a ``(log_prob, blobs)``
+return from the log-probability) are not implemented — they raise a clear
+error.
 """
 
 from __future__ import annotations
@@ -41,10 +46,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .sampler import init_state, make_key, run_ensemble
+from .sampler import (EnsembleState, init_state, key_from_arrays,
+                      key_to_arrays, make_key, run_ensemble)
 from .sampler.diagnostics import autocorr_time
+from . import emcee_backends as backends
 
-__all__ = ["EnsembleSampler", "State"]
+__all__ = ["EnsembleSampler", "State", "backends"]
 
 
 class State(NamedTuple):
@@ -111,7 +118,8 @@ class EnsembleSampler:
 
     def __init__(self, nwalkers: int, ndim: int, log_prob_fn: Callable,
                  args=(), kwargs=None, moves=None, a: float = 2.0,
-                 vectorize: bool = False, seed: int = 0, dtype=None):
+                 vectorize: bool = False, seed: int = 0, dtype=None,
+                 pool=None, backend=None):
         if nwalkers % 2:
             raise ValueError("nwalkers must be even (half-ensemble moves).")
         if nwalkers < 2 * ndim:
@@ -134,6 +142,7 @@ class EnsembleSampler:
         self.dtype = dtype
         self._seed = seed
         self._rng = np.random.default_rng(seed)
+        self._pool = pool
 
         self.backend_kind = self._probe_backend()
         # one vmapped closure for the life of the sampler: the scan is jitted
@@ -143,10 +152,16 @@ class EnsembleSampler:
         self._batched = ((self._fn if self._vectorize else jax.vmap(self._fn))
                          if self.backend_kind == "jax" else None)
         self._state = None        # JAX EnsembleState or (pos, lnp) for numpy
-        self._chain_parts = []    # list of (W, S, K)
-        self._lnp_parts = []
-        self._accepted = np.zeros(self.nwalkers)
-        self._n_steps_done = 0
+        self.backend = backend if backend is not None else backends.Backend()
+        if self.backend.initialized:
+            have = (self.backend.nwalkers, self.backend.ndim)
+            if have != (self.nwalkers, self.ndim):
+                raise ValueError(
+                    f"backend holds a {have} chain, sampler is "
+                    f"({self.nwalkers}, {self.ndim}); reset the backend or "
+                    "match the shapes.")
+        else:
+            self.backend.reset(self.nwalkers, self.ndim)
 
     # ------------------------------------------------------------------ backends
     def _probe_backend(self) -> str:
@@ -166,6 +181,10 @@ class EnsembleSampler:
     def _lnprob_batched_np(self, pos: np.ndarray) -> np.ndarray:
         if self._vectorize:
             return np.asarray(_reject_blobs(self._fn(pos)), dtype=np.float64)
+        if self._pool is not None:
+            return np.array([float(_reject_blobs(v))
+                             for v in self._pool.map(self._fn, pos)],
+                            dtype=np.float64)
         return np.array([float(_reject_blobs(self._fn(p))) for p in pos],
                         dtype=np.float64)
 
@@ -200,70 +219,95 @@ class EnsembleSampler:
                     f"initial_state has shape {pos.shape}, expected "
                     f"{(self.nwalkers, self.ndim)}.")
             self._init_from(pos)
-        elif self._state is None:
-            raise ValueError("No initial_state and no previous state: pass "
-                             "starting positions on the first run_mcmc call.")
+        elif self._state is None and not self._restore_from_backend():
+            raise ValueError("No initial_state, no previous state, and the "
+                             "backend holds no chain: pass starting positions "
+                             "on the first run_mcmc call.")
 
+        n_props = int(nsteps) * int(thin_by)
         if self.backend_kind == "jax":
             result = run_ensemble(self._batched, self._state,
-                                  n_steps=int(nsteps) * int(thin_by),
+                                  n_steps=n_props,
                                   a=self.a, thin=int(thin_by),
                                   store_chain=store, batched=True,
                                   move=self._moves)
-            if store:
-                self._chain_parts.append(np.asarray(result.chain))
-                self._lnp_parts.append(np.asarray(result.log_prob))
-            self._accepted += np.asarray(result.acceptance_fraction) \
-                * nsteps * thin_by
+            key_data, key_impl = key_to_arrays(result.final.key)
+            self.backend.append(
+                np.asarray(result.chain) if store else None,
+                np.asarray(result.log_prob) if store else None,
+                np.asarray(result.acceptance_fraction) * n_props, n_props,
+                {"coords": np.asarray(result.final.coords),
+                 "log_prob": np.asarray(result.final.log_prob),
+                 "key_data": key_data, "key_impl": key_impl,
+                 "rng_state": None})
             self._state = result.final
-            self._n_steps_done += int(nsteps) * int(thin_by)
             return State(np.asarray(result.final.coords),
                          np.asarray(result.final.log_prob))
 
         pos, lnp = self._state
         chain = np.empty((self.nwalkers, nsteps, self.ndim)) if store else None
         lnps = np.empty((self.nwalkers, nsteps)) if store else None
-        for s in range(int(nsteps) * int(thin_by)):
+        accepted = np.zeros(self.nwalkers)
+        for s in range(n_props):
             pos, lnp, acc = self._numpy_step(pos, lnp)
-            self._accepted += acc
+            accepted += acc
             if store and (s + 1) % thin_by == 0:
                 chain[:, s // thin_by, :] = pos
                 lnps[:, s // thin_by] = lnp
-        if store:
-            self._chain_parts.append(chain)
-            self._lnp_parts.append(lnps)
         self._state = (pos, lnp)
-        self._n_steps_done += int(nsteps) * int(thin_by)
+        self.backend.append(
+            chain if store else None, lnps if store else None,
+            accepted, n_props,
+            {"coords": pos.copy(), "log_prob": lnp.copy(),
+             "key_data": None, "key_impl": None,
+             "rng_state": self._rng.bit_generator.state})
         return State(pos.copy(), lnp.copy())
 
+    def sample(self, initial_state=None, iterations: int = 1, tune: bool = False,
+               thin_by: int = 1, store: bool = True, progress: bool = False):
+        """emcee's step-by-step generator: yields a :class:`State` after each
+        stored iteration (``thin_by`` proposal steps apiece).
+
+        Each yield is one accelerator dispatch on the JAX path, so prefer
+        :meth:`run_mcmc` (one fused ``lax.scan``) for throughput; ``sample``
+        exists for emcee-style convergence monitoring and custom stopping
+        rules.  ``progress=True`` wraps the loop in tqdm when available."""
+        del tune  # parity only: there are no tunable proposal scales here
+        it = range(int(iterations))
+        if progress:
+            try:
+                from tqdm import tqdm
+                it = tqdm(it, total=int(iterations))
+            except ImportError:       # pragma: no cover
+                pass
+        first = initial_state
+        for _ in it:
+            state = self.run_mcmc(first, 1, thin_by=thin_by, store=store)
+            first = None
+            yield state
+
     def reset(self):
-        """Drop the stored chain and counters, keeping the current position."""
-        self._chain_parts = []
-        self._lnp_parts = []
-        self._accepted = np.zeros(self.nwalkers)
-        self._n_steps_done = 0
+        """Drop the stored chain and counters, keeping the current position.
+
+        With a persistent backend this clears the file's chain group, exactly
+        like emcee's ``backend.reset``."""
+        self.backend.reset(self.nwalkers, self.ndim)
 
     # ------------------------------------------------------------------ accessors
     @property
     def acceptance_fraction(self) -> np.ndarray:
-        return self._accepted / max(self._n_steps_done, 1)
+        return self.backend.accepted / max(self.backend.proposals, 1)
 
     def get_chain(self, flat: bool = False, thin: int = 1, discard: int = 0):
         """(steps, walkers, ndim) — emcee v3 layout."""
-        if not self._chain_parts:
-            raise AttributeError("No chain stored yet: call run_mcmc first.")
-        v = np.swapaxes(np.concatenate(self._chain_parts, axis=1),
-                        0, 1)[discard::thin]
-        return v.reshape(-1, self.ndim) if flat else v
+        return self.backend.get_chain(flat=flat, thin=thin, discard=discard)
 
     def get_log_prob(self, flat: bool = False, thin: int = 1, discard: int = 0):
-        if not self._lnp_parts:
-            raise AttributeError("No chain stored yet: call run_mcmc first.")
-        v = np.swapaxes(np.concatenate(self._lnp_parts, axis=1),
-                        0, 1)[discard::thin]
-        return v.reshape(-1) if flat else v
+        return self.backend.get_log_prob(flat=flat, thin=thin, discard=discard)
 
     def get_last_sample(self):
+        if self._state is None:
+            return self.backend.get_last_sample()
         if self.backend_kind == "jax":
             return State(np.asarray(self._state.coords),
                          np.asarray(self._state.log_prob))
@@ -287,7 +331,7 @@ class EnsembleSampler:
     @property
     def chain(self) -> np.ndarray:
         """(walkers, steps, ndim) — the emcee v2 layout."""
-        return np.concatenate(self._chain_parts, axis=1)
+        return self.backend._full_chain()
 
     @property
     def flatchain(self) -> np.ndarray:
@@ -295,13 +339,46 @@ class EnsembleSampler:
 
     @property
     def lnprobability(self) -> np.ndarray:
-        return np.concatenate(self._lnp_parts, axis=1)
+        return self.backend._full_lnp()
 
     @property
     def iteration(self) -> int:
-        return self._n_steps_done
+        """Total proposal steps made (``backend.iteration`` counts *stored*
+        steps, emcee's meaning; the two differ only under ``thin_by``)."""
+        return self.backend.proposals
 
     # ------------------------------------------------------------------ internals
+    def _restore_from_backend(self) -> bool:
+        """Rebuild the live sampler state from the backend's saved payload
+        (cross-process resume); bitwise when the payload carries PRNG state."""
+        payload = self.backend.load_state()
+        if payload is None:
+            return False
+        coords = np.asarray(payload["coords"], dtype=np.float64)
+        if coords.shape != (self.nwalkers, self.ndim):
+            raise ValueError(
+                f"backend state has shape {coords.shape}, expected "
+                f"{(self.nwalkers, self.ndim)}.")
+        if self.backend_kind == "jax":
+            if payload.get("key_data") is not None:
+                key = key_from_arrays(payload["key_data"],
+                                      payload["key_impl"])
+            else:
+                # a chain written by real emcee carries no JAX key; reseed
+                key = make_key(int(self._rng.integers(0, 2 ** 31)))
+            self._state = EnsembleState(
+                coords=jnp.asarray(coords, self.dtype),
+                log_prob=jnp.asarray(payload["log_prob"], self.dtype),
+                key=key,
+                accepted=jnp.zeros(self.nwalkers, dtype=jnp.int32),
+                step=jnp.zeros((), dtype=jnp.int32))
+        else:
+            if payload.get("rng_state") is not None:
+                self._rng.bit_generator.state = payload["rng_state"]
+            self._state = (coords.copy(),
+                           np.asarray(payload["log_prob"], dtype=np.float64))
+        return True
+
     def _init_from(self, pos: np.ndarray):
         if self.backend_kind == "jax":
             key = make_key(int(self._rng.integers(0, 2 ** 31)))

@@ -226,3 +226,138 @@ class TestBlobsRejected:
         s = EnsembleSampler(8, 2, lnp_blob)
         with pytest.raises(NotImplementedError, match="blobs"):
             s.run_mcmc(np.zeros((8, 2)), 2)
+
+
+class TestSampleGenerator:
+    def test_yields_states_and_stores(self):
+        s = EnsembleSampler(16, 2, _jax_lnprob, seed=11)
+        p0 = np.random.default_rng(7).normal(size=(16, 2))
+        states = list(s.sample(p0, iterations=6))
+        assert len(states) == 6
+        assert all(st.coords.shape == (16, 2) for st in states)
+        assert s.get_chain().shape == (6, 16, 2)
+        # the last yielded state is the sampler's current state
+        np.testing.assert_array_equal(states[-1].coords,
+                                      s.get_last_sample().coords)
+
+    def test_thin_by_and_store_false(self):
+        s = EnsembleSampler(16, 2, _jax_lnprob, seed=12)
+        p0 = np.random.default_rng(8).normal(size=(16, 2))
+        for _ in s.sample(p0, iterations=4, thin_by=3):
+            pass
+        assert s.get_chain().shape == (4, 16, 2)
+        assert s.iteration == 12                     # proposals
+        assert s.backend.iteration == 4              # stored (emcee meaning)
+        s2 = EnsembleSampler(16, 2, _jax_lnprob, seed=12)
+        for _ in s2.sample(p0, iterations=3, store=False):
+            pass
+        with pytest.raises(AttributeError):
+            s2.get_chain()
+        # state still advances without storage
+        assert s2.get_last_sample().coords.shape == (16, 2)
+
+
+class TestHDFBackend:
+    def _run(self, backend, seed, chunks, p0):
+        s = EnsembleSampler(16, 2, _jax_lnprob, seed=seed, backend=backend)
+        first = p0
+        for n in chunks:
+            s.run_mcmc(first, n)
+            first = None
+        return s
+
+    def test_bitwise_cross_process_resume(self, tmp_path):
+        """An interrupted run resumed from the file by a *fresh* sampler
+        equals the uninterrupted run bitwise (the PRNG key rides the file)."""
+        from mcmc_dynamics_tpu.emcee_compat import backends
+
+        p0 = np.random.default_rng(1).normal(size=(16, 2))
+        ref = self._run(backends.HDFBackend(str(tmp_path / "a.h5")), 3,
+                        [20, 20], p0)
+        full = ref.get_chain()
+
+        self._run(backends.HDFBackend(str(tmp_path / "b.h5")), 3, [20], p0)
+        # fresh backend object + fresh sampler with a DIFFERENT seed: the
+        # resume must come entirely from the file
+        be = backends.HDFBackend(str(tmp_path / "b.h5"))
+        assert be.iteration == 20
+        s = EnsembleSampler(16, 2, _jax_lnprob, seed=999, backend=be)
+        s.run_mcmc(None, 20)
+        np.testing.assert_array_equal(full, s.get_chain())
+        np.testing.assert_array_equal(np.asarray(ref.backend.accepted),
+                                      np.asarray(be.accepted))
+
+    def test_numpy_path_resume(self, tmp_path):
+        from mcmc_dynamics_tpu.emcee_compat import backends
+
+        p0 = np.zeros((8, 2))
+
+        def run(fn, chunks):
+            be = backends.HDFBackend(str(tmp_path / fn))
+            s = EnsembleSampler(8, 2, _scipy_lnprob, seed=5, backend=be)
+            assert s.backend_kind == "numpy"
+            first = p0
+            for n in chunks:
+                s.run_mcmc(first, n)
+                first = None
+            return s.get_chain()
+
+        full = run("a.h5", [10, 10])
+        run("b.h5", [10])
+        be = backends.HDFBackend(str(tmp_path / "b.h5"))
+        s = EnsembleSampler(8, 2, _scipy_lnprob, seed=77, backend=be)
+        s.run_mcmc(None, 10)
+        np.testing.assert_array_equal(full, s.get_chain())
+
+    def test_reader_surface_and_reset(self, tmp_path):
+        from mcmc_dynamics_tpu.emcee_compat import State, backends
+
+        be = backends.HDFBackend(str(tmp_path / "c.h5"))
+        p0 = np.random.default_rng(2).normal(size=(16, 2))
+        self._run(be, 4, [25], p0)
+
+        reader = backends.HDFBackend(str(tmp_path / "c.h5"), read_only=True)
+        assert reader.get_chain(discard=5, thin=2).shape == (10, 16, 2)
+        assert reader.get_chain(flat=True).shape == (25 * 16, 2)
+        assert reader.get_log_prob().shape == (25, 16)
+        assert isinstance(reader.get_last_sample(), State)
+        with pytest.raises(RuntimeError, match="read-only"):
+            reader.reset(16, 2)
+
+        # emcee v3 file layout: group "mcmc" with chain (S, W, K) et al.
+        import h5py
+        with h5py.File(str(tmp_path / "c.h5"), "r") as f:
+            g = f["mcmc"]
+            assert g["chain"].shape == (25, 16, 2)
+            assert g["log_prob"].shape == (25, 16)
+            assert g["accepted"].shape == (16,)
+            assert int(g.attrs["iteration"]) == 25
+            assert not g.attrs["has_blobs"]
+
+        # sampler.reset() clears the file chain like emcee's backend.reset
+        s = EnsembleSampler(16, 2, _jax_lnprob, seed=4, backend=be)
+        s.reset()
+        assert be.iteration == 0
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        from mcmc_dynamics_tpu.emcee_compat import backends
+
+        be = backends.HDFBackend(str(tmp_path / "d.h5"))
+        self._run(be, 6, [5], np.random.default_rng(3).normal(size=(16, 2)))
+        with pytest.raises(ValueError, match="backend holds"):
+            EnsembleSampler(8, 3, _jax_lnprob, backend=be)
+
+
+class TestPool:
+    def test_pool_used_on_numpy_path(self):
+        calls = {"n": 0}
+
+        class CountingPool:
+            def map(self, f, xs):
+                calls["n"] += 1
+                return [f(x) for x in xs]
+
+        s = EnsembleSampler(8, 2, _scipy_lnprob, seed=6, pool=CountingPool())
+        assert s.backend_kind == "numpy"
+        s.run_mcmc(np.zeros((8, 2)), 5)
+        assert calls["n"] > 0
