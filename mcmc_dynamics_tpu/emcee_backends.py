@@ -123,12 +123,14 @@ class Backend:
         return np.concatenate(self._lnp_parts, axis=1)
 
     def get_chain(self, flat: bool = False, thin: int = 1, discard: int = 0):
-        """(steps, walkers, ndim) — emcee v3 layout."""
-        v = np.swapaxes(self._full_chain(), 0, 1)[discard::thin]
+        """(steps, walkers, ndim) — emcee v3 layout and thinning semantics
+        (``[discard + thin - 1::thin]``: the *last* step of each thin window,
+        exactly what real emcee returns on the same chain)."""
+        v = np.swapaxes(self._full_chain(), 0, 1)[discard + thin - 1::thin]
         return v.reshape(-1, self.ndim) if flat else v
 
     def get_log_prob(self, flat: bool = False, thin: int = 1, discard: int = 0):
-        v = np.swapaxes(self._full_lnp(), 0, 1)[discard::thin]
+        v = np.swapaxes(self._full_lnp(), 0, 1)[discard + thin - 1::thin]
         return v.reshape(-1) if flat else v
 
     def get_last_sample(self):
@@ -205,19 +207,24 @@ class HDFBackend(Backend):
                 "was never reset/written.")
         return f[self.name]
 
-    @property
-    def nwalkers(self):
+    def _shape_attr(self, attr: str, axis: int):
+        """nwalkers/ndim: our attr when present, else the chain dataset's
+        shape (files written by real emcee carry no such attrs)."""
         if not self.initialized:
             return None
         with self._open() as f:
-            return int(self._group(f).attrs["nwalkers"])
+            g = self._group(f)
+            if attr in g.attrs:
+                return int(g.attrs[attr])
+            return int(g["chain"].shape[axis])
+
+    @property
+    def nwalkers(self):
+        return self._shape_attr("nwalkers", 1)
 
     @property
     def ndim(self):
-        if not self.initialized:
-            return None
-        with self._open() as f:
-            return int(self._group(f).attrs["ndim"])
+        return self._shape_attr("ndim", 2)
 
     # ------------------------------------------------------------- counters
     @property
@@ -229,11 +236,19 @@ class HDFBackend(Backend):
 
     @property
     def proposals(self) -> int:
+        if not self.initialized:
+            return 0
         with self._open() as f:
-            return int(self._group(f).attrs.get("proposals", 0))
+            g = self._group(f)
+            # a file written by real emcee has no proposals attr; every
+            # stored step was one proposal there
+            return int(g.attrs.get("proposals", g.attrs["iteration"]))
 
     @property
     def accepted(self) -> np.ndarray:
+        if not self.initialized:
+            raise AttributeError(
+                f"{self.filename!r} holds no chain yet: nothing accepted.")
         with self._open() as f:
             return np.asarray(self._group(f)["accepted"])
 
@@ -255,9 +270,15 @@ class HDFBackend(Backend):
                                 + np.asarray(accepted_delta))
             g.attrs["proposals"] = int(g.attrs.get("proposals", 0)) \
                 + int(proposals_delta)
+            # clear BOTH kinds of saved PRNG state before writing the current
+            # one, so a jax-path resume never replays a stale numpy stream
+            # (or vice versa) after the execution path switched between runs
             for key in ("last_coords", "last_log_prob", "key_data"):
                 if key in g:
                     del g[key]
+            for attr in ("key_impl", "rng_state"):
+                if attr in g.attrs:
+                    del g.attrs[attr]
             g.create_dataset("last_coords",
                              data=np.asarray(state["coords"], dtype="f8"))
             g.create_dataset("last_log_prob",
@@ -275,14 +296,17 @@ class HDFBackend(Backend):
             return None
         with self._open() as f:
             g = self._group(f)
+            n = int(g.attrs["iteration"])
             if "last_coords" in g:
                 coords = np.asarray(g["last_coords"])
                 log_prob = np.asarray(g["last_log_prob"])
-            elif int(g.attrs["iteration"]) > 0:
+            elif n > 0:
                 # a chain written by real emcee: resume from the last stored
-                # step (emcee's own get_last_sample semantics); no PRNG state.
-                coords = np.asarray(g["chain"][-1])
-                log_prob = np.asarray(g["log_prob"][-1])
+                # step (emcee's own get_last_sample semantics); no PRNG
+                # state.  Index by the iteration attr, NOT -1: emcee's grow()
+                # pre-sizes the datasets, so rows beyond iteration are zeros.
+                coords = np.asarray(g["chain"][n - 1])
+                log_prob = np.asarray(g["log_prob"][n - 1])
             else:
                 return None
             payload = {"coords": coords, "log_prob": log_prob,
@@ -295,18 +319,28 @@ class HDFBackend(Backend):
             return payload
 
     # ------------------------------------------------------------- reading
-    def _full_chain(self) -> np.ndarray:
+    def _read(self, name: str, thin: int, discard: int) -> np.ndarray:
+        """Slice ``[discard+thin-1 : iteration : thin]`` inside HDF5 so only
+        the requested rows are read from disk (emcee semantics; also skips
+        any pre-grown zero rows in files written by real emcee)."""
         with self._open() as f:
             g = self._group(f)
-            if int(g.attrs["iteration"]) == 0:
+            n = int(g.attrs["iteration"])
+            if n == 0:
                 raise AttributeError(
                     "No chain stored yet: call run_mcmc first.")
-            return np.swapaxes(np.asarray(g["chain"]), 0, 1)
+            return np.asarray(g[name][discard + thin - 1:n:thin])
+
+    def get_chain(self, flat: bool = False, thin: int = 1, discard: int = 0):
+        v = self._read("chain", thin, discard)
+        return v.reshape(-1, v.shape[-1]) if flat else v
+
+    def get_log_prob(self, flat: bool = False, thin: int = 1, discard: int = 0):
+        v = self._read("log_prob", thin, discard)
+        return v.reshape(-1) if flat else v
+
+    def _full_chain(self) -> np.ndarray:
+        return np.swapaxes(self._read("chain", 1, 0), 0, 1)
 
     def _full_lnp(self) -> np.ndarray:
-        with self._open() as f:
-            g = self._group(f)
-            if int(g.attrs["iteration"]) == 0:
-                raise AttributeError(
-                    "No chain stored yet: call run_mcmc first.")
-            return np.swapaxes(np.asarray(g["log_prob"]), 0, 1)
+        return np.swapaxes(self._read("log_prob", 1, 0), 0, 1)

@@ -67,6 +67,19 @@ class State(NamedTuple):
     log_prob: np.ndarray
 
 
+class _FunctionWrapper:
+    """Picklable ``log_prob_fn(x, *args, **kwargs)`` closure (a lambda would
+    break ``pool=`` with multiprocessing, which pickles the callable)."""
+
+    def __init__(self, fn, args, kwargs):
+        self.fn = fn
+        self.args = args
+        self.kwargs = kwargs or {}
+
+    def __call__(self, x):
+        return self.fn(x, *self.args, **self.kwargs)
+
+
 def _reject_blobs(out):
     """Raise a clear error for emcee-style ``(log_prob, blobs)`` returns."""
     if isinstance(out, (tuple, list)):
@@ -134,7 +147,7 @@ class EnsembleSampler:
         kwargs = kwargs or {}
         self._user_fn = log_prob_fn
         self._vectorize = bool(vectorize)
-        self._fn = (lambda x: log_prob_fn(x, *args, **kwargs)) \
+        self._fn = _FunctionWrapper(log_prob_fn, args, kwargs) \
             if (args or kwargs) else log_prob_fn
         if dtype is None:
             from . import default_dtype
@@ -224,7 +237,12 @@ class EnsembleSampler:
                              "backend holds no chain: pass starting positions "
                              "on the first run_mcmc call.")
 
-        n_props = int(nsteps) * int(thin_by)
+        nsteps, thin_by = int(nsteps), int(thin_by)
+        if thin_by < 1:
+            raise ValueError(f"thin_by must be >= 1 (got {thin_by}).")
+        if nsteps < 0:
+            raise ValueError(f"nsteps must be >= 0 (got {nsteps}).")
+        n_props = nsteps * thin_by
         if self.backend_kind == "jax":
             result = run_ensemble(self._batched, self._state,
                                   n_steps=n_props,
@@ -375,8 +393,10 @@ class EnsembleSampler:
         else:
             if payload.get("rng_state") is not None:
                 self._rng.bit_generator.state = payload["rng_state"]
+            # copy: np.asarray can alias the backend's saved array, which
+            # _numpy_step then mutates in place
             self._state = (coords.copy(),
-                           np.asarray(payload["log_prob"], dtype=np.float64))
+                           np.array(payload["log_prob"], dtype=np.float64))
         return True
 
     def _init_from(self, pos: np.ndarray):

@@ -159,6 +159,10 @@ class TestValidation:
             s.run_mcmc(np.ones((4, 2)), 5)
 
 
+def _module_level_lnprob(theta, scale, offset=0.0):
+    return float(-0.5 * np.sum((theta - offset) ** 2) / scale ** 2)
+
+
 class TestStateRoundTrip:
     def test_burn_in_idiom(self):
         """run_mcmc's return value is a State that can be passed straight back
@@ -361,3 +365,100 @@ class TestPool:
         assert s.backend_kind == "numpy"
         s.run_mcmc(np.zeros((8, 2)), 5)
         assert calls["n"] > 0
+
+
+class TestReviewRegressions:
+    """Fixes from the round-3 code review of the backends feature."""
+
+    def test_fn_picklable_with_args(self):
+        """pool= pickles the callable; the args/kwargs closure must survive."""
+        import pickle
+
+        s = EnsembleSampler(8, 2, _module_level_lnprob, args=(2.5,),
+                            kwargs={"offset": 1.0})
+        rt = pickle.loads(pickle.dumps(s._fn))
+        np.testing.assert_allclose(rt(np.ones(2)),
+                                   _module_level_lnprob(np.ones(2), 2.5,
+                                                        offset=1.0))
+
+    def test_thin_matches_emcee_semantics(self):
+        """get_chain(thin=) keeps the LAST step of each window like emcee."""
+        s = EnsembleSampler(16, 2, _jax_lnprob, seed=21)
+        p0 = np.random.default_rng(9).normal(size=(16, 2))
+        s.run_mcmc(p0, 24)
+        full = s.get_chain()
+        np.testing.assert_array_equal(s.get_chain(discard=5, thin=3),
+                                      full[5 + 3 - 1::3])
+
+    def test_thin_by_validation(self):
+        s = EnsembleSampler(8, 2, _jax_lnprob, seed=22)
+        with pytest.raises(ValueError, match="thin_by"):
+            s.run_mcmc(np.zeros((8, 2)), 5, thin_by=0)
+        with pytest.raises(ValueError, match="nsteps"):
+            s.run_mcmc(np.zeros((8, 2)), -1)
+
+    def test_emcee_written_file_with_pregrown_datasets(self, tmp_path):
+        """Real emcee pre-grows the HDF5 datasets and advances an iteration
+        attr; rows beyond it are zeros and must never be read or resumed."""
+        import h5py
+        from mcmc_dynamics_tpu.emcee_compat import backends
+
+        fn = str(tmp_path / "emcee.h5")
+        rng = np.random.default_rng(0)
+        real, nw, nd = 12, 8, 2
+        with h5py.File(fn, "w") as f:
+            g = f.create_group("mcmc")
+            g.attrs["version"] = 3
+            g.attrs["iteration"] = real
+            g.attrs["has_blobs"] = False
+            chain = np.zeros((20, nw, nd))           # pre-grown to 20
+            chain[:real] = rng.normal(size=(real, nw, nd))
+            lnp = np.zeros((20, nw))
+            lnp[:real] = -0.5 * (chain[:real] ** 2).sum(-1)
+            g.create_dataset("chain", data=chain, maxshape=(None, nw, nd))
+            g.create_dataset("log_prob", data=lnp, maxshape=(None, nw))
+            g.create_dataset("accepted", data=rng.integers(0, real, nw)
+                             .astype(float))
+            # note: no nwalkers/ndim/proposals attrs, no last_coords
+
+        be = backends.HDFBackend(fn)
+        got = be.get_chain()
+        assert got.shape == (real, nw, nd)           # zeros rows excluded
+        np.testing.assert_array_equal(got, chain[:real])
+        assert be.proposals == real                  # falls back to iteration
+        # resume comes from the last REAL step, not a zero row
+        payload = be.load_state()
+        np.testing.assert_array_equal(payload["coords"], chain[real - 1])
+
+        s = EnsembleSampler(nw, nd, _jax_lnprob, seed=7, backend=be)
+        assert s.acceptance_fraction.max() <= 1.0
+        s.run_mcmc(None, 5)
+        assert be.get_chain().shape == (real + 5, nw, nd)
+
+    def test_restore_does_not_alias_backend_state(self):
+        """The numpy path mutates lnp in place; restoring must copy so the
+        backend's saved payload stays consistent until the next append."""
+        s = EnsembleSampler(8, 2, _scipy_lnprob, seed=30)
+        s.run_mcmc(np.zeros((8, 2)), 4)
+        saved = np.array(s.backend.load_state()["log_prob"])
+        s2 = EnsembleSampler(8, 2, _scipy_lnprob, seed=31,
+                             backend=s.backend)
+        assert s2._restore_from_backend()
+        s2._state[1][:] = np.nan                     # simulate in-place churn
+        np.testing.assert_array_equal(s.backend.load_state()["log_prob"],
+                                      saved)
+
+    def test_path_switch_clears_stale_rng_state(self, tmp_path):
+        """numpy-path rng_state must not survive a jax-path append."""
+        from mcmc_dynamics_tpu.emcee_compat import backends
+
+        fn = str(tmp_path / "switch.h5")
+        be = backends.HDFBackend(fn)
+        s = EnsembleSampler(8, 2, _scipy_lnprob, seed=40, backend=be)
+        s.run_mcmc(np.zeros((8, 2)), 3)
+        assert be.load_state()["rng_state"] is not None
+        s2 = EnsembleSampler(8, 2, _jax_lnprob, seed=41,
+                             backend=backends.HDFBackend(fn))
+        s2.run_mcmc(None, 3)
+        payload = backends.HDFBackend(fn).load_state()
+        assert payload["rng_state"] is None and payload["key_data"] is not None
