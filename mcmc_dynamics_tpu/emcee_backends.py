@@ -265,31 +265,47 @@ class HDFBackend(Backend):
                 g["chain"][n0:] = block
                 g["log_prob"].resize(n0 + lnp.shape[0], axis=0)
                 g["log_prob"][n0:] = lnp
-                g.attrs["iteration"] = n0 + block.shape[0]
+                # attrs.modify updates in place; plain assignment is a
+                # delete+add in the object header, which leaks a 4 kB header
+                # continuation block per open/append/close cycle
+                g.attrs.modify("iteration", n0 + block.shape[0])
             g["accepted"][:] = (np.asarray(g["accepted"])
                                 + np.asarray(accepted_delta))
-            g.attrs["proposals"] = int(g.attrs.get("proposals", 0)) \
-                + int(proposals_delta)
-            # clear BOTH kinds of saved PRNG state before writing the current
-            # one, so a jax-path resume never replays a stale numpy stream
-            # (or vice versa) after the execution path switched between runs
-            for key in ("last_coords", "last_log_prob", "key_data"):
-                if key in g:
-                    del g[key]
-            for attr in ("key_impl", "rng_state"):
-                if attr in g.attrs:
-                    del g.attrs[attr]
-            g.create_dataset("last_coords",
-                             data=np.asarray(state["coords"], dtype="f8"))
-            g.create_dataset("last_log_prob",
-                             data=np.asarray(state["log_prob"], dtype="f8"))
+            g.attrs.modify("proposals", int(g.attrs.get("proposals", 0))
+                           + int(proposals_delta))
+            # overwrite the state datasets IN PLACE: HDF5 never reclaims the
+            # storage of a deleted dataset, so a del/create per append leaks
+            # ~(W*K + W) * 8 bytes of dead file space on every step of an
+            # emcee-style sample() monitoring loop.  Datasets are (re)created
+            # only when absent or when their shape changed (never, in
+            # practice, after a reset).
+            def _put(key, data):
+                if key in g and g[key].shape == data.shape \
+                        and g[key].dtype == data.dtype:
+                    g[key][...] = data
+                else:
+                    if key in g:
+                        del g[key]
+                    g.create_dataset(key, data=data)
+
+            _put("last_coords", np.asarray(state["coords"], dtype="f8"))
+            _put("last_log_prob", np.asarray(state["log_prob"], dtype="f8"))
+            # PRNG state: write the current kind and clear the OTHER kind, so
+            # a jax-path resume never replays a stale numpy stream (or vice
+            # versa) after the execution path switched between runs
             if state.get("key_data") is not None:
-                g.create_dataset(
-                    "key_data",
-                    data=np.asarray(state["key_data"], dtype=np.uint32))
-                g.attrs["key_impl"] = str(state["key_impl"])
+                _put("key_data",
+                     np.asarray(state["key_data"], dtype=np.uint32))
+                g.attrs.modify("key_impl", str(state["key_impl"]))
+            else:
+                if "key_data" in g:
+                    del g["key_data"]
+                if "key_impl" in g.attrs:
+                    del g.attrs["key_impl"]
             if state.get("rng_state") is not None:
-                g.attrs["rng_state"] = json.dumps(state["rng_state"])
+                g.attrs.modify("rng_state", json.dumps(state["rng_state"]))
+            elif "rng_state" in g.attrs:
+                del g.attrs["rng_state"]
 
     def load_state(self):
         if not self.initialized:

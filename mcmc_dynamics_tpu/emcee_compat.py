@@ -361,8 +361,15 @@ class EnsembleSampler:
 
     @property
     def iteration(self) -> int:
-        """Total proposal steps made (``backend.iteration`` counts *stored*
-        steps, emcee's meaning; the two differ only under ``thin_by``)."""
+        """Stored steps so far — emcee's meaning, so ``tau * tol <
+        sampler.iteration`` convergence loops keep their semantics under
+        ``thin_by`` (tau is measured on the stored, already-thinned chain)."""
+        return self.backend.iteration
+
+    @property
+    def proposals(self) -> int:
+        """Total proposal steps made (= ``iteration * thin_by``); this is the
+        denominator of :attr:`acceptance_fraction`."""
         return self.backend.proposals
 
     # ------------------------------------------------------------------ internals

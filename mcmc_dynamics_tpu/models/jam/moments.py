@@ -281,8 +281,14 @@ def _jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     g_f = jnp.broadcast_to(g_star[:, None], R2.shape).reshape(P)   # (P,)
     E_t = jnp.exp(-(bk_f[:, None] * R2f[None, :] + bkt_f[:, None] * z2f[None, :]))
     S_rows = coef_rows @ E_t                                       # (2L+1, P)
-    E_j = jnp.exp(g_f[None, :] - (alpha[:, None] * R2f[None, :]
-                                  + alpha_t[:, None] * z2f[None, :]))
+    # g <= e_j holds only for components that were allowed to set the scale;
+    # a masked zero-intensity component (excluded from g_star above) can have
+    # g - e_j >> 0, overflowing to inf and poisoning its nu0 = 0 row with
+    # 0 * inf = NaN.  Clamping at 0 is exact for live components (their
+    # dominant node sits at exactly 0) and caps dead rows at 1.
+    E_j = jnp.exp(jnp.minimum(
+        g_f[None, :] - (alpha[:, None] * R2f[None, :]
+                        + alpha_t[:, None] * z2f[None, :]), 0.0))
     S_sz = S_rows[:n_lum]       # (L, P)
     S_sz_a = S_rows[n_lum:2 * n_lum]
     S_fr = S_rows[2 * n_lum]    # (P,)
@@ -359,6 +365,9 @@ def _jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
     # normalisation under the SAME per-star scaling as the numerators: the
     # dominant term is exp(0) = 1, so surf_scaled in [lum_i_min, sum lum_i]
     # at every radius and the exp(g_star) factors cancel exactly in the ratio
-    surf = jnp.sum(lum_i[:, None] * jnp.exp(g_star[None, :] - e_proj), axis=0)
+    # clamped at 0 for the same reason as E_j: a masked zero-intensity
+    # component may sit below g_star, and 0 * inf would poison the sum
+    surf = jnp.sum(lum_i[:, None]
+                   * jnp.exp(jnp.minimum(g_star[None, :] - e_proj, 0.0)), axis=0)
     surf = jnp.maximum(surf, jnp.finfo(dtype).tiny)
     return JamMoments(vz=num1 / surf, v2zz=num2 / surf, valid=valid)

@@ -24,6 +24,7 @@ library code can call these helpers unconditionally.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from typing import Optional, Sequence
@@ -151,10 +152,21 @@ def fetch(value) -> np.ndarray:
             # global arrays): rebuild a trivial mesh over the array's devices
             devs = sorted(value.sharding.device_set, key=lambda d: d.id)
             mesh = Mesh(np.asarray(devs), ("_fetch",))
-        replicated = jax.jit(
-            lambda x: x, out_shardings=NamedSharding(mesh, P()))(value)
+        replicated = _replicating_gather(mesh)(value)
         return np.asarray(replicated.addressable_data(0))
     return np.asarray(value)
+
+
+@functools.lru_cache(maxsize=None)
+def _replicating_gather(mesh: Mesh):
+    """One jitted identity-gather per mesh, reused across fetch() calls.
+
+    A fresh ``jax.jit(lambda x: x, ...)`` per call would defeat the pjit
+    cache (new function identity every time) and re-trace/re-compile the
+    all-gather for every array fetched — several times per chunk in the
+    sharded sampling loop.  Cached here, only the first fetch per
+    (mesh, shape/dtype) compiles."""
+    return jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
 
 
 def barrier(name: str = "mcmc_dynamics_tpu") -> None:

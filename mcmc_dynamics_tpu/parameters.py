@@ -555,6 +555,13 @@ class CompiledParameters:
         # params['x'].set(...) must not change what this frozen closure
         # samples while lnprior still enforces the compile-time bounds
         self._initials_meta = [(n, self._params[n]) for n in self.free_names]
+        # initials expressions validate HERE, like lnprior/expr above, so a
+        # typo or injection attempt fails when the config is compiled — not on
+        # the first sample_initials() call deep inside a run script
+        initials_allowed = set(self.names) | {"n"}
+        self._initials_fns = {
+            n: compile_host(p.initials, self._rng, allowed=initials_allowed)
+            for n, p in self._initials_meta if p.initials is not None}
 
     # ------------------------------------------------------------------ pure closures
     def expand(self, theta) -> Dict[str, object]:
@@ -596,8 +603,7 @@ class CompiledParameters:
         out = np.zeros((n_walkers, self.n_free), dtype=np.float64)
         for i, (name, p) in enumerate(self._initials_meta):
             if p.initials is not None:
-                fn = compile_host(p.initials, self._rng,
-                                  allowed=set(self.names) | {"n"})
+                fn = self._initials_fns[name]
                 extra = {n2: p2.value for n2, p2 in self._params.items()}
                 extra["n"] = n_walkers
                 draw = np.asarray(fn(**extra), dtype=np.float64)

@@ -80,7 +80,8 @@ class TestJaxBackend:
         s = EnsembleSampler(16, 2, _jax_lnprob, seed=5)
         s.run_mcmc(np.random.default_rng(2).normal(size=(16, 2)), 50, thin_by=4)
         assert s.get_chain().shape == (50, 16, 2)
-        assert s.iteration == 200   # 50 recorded x 4 actual
+        assert s.iteration == 50    # stored steps (emcee meaning)
+        assert s.proposals == 200   # 50 recorded x 4 actual
 
     def test_de_moves(self):
         s = EnsembleSampler(32, 2, _jax_lnprob, moves="de", seed=7)
@@ -250,8 +251,9 @@ class TestSampleGenerator:
         for _ in s.sample(p0, iterations=4, thin_by=3):
             pass
         assert s.get_chain().shape == (4, 16, 2)
-        assert s.iteration == 12                     # proposals
-        assert s.backend.iteration == 4              # stored (emcee meaning)
+        assert s.iteration == 4                      # stored (emcee meaning)
+        assert s.proposals == 12                     # thin_by x stored
+        assert s.backend.iteration == 4
         s2 = EnsembleSampler(16, 2, _jax_lnprob, seed=12)
         for _ in s2.sample(p0, iterations=3, store=False):
             pass
@@ -290,6 +292,30 @@ class TestHDFBackend:
         np.testing.assert_array_equal(full, s.get_chain())
         np.testing.assert_array_equal(np.asarray(ref.backend.accepted),
                                       np.asarray(be.accepted))
+
+    def test_no_file_bloat_on_step_by_step_appends(self, tmp_path):
+        """Per-step sample() appends must overwrite the saved state in place:
+        HDF5 never reclaims deleted-dataset storage, so a del/create per
+        append used to leak (W*K + W + key) * 8 bytes per step."""
+        import os
+        from mcmc_dynamics_tpu.emcee_compat import backends
+
+        fn = str(tmp_path / "bloat.h5")
+        s = EnsembleSampler(16, 2, _jax_lnprob, seed=4,
+                            backend=backends.HDFBackend(fn))
+        p0 = np.random.default_rng(7).normal(size=(16, 2))
+        it = s.sample(p0, iterations=10)
+        for _ in range(5):
+            next(it)
+        base = os.path.getsize(fn)
+        for _ in range(5):
+            next(it)
+        grown = os.path.getsize(fn) - base
+        # 5 more stored steps of (16, 2) chain + (16,) lnP = 1920 data bytes;
+        # allow generous HDF5 chunking overhead, but far below the ~5 x state
+        # re-creations (~2 kB apiece) the leak produced
+        per_step_data = 16 * (2 + 1) * 8
+        assert grown <= 5 * per_step_data + 4096, grown
 
     def test_numpy_path_resume(self, tmp_path):
         from mcmc_dynamics_tpu.emcee_compat import backends

@@ -185,3 +185,33 @@ class TestDensityMixtureFloat32Corner:
         v2_32 = np.asarray(r32.v2zz)
         assert np.all(np.isfinite(v2_32)) and np.all(v2_32 > 0.0)
         np.testing.assert_allclose(v2_32, np.asarray(r64.v2zz), rtol=5e-3)
+
+    def test_jam_f32_zero_intensity_wide_component_no_nan(self):
+        """The mirror case: a zero-weight WIDE component lies BELOW the
+        per-star scale set by the live narrow tracer, so its scaled
+        exponential exp(g - e_j) overflows to inf and 0 * inf = NaN unless
+        the exponent is clamped at 0.  Both moments must stay finite and
+        match the model with the dead component removed entirely."""
+        from mcmc_dynamics_tpu.models.jam.moments import jam_los_moments
+
+        kwargs = dict(d=5.0, beta=0.1, kappa=0.5, mscale=2.0,
+                      incl=math.radians(70.0), mbh=0.0, rbh=1.0)
+        # star at 30 sigma of the live (narrow) tracer -> g_star ~ 450,
+        # the dead wide component's exponent ~ 28 -> exp(422) = inf in f32
+        x = np.array([250.0, 300.0], np.float32)
+        y = np.array([40.0, -60.0], np.float32)
+        with_dead = dict(lum_i=np.array([5000.0, 0.0], np.float32),
+                         lum_s=np.array([10.0, 40.0], np.float32),
+                         lum_q=np.array([0.9, 0.85], np.float32),
+                         mass_i=np.array([9000.0, 0.0], np.float32),
+                         mass_s=np.array([10.0, 40.0], np.float32),
+                         mass_q=np.array([0.9, 0.85], np.float32))
+        without = {k: v[:1] for k, v in with_dead.items()}
+
+        r_dead = jam_los_moments(x, y, **with_dead, **kwargs)
+        r_ref = jam_los_moments(x, y, **without, **kwargs)
+        for field in ("vz", "v2zz"):
+            got = np.asarray(getattr(r_dead, field))
+            want = np.asarray(getattr(r_ref, field))
+            assert np.all(np.isfinite(got)), f"{field} not finite: {got}"
+            np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-6)

@@ -103,6 +103,21 @@ class TestExpressions:
         with pytest.raises(ExpressionError, match="valx"):
             CompiledParameters(params)
 
+    def test_compiled_parameters_reject_evil_initials_at_build_time(self):
+        # initials must validate when the config compiles, not on the first
+        # sample_initials() call deep inside a run script
+        from mcmc_dynamics_tpu.parameters import CompiledParameters
+        params = Parameters(rng_seed=1)
+        params.add("v_sys", value=0.0, unit="km/s",
+                   initials="__import__('os').system('true')")
+        with pytest.raises(ExpressionError, match="__import__"):
+            CompiledParameters(params)
+        params2 = Parameters(rng_seed=1)
+        params2.add("v_sys", value=0.0, unit="km/s",
+                    initials="rng.normal(0, sigma_mxa, size=n)")
+        with pytest.raises(ExpressionError, match="sigma_mxa"):
+            CompiledParameters(params2)
+
     def test_jax_norm_logpdf(self):
         fn = compile_jax("norm.logpdf(val, loc=2.0, scale=3.0)")
         got = fn({"val": jnp.asarray(2.5)})
