@@ -754,12 +754,8 @@ class Runner:
 
         # fetch() is collective on process-spanning arrays: every process must
         # reach it; only the primary then touches the filesystem
-        key = state.key
-        if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
-            key_data = fetch(jax.random.key_data(key))
-            key_impl = str(jax.random.key_impl(key))
-        else:
-            key_data, key_impl = fetch(key), "legacy"
+        from ..sampler.stretch import key_to_arrays
+        key_data, key_impl = key_to_arrays(state.key, to_host=fetch)
         arrays = dict(chain=fetch(chain), lnprob=fetch(lnprob),
                       key=key_data, key_impl=np.asarray(key_impl),
                       coords=fetch(state.coords),

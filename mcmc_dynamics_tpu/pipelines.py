@@ -263,9 +263,12 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
             arr_lnb, _ = DataReader(work).padded_bins(["_lnb"],
                                                       bins_subset=bucket)
             arrays["lnlike_background"] = arr_lnb["_lnb"]
-        stacked = {name: jnp.asarray(arr, dtype=dtype)
+        # stays host numpy until the mesh branch below decides placement, so
+        # sharded runs do a single host->device transfer instead of
+        # host->device->host->device
+        stacked = {name: np.asarray(arr, dtype=dtype)
                    for name, arr in arrays.items()}
-        stacked["mask"] = jnp.asarray(mask_b, dtype=dtype)
+        stacked["mask"] = np.asarray(mask_b, dtype=dtype)
 
         nb = len(bucket)
         coords = coords_all[bucket]
@@ -285,8 +288,8 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
             n_pad = (-nb) % n_dev
             if n_pad:
                 # replicate the first bin into padded slots; results sliced off
-                stacked = {k: jnp.concatenate(
-                    [v, jnp.broadcast_to(v[:1], (n_pad,) + v.shape[1:])],
+                stacked = {k: np.concatenate(
+                    [v, np.broadcast_to(v[:1], (n_pad,) + v.shape[1:])],
                     axis=0) for k, v in stacked.items()}
                 coords = np.concatenate(
                     [coords, np.broadcast_to(coords[:1],
@@ -303,7 +306,7 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
                 # multi-host: all inputs become global arrays (bins sharded
                 # over the processes' devices, walker initials and keys
                 # replicated alongside their bins)
-                stacked = {k: to_global(mesh, P(bin_axis), fetch(v))
+                stacked = {k: to_global(mesh, P(bin_axis), v)
                            for k, v in stacked.items()}
                 coords = to_global(mesh, P(bin_axis),
                                    np.asarray(coords, dtype=dtype))

@@ -62,13 +62,20 @@ def make_key(seed: int, impl: Optional[str] = None) -> jax.Array:
     return jax.random.key(seed, impl=impl)
 
 
-def key_to_arrays(key):
-    """(data, impl-name) pair for checkpointing; accepts typed and legacy keys."""
+def key_to_arrays(key, to_host=None):
+    """(data, impl-name) pair for checkpointing; accepts typed and legacy keys.
+
+    ``to_host`` converts the raw key data to numpy; defaults to ``np.asarray``
+    (single-process). Multi-host checkpointing passes ``distributed.fetch``
+    so keys living on process-spanning meshes are gathered collectively.
+    """
     import numpy as np
+    to_host = np.asarray if to_host is None else to_host
+    key = jnp.asarray(key)
     if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
         impl = str(jax.random.key_impl(key))
-        return np.asarray(jax.random.key_data(key)), impl
-    return np.asarray(key), "legacy"
+        return to_host(jax.random.key_data(key)), impl
+    return to_host(key), "legacy"
 
 
 def key_from_arrays(data, impl: str):
