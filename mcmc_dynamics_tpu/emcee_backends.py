@@ -50,8 +50,9 @@ class Backend:
     def __init__(self):
         self.nwalkers = None
         self.ndim = None
-        self._chain_parts = []      # list of (W, S, K) blocks
-        self._lnp_parts = []        # list of (W, S) blocks
+        self._chain = None          # (W, capacity, K) buffer, first _len used
+        self._lnp = None            # (W, capacity)
+        self._len = 0               # stored steps
         self._accepted = None       # (W,) float
         self._proposals = 0
         self._state = None          # payload dict (see append())
@@ -65,8 +66,9 @@ class Backend:
         """Clear all stored samples and counters and fix the shape."""
         self.nwalkers = int(nwalkers)
         self.ndim = int(ndim)
-        self._chain_parts = []
-        self._lnp_parts = []
+        self._chain = None
+        self._lnp = None
+        self._len = 0
         self._accepted = np.zeros(self.nwalkers)
         self._proposals = 0
         self._state = None
@@ -75,7 +77,7 @@ class Backend:
     @property
     def iteration(self) -> int:
         """Number of *stored* steps (emcee's meaning)."""
-        return sum(p.shape[1] for p in self._chain_parts)
+        return self._len
 
     @property
     def proposals(self) -> int:
@@ -100,11 +102,35 @@ class Backend:
         ``rng_state`` (NumPy path) for exact resume.
         """
         if chain_block is not None:
-            self._chain_parts.append(np.asarray(chain_block))
-            self._lnp_parts.append(np.asarray(lnp_block))
+            block = np.asarray(chain_block)
+            lnpb = np.asarray(lnp_block)
+            n = block.shape[1]
+            self._ensure_capacity(self._len + n, block.dtype, lnpb.dtype)
+            self._chain[:, self._len:self._len + n] = block
+            self._lnp[:, self._len:self._len + n] = lnpb
+            self._len += n
         self._accepted = self._accepted + np.asarray(accepted_delta)
         self._proposals += int(proposals_delta)
         self._state = dict(state)
+
+    def _ensure_capacity(self, need: int, chain_dtype, lnp_dtype):
+        """Geometric buffer growth: appends stay amortised O(1) per stored
+        step even in emcee's one-step-per-iteration ``sample()`` monitoring
+        loops (a block list re-concatenated per read would be quadratic)."""
+        cap = 0 if self._chain is None else self._chain.shape[1]
+        if need <= cap:
+            return
+        new_cap = max(need, 2 * cap, 64)
+        chain = np.empty((self.nwalkers, new_cap, self.ndim),
+                         dtype=chain_dtype if self._chain is None
+                         else self._chain.dtype)
+        lnp = np.empty((self.nwalkers, new_cap),
+                       dtype=lnp_dtype if self._lnp is None
+                       else self._lnp.dtype)
+        if self._len:
+            chain[:, :self._len] = self._chain[:, :self._len]
+            lnp[:, :self._len] = self._lnp[:, :self._len]
+        self._chain, self._lnp = chain, lnp
 
     def load_state(self):
         """The resume payload from the most recent :meth:`append`, or None."""
@@ -112,15 +138,15 @@ class Backend:
 
     # ------------------------------------------------------------- reading
     def _full_chain(self) -> np.ndarray:
-        """(W, S_total, K) concatenation of all stored blocks."""
-        if not self._chain_parts:
+        """(W, S_total, K) view of the stored chain."""
+        if not self._len:
             raise AttributeError("No chain stored yet: call run_mcmc first.")
-        return np.concatenate(self._chain_parts, axis=1)
+        return self._chain[:, :self._len]
 
     def _full_lnp(self) -> np.ndarray:
-        if not self._lnp_parts:
+        if not self._len:
             raise AttributeError("No chain stored yet: call run_mcmc first.")
-        return np.concatenate(self._lnp_parts, axis=1)
+        return self._lnp[:, :self._len]
 
     def get_chain(self, flat: bool = False, thin: int = 1, discard: int = 0):
         """(steps, walkers, ndim) — emcee v3 layout and thinning semantics

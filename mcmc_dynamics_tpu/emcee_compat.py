@@ -61,10 +61,17 @@ class State(NamedTuple):
     :meth:`EnsembleSampler.get_last_sample`; can be passed back as
     ``initial_state`` (the standard emcee burn-in idiom).  As a NamedTuple it
     still unpacks as the ``(coords, log_prob)`` pair older code expects.
+    ``random_state`` and ``blobs`` exist so ported emcee code that reads them
+    stays alive; they are always ``None`` here (the PRNG lives in the sampler
+    and blobs are unsupported).
     """
 
     coords: np.ndarray
     log_prob: np.ndarray
+    # class attributes, NOT tuple fields: len(state) stays 2 so the
+    # ``coords, log_prob = state`` idiom keeps working
+    random_state = None
+    blobs = None
 
 
 class _FunctionWrapper:
@@ -93,22 +100,42 @@ _EMCEE_MOVE_NAMES = {
     "DEMove": "de",
     "DESnookerMove": "snooker",
 }
+# emcee instance attribute -> this package's hyperparameter name, per move.
+# emcee's DEMove calls the per-proposal jitter scale ``sigma`` and stores
+# gamma0 as ``g0``; missing attributes are simply not forwarded.
+_EMCEE_MOVE_ATTRS = {
+    "stretch": (("a", "a"),),
+    "de": (("sigma", "jitter"), ("g0", "gamma0")),
+    "snooker": (("gammas", "gammas"),),
+}
 
 
 def _normalize_moves(moves):
     """emcee ``moves=`` (None, move instance, or [(move, weight), ...]) or this
-    package's specs -> the sampler-core move argument."""
+    package's specs -> the sampler-core move argument.
+
+    emcee move *instances* keep their tuned hyperparameters: the attributes in
+    ``_EMCEE_MOVE_ATTRS`` are read off the instance and forwarded as the
+    params leg of the core (name, weight, params) spec.
+    """
     if moves is None:
         return "stretch"
     if isinstance(moves, str):
         return moves
 
     def one(m):
+        """-> (name, params-dict) for a single move spec or emcee instance."""
         if isinstance(m, str):
-            return m
+            return m, {}
         name = type(m).__name__
         if name in _EMCEE_MOVE_NAMES:
-            return _EMCEE_MOVE_NAMES[name]
+            ours = _EMCEE_MOVE_NAMES[name]
+            params = {}
+            for attr, param in _EMCEE_MOVE_ATTRS[ours]:
+                value = getattr(m, attr, None)
+                if value is not None:
+                    params[param] = float(value)
+            return ours, params
         raise ValueError(
             f"Unsupported move {m!r}: use 'stretch'/'de'/'snooker', weighted "
             "pairs of those, or emcee StretchMove/DEMove/DESnookerMove "
@@ -119,11 +146,14 @@ def _normalize_moves(moves):
         for entry in moves:
             if isinstance(entry, (tuple, list)) and len(entry) == 2 \
                     and isinstance(entry[1], (int, float)):
-                out.append((one(entry[0]), float(entry[1])))
+                name, params = one(entry[0])
+                out.append((name, float(entry[1]), params))
             else:
-                out.append((one(entry), 1.0))
+                name, params = one(entry)
+                out.append((name, 1.0, params))
         return out
-    return one(moves)
+    name, params = one(moves)
+    return [(name, 1.0, params)]
 
 
 class EnsembleSampler:
@@ -420,22 +450,38 @@ class EnsembleSampler:
         if bad.all():
             raise ValueError("All walkers start at log_prob = -inf/nan.")
 
+    def _stretch_spec(self):
+        """(a_values, weights) when every move in the spec is a stretch move
+        (the only kind the host-side fallback implements), else None."""
+        from .sampler.stretch import normalize_move
+        moves = normalize_move(self._moves)
+        if any(name != "stretch" for name, _w, _p in moves):
+            return None
+        return (np.array([dict(p).get("a", self.a) for _n, _w, p in moves]),
+                np.array([w for _n, w, _p in moves]))
+
     def _numpy_step(self, pos, lnp):
         """One full step (both half-ensembles) of the host-side sampler.
 
         Stretch moves only on this path (the fallback exists for non-traceable
         log-probs; DE/snooker need the JAX path)."""
-        if self._moves != "stretch":
+        spec = self._stretch_spec()
+        if spec is None:
             raise NotImplementedError(
-                "The numpy fallback supports moves='stretch' only; make the "
+                "The numpy fallback supports stretch moves only; make the "
                 "log-probability JAX-traceable to use DE/snooker moves.")
+        a_values, weights = spec
         w = self.nwalkers
         half = w // 2
         acc_total = np.zeros(w)
         idx_a = np.arange(half)
         idx_b = np.arange(half, w)
         for active_idx, other_idx in ((idx_a, idx_b), (idx_b, idx_a)):
-            z = ((self.a - 1.0) * self._rng.random(half) + 1.0) ** 2 / self.a
+            if len(a_values) == 1:
+                a = a_values[0]
+            else:   # per-walker draw over a stretch-only mixture
+                a = a_values[self._rng.choice(len(a_values), half, p=weights)]
+            z = ((a - 1.0) * self._rng.random(half) + 1.0) ** 2 / a
             partners = other_idx[self._rng.integers(0, half, half)]
             prop = pos[partners] + z[:, None] * (pos[active_idx] - pos[partners])
             lnp_prop = self._lnprob_batched_np(prop)

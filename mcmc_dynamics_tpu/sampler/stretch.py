@@ -193,48 +193,84 @@ def propose_snooker(active_coords, pool, key, gammas: float = 1.7):
 
 
 _MOVE_NAMES = ("stretch", "de", "snooker")
+# tunable hyperparameters per move; anything else in a spec is a typo
+_MOVE_PARAMS = {
+    "stretch": ("a",),
+    "de": ("gamma0", "jitter", "jump_prob"),
+    "snooker": ("gammas",),
+}
+
+
+def _normalize_params(name: str, params) -> tuple:
+    """Hyperparameter mapping -> sorted, hashable ((key, value), ...) tuple."""
+    if not params:
+        return ()
+    items = dict(params).items()
+    allowed = _MOVE_PARAMS[name]
+    for k, _ in items:
+        if k not in allowed:
+            raise ValueError(
+                f"Unknown hyperparameter {k!r} for move '{name}' "
+                f"(tunable: {allowed}).")
+    return tuple(sorted((str(k), None if v is None else float(v))
+                        for k, v in items))
 
 
 def normalize_move(move):
     """Canonicalise a move spec into a hashable, normalised tuple of
-    (name, weight) pairs — the static-argument form consumed by the jitted
-    samplers.
+    (name, weight, params) triples — the static-argument form consumed by
+    the jitted samplers.
 
-    Accepts a single name (``"de"``) or a weighted mixture in the emcee v3
-    ``moves=[(DEMove(), 0.8), (DESnookerMove(), 0.2)]`` style:
-    ``(("de", 0.8), ("snooker", 0.2))``.  Weights are normalised to sum to 1.
+    Accepts a single name (``"de"``), a weighted mixture in the emcee v3
+    ``moves=[(DEMove(), 0.8), (DESnookerMove(), 0.2)]`` style
+    (``(("de", 0.8), ("snooker", 0.2))``), or entries with an explicit
+    hyperparameter mapping (``("de", 1.0, {"gamma0": 0.8})``).  ``params``
+    is a sorted ``((key, value), ...)`` tuple so the whole spec stays a
+    valid jit static argument.  Weights are normalised to sum to 1.
     """
     if isinstance(move, str):
-        pairs = ((move, 1.0),)
+        entries = ((move, 1.0, ()),)
     else:
+        entries = []
         try:
-            pairs = tuple((str(m), float(w)) for m, w in move)
+            for entry in move:
+                if isinstance(entry, str):
+                    entries.append((entry, 1.0, ()))
+                else:
+                    m, w, *rest = entry
+                    params = rest[0] if rest else ()
+                    entries.append((str(m), float(w), params))
+            entries = tuple(entries)
         except (TypeError, ValueError) as err:
             raise ValueError(
-                f"move must be a name or a sequence of (name, weight) pairs; "
-                f"got {move!r}") from err
-    for name, w in pairs:
+                f"move must be a name or a sequence of (name, weight[, "
+                f"params]) entries; got {move!r}") from err
+    out = []
+    for name, w, params in entries:
         if name not in _MOVE_NAMES:
             raise ValueError(f"Unknown move '{name}' (use one of {_MOVE_NAMES}).")
         if not w > 0:
             raise ValueError(
                 f"Move weights must be positive (got {name!r}: {w}).")
-    if not pairs:
+        out.append((name, w, _normalize_params(name, params)))
+    if not out:
         raise ValueError("Move weights must be positive.")
-    total = sum(w for _, w in pairs)
-    return tuple((n, w / total) for n, w in pairs)
+    total = sum(w for _, w, _p in out)
+    return tuple((n, w / total, p) for n, w, p in out)
 
 
-def _propose_one(name: str, active_coords, pool, key, a: float):
+def _propose_one(name: str, params, active_coords, pool, key, a: float):
+    kw = dict(params)
     if name == "stretch":
-        return propose_stretch(active_coords, pool, key, a)
+        return propose_stretch(active_coords, pool, key, kw.get("a", a))
     if name == "de":
-        return propose_de(active_coords, pool, key)
-    return propose_snooker(active_coords, pool, key)
+        return propose_de(active_coords, pool, key, **kw)
+    return propose_snooker(active_coords, pool, key, **kw)
 
 
 def propose_mixture(moves, active_coords, pool, key, a: float = 2.0):
-    """Proposals under a weighted move mixture (normalised (name, weight) tuple).
+    """Proposals under a weighted move mixture (normalised (name, weight,
+    params) tuple from :func:`normalize_move`).
 
     Each walker independently picks a move with the given probabilities —
     state-independent mixing of valid Metropolis kernels, so detailed balance
@@ -244,16 +280,17 @@ def propose_mixture(moves, active_coords, pool, key, a: float = 2.0):
     shard_map samplers.
     """
     if len(moves) == 1:
-        return _propose_one(moves[0][0], active_coords, pool, key, a)
+        name, _w, params = moves[0]
+        return _propose_one(name, params, active_coords, pool, key, a)
     keys = jax.random.split(key, len(moves) + 1)
     u = jax.random.uniform(keys[0], (active_coords.shape[0],),
                            dtype=active_coords.dtype)
-    parts = [_propose_one(name, active_coords, pool, k, a)
-             for (name, _w), k in zip(moves, keys[1:])]
+    parts = [_propose_one(name, params, active_coords, pool, k, a)
+             for (name, _w, params), k in zip(moves, keys[1:])]
     props = jnp.stack([p[0] for p in parts])       # (M, n, K)
     biases = jnp.stack([p[1] for p in parts])      # (M, n)
     lnus = jnp.stack([p[2] for p in parts])
-    edges = jnp.cumsum(jnp.asarray([w for _, w in moves[:-1]],
+    edges = jnp.cumsum(jnp.asarray([w for _, w, _p in moves[:-1]],
                                    active_coords.dtype))
     idx = jnp.sum(u[None, :] >= edges[:, None], axis=0)      # (n,) in [0, M-1]
     proposals = jnp.take_along_axis(props, idx[None, :, None], axis=0)[0]
@@ -322,7 +359,10 @@ class EnsembleResult(NamedTuple):
     acceptance_fraction: jnp.ndarray
 
 
-@partial(jax.jit, static_argnums=(0, 2, 4, 5, 6))
+# ``a`` is static: baked as a compile-time constant, exactly like the
+# shard_map samplers close over it — keeping the two proposal streams
+# bitwise-identical (a traced scalar folds differently at the ULP level)
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
 def _scan_chain(batched_lnprob, state: EnsembleState, n_steps: int, a: float,
                 thin: int, store_chain: bool, move: str):
     def body(carry, _):

@@ -85,7 +85,9 @@ def _tempered_half(batched_lnprob, moves, active, active_lnp, other, beta, key,
             jnp.where(accept, new_lnp, active_lnp), accept)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 5, 6, 7))
+# ``a`` static for the same reason as _scan_chain: compile-time constant,
+# bitwise-aligned with the shard_map ladder which closes over it
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
 def _scan_tempered(batched_lnprob, state: TemperedState, betas, n_steps: int,
                    a: float, swap_every: int, store_chain: bool, moves):
     n_temps, n_walkers, ndim = state.coords.shape

@@ -126,7 +126,7 @@ class TestMoveNormalization:
         assert _normalize_moves(None) == "stretch"
         assert _normalize_moves("snooker") == "snooker"
         assert _normalize_moves([("de", 0.8), ("stretch", 0.2)]) == \
-            [("de", 0.8), ("stretch", 0.2)]
+            [("de", 0.8, {}), ("stretch", 0.2, {})]
 
     def test_emcee_instances_by_class_name(self):
         class DEMove:      # stands in for emcee.moves.DEMove
@@ -136,8 +136,52 @@ class TestMoveNormalization:
             pass
 
         assert _normalize_moves([(DEMove(), 0.7), (StretchMove(), 0.3)]) == \
-            [("de", 0.7), ("stretch", 0.3)]
-        assert _normalize_moves([DEMove()]) == [("de", 1.0)]
+            [("de", 0.7, {}), ("stretch", 0.3, {})]
+        assert _normalize_moves([DEMove()]) == [("de", 1.0, {})]
+
+    def test_emcee_instance_hyperparameters_kept(self):
+        """Tuned hyperparameters on emcee move instances must survive
+        normalisation (they used to be silently dropped)."""
+        class StretchMove:
+            def __init__(self, a):
+                self.a = a
+
+        class DEMove:
+            def __init__(self, sigma, gamma0):
+                self.sigma = sigma
+                self.g0 = gamma0     # emcee's attribute name for gamma0
+
+        class DESnookerMove:
+            def __init__(self, gammas):
+                self.gammas = gammas
+
+        assert _normalize_moves(StretchMove(a=1.5)) == \
+            [("stretch", 1.0, {"a": 1.5})]
+        assert _normalize_moves([(DEMove(1e-4, 0.7), 0.8),
+                                 (DESnookerMove(2.1), 0.2)]) == \
+            [("de", 0.8, {"jitter": 1e-4, "gamma0": 0.7}),
+             ("snooker", 0.2, {"gammas": 2.1})]
+        # emcee's DEMove(gamma0=None) default -> our default, not forwarded
+        assert _normalize_moves([DEMove(1e-5, None)]) == \
+            [("de", 1.0, {"jitter": 1e-5})]
+
+    def test_stretch_instance_runs_on_numpy_fallback(self):
+        """moves=[StretchMove()] with a non-traceable log-prob is the exact
+        emcee idiom; it must run on the host fallback, honouring a."""
+        class StretchMove:
+            def __init__(self, a=2.0):
+                self.a = a
+
+        def np_lnprob(theta):      # scipy/np only -> numpy backend
+            from scipy import stats
+            return float(stats.norm.logpdf(theta).sum())
+
+        s = EnsembleSampler(16, 2, np_lnprob, moves=[StretchMove(a=1.5)],
+                            seed=3)
+        assert s.backend_kind == "numpy"
+        s.run_mcmc(np.random.default_rng(0).normal(size=(16, 2)), 20)
+        assert s.get_chain().shape == (20, 16, 2)
+        assert 0.0 < s.acceptance_fraction.mean() <= 1.0
 
     def test_unknown_move_rejected(self):
         with pytest.raises(ValueError, match="Unsupported move"):

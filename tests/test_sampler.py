@@ -361,18 +361,46 @@ class TestMoveMixtures:
         np.testing.assert_array_equal(np.asarray(r1.final.coords),
                                       np.asarray(r2.final.coords))
 
+    def test_move_hyperparameters_take_effect(self):
+        """Per-move params must reach the proposal kernels: a stretch a= in
+        the spec equals the a= kwarg bitwise, and a custom DE gamma0 changes
+        the stream."""
+        import jax
+        import jax.numpy as jnp
+
+        def lnprob(theta):
+            return -0.5 * jnp.sum(theta * theta)
+
+        pos = np.random.default_rng(2).normal(size=(16, 2))
+        s = init_state(lnprob, jnp.asarray(pos), jax.random.PRNGKey(5))
+        r_kw = run_ensemble(lnprob, s, n_steps=25, move="stretch", a=1.5)
+        r_sp = run_ensemble(lnprob, s, n_steps=25,
+                            move=(("stretch", 1.0, {"a": 1.5}),))
+        np.testing.assert_array_equal(np.asarray(r_kw.final.coords),
+                                      np.asarray(r_sp.final.coords))
+        r_d1 = run_ensemble(lnprob, s, n_steps=25, move="de")
+        r_d2 = run_ensemble(lnprob, s, n_steps=25,
+                            move=(("de", 1.0, {"gamma0": 0.4}),))
+        assert not np.array_equal(np.asarray(r_d1.final.coords),
+                                  np.asarray(r_d2.final.coords))
+
     def test_invalid_mixture_specs_rejected(self):
         from mcmc_dynamics_tpu.sampler.stretch import normalize_move
 
-        assert normalize_move("de") == (("de", 1.0),)
+        assert normalize_move("de") == (("de", 1.0, ()),)
         norm = normalize_move((("de", 2.0), ("snooker", 2.0)))
-        assert norm == (("de", 0.5), ("snooker", 0.5))
+        assert norm == (("de", 0.5, ()), ("snooker", 0.5, ()))
+        # hyperparameters ride along as a sorted hashable tuple
+        norm = normalize_move((("de", 1.0, {"gamma0": 0.8, "jitter": 1e-4}),))
+        assert norm == (("de", 1.0, (("gamma0", 0.8), ("jitter", 1e-4))),)
         with pytest.raises(ValueError, match="Unknown move"):
             normalize_move((("nope", 1.0),))
         with pytest.raises(ValueError, match="positive"):
             normalize_move((("de", 0.0),))
         with pytest.raises(ValueError, match="name or a sequence"):
             normalize_move(42)
+        with pytest.raises(ValueError, match="hyperparameter"):
+            normalize_move((("de", 1.0, {"a": 2.0}),))
 
     def test_mixture_under_sharding(self):
         import jax.numpy as jnp
