@@ -9,9 +9,9 @@ module provides the same user surface over the native TPU sampler:
   :class:`~mcmc_dynamics_tpu.emcee_compat.EnsembleSampler`);
 * :class:`HDFBackend` — persistent HDF5 storage.  The file layout matches
   emcee v3 (group with ``chain`` (steps, walkers, ndim), ``log_prob``
-  (steps, walkers), ``accepted`` (walkers,), ``iteration`` attr,
-  ``has_blobs = False``), so chains written here open with real emcee and
-  vice versa.  On top of emcee's layout the sampler PRNG state is stored
+  (steps, walkers), ``accepted`` (walkers,), ``iteration`` attr, and a
+  ``blobs`` dataset + ``has_blobs`` attr when the log-probability returns
+  blobs), so chains written here open with real emcee and vice versa.  On top of emcee's layout the sampler PRNG state is stored
   (JAX key data + impl, or the NumPy bit-generator state), which makes a
   restart bitwise-identical to an uninterrupted run — emcee itself cannot
   promise that across processes.
@@ -52,6 +52,7 @@ class Backend:
         self.ndim = None
         self._chain = None          # (W, capacity, K) buffer, first _len used
         self._lnp = None            # (W, capacity)
+        self._blobs = None          # (W, capacity, *blob_shape) or object
         self._len = 0               # stored steps
         self._accepted = None       # (W,) float
         self._proposals = 0
@@ -68,6 +69,7 @@ class Backend:
         self.ndim = int(ndim)
         self._chain = None
         self._lnp = None
+        self._blobs = None
         self._len = 0
         self._accepted = np.zeros(self.nwalkers)
         self._proposals = 0
@@ -89,9 +91,14 @@ class Backend:
         """(walkers,) cumulative accepted-proposal counts."""
         return self._accepted
 
+    @property
+    def has_blobs(self) -> bool:
+        """True once blob blocks have been stored."""
+        return self._blobs is not None
+
     # ------------------------------------------------------------- writing
     def append(self, chain_block, lnp_block, accepted_delta, proposals_delta,
-               state):
+               state, blob_block=None):
         """Record one sampler advance.
 
         ``chain_block``: (W, S, K) or None when the run did not store;
@@ -99,26 +106,35 @@ class Backend:
         counts in this advance; ``proposals_delta``: proposal steps made;
         ``state``: payload dict with keys ``coords`` (W, K), ``log_prob``
         (W,), and either ``key_data``/``key_impl`` (JAX path) or
-        ``rng_state`` (NumPy path) for exact resume.
+        ``rng_state`` (NumPy path) for exact resume; ``blob_block``:
+        (W, S, *blob_shape) numeric or (W, S) object array, or None.
         """
         if chain_block is not None:
             block = np.asarray(chain_block)
             lnpb = np.asarray(lnp_block)
             n = block.shape[1]
-            self._ensure_capacity(self._len + n, block.dtype, lnpb.dtype)
+            self._ensure_capacity(self._len + n, block.dtype, lnpb.dtype,
+                                  blob_block)
             self._chain[:, self._len:self._len + n] = block
             self._lnp[:, self._len:self._len + n] = lnpb
+            if blob_block is not None:
+                self._blobs[:, self._len:self._len + n] = blob_block
             self._len += n
         self._accepted = self._accepted + np.asarray(accepted_delta)
         self._proposals += int(proposals_delta)
         self._state = dict(state)
 
-    def _ensure_capacity(self, need: int, chain_dtype, lnp_dtype):
+    def _ensure_capacity(self, need: int, chain_dtype, lnp_dtype,
+                         blob_block=None):
         """Geometric buffer growth: appends stay amortised O(1) per stored
         step even in emcee's one-step-per-iteration ``sample()`` monitoring
         loops (a block list re-concatenated per read would be quadratic)."""
         cap = 0 if self._chain is None else self._chain.shape[1]
-        if need <= cap:
+        if blob_block is not None and self._blobs is None and self._len:
+            raise ValueError(
+                "Blobs appeared after blob-less steps were stored; reset the "
+                "backend (the stored chain has no blob history).")
+        if need <= cap and (blob_block is None or self._blobs is not None):
             return
         new_cap = max(need, 2 * cap, 64)
         chain = np.empty((self.nwalkers, new_cap, self.ndim),
@@ -131,6 +147,13 @@ class Backend:
             chain[:, :self._len] = self._chain[:, :self._len]
             lnp[:, :self._len] = self._lnp[:, :self._len]
         self._chain, self._lnp = chain, lnp
+        if blob_block is not None or self._blobs is not None:
+            proto = self._blobs if self._blobs is not None else blob_block
+            blobs = np.empty((self.nwalkers, new_cap) + proto.shape[2:],
+                             dtype=proto.dtype)
+            if self._blobs is not None and self._len:
+                blobs[:, :self._len] = self._blobs[:, :self._len]
+            self._blobs = blobs
 
     def load_state(self):
         """The resume payload from the most recent :meth:`append`, or None."""
@@ -158,6 +181,23 @@ class Backend:
     def get_log_prob(self, flat: bool = False, thin: int = 1, discard: int = 0):
         v = np.swapaxes(self._full_lnp(), 0, 1)[discard + thin - 1::thin]
         return v.reshape(-1) if flat else v
+
+    def get_blobs(self, flat: bool = False, thin: int = 1, discard: int = 0):
+        """(steps, walkers, ...) blobs, or None when none were stored (emcee
+        returns None too).  Object arrays of uniform numeric blobs are
+        regularised to a plain numeric array."""
+        if self._blobs is None:
+            return None
+        v = np.swapaxes(self._blobs[:, :self._len], 0, 1)
+        v = v[discard + thin - 1::thin]
+        if v.dtype == object:
+            try:            # scalar/array blobs stored via the object path
+                vv = np.asarray(v.tolist())
+                if vv.dtype != object:
+                    v = vv
+            except (ValueError, TypeError):
+                pass
+        return v.reshape((-1,) + v.shape[2:]) if flat else v
 
     def get_last_sample(self):
         from .emcee_compat import State
@@ -278,9 +318,21 @@ class HDFBackend(Backend):
         with self._open() as f:
             return np.asarray(self._group(f)["accepted"])
 
+    @property
+    def has_blobs(self) -> bool:
+        if not self.initialized:
+            return False
+        with self._open() as f:
+            return bool(self._group(f).attrs.get("has_blobs", False))
+
     # ------------------------------------------------------------- writing
     def append(self, chain_block, lnp_block, accepted_delta, proposals_delta,
-               state):
+               state, blob_block=None):
+        if blob_block is not None and blob_block.dtype == object:
+            raise NotImplementedError(
+                "HDFBackend stores array blobs only (uniform shape/dtype); "
+                "tuple/dict blobs need the in-memory Backend — exactly "
+                "emcee's own constraint for files.")
         with self._open("a") as f:
             g = self._group(f)
             if chain_block is not None:
@@ -291,6 +343,20 @@ class HDFBackend(Backend):
                 g["chain"][n0:] = block
                 g["log_prob"].resize(n0 + lnp.shape[0], axis=0)
                 g["log_prob"][n0:] = lnp
+                if blob_block is not None:
+                    blobs = np.swapaxes(blob_block, 0, 1)   # (S, W, ...)
+                    if "blobs" not in g:
+                        if n0:
+                            raise ValueError(
+                                "Blobs appeared after blob-less steps were "
+                                "stored; reset the backend.")
+                        g.create_dataset(
+                            "blobs", (0,) + blobs.shape[1:],
+                            maxshape=(None,) + blobs.shape[1:],
+                            dtype=blobs.dtype)
+                        g.attrs.modify("has_blobs", True)
+                    g["blobs"].resize(n0 + blobs.shape[0], axis=0)
+                    g["blobs"][n0:] = blobs
                 # attrs.modify updates in place; plain assignment is a
                 # delete+add in the object header, which leaks a 4 kB header
                 # continuation block per open/append/close cycle
@@ -380,6 +446,12 @@ class HDFBackend(Backend):
     def get_log_prob(self, flat: bool = False, thin: int = 1, discard: int = 0):
         v = self._read("log_prob", thin, discard)
         return v.reshape(-1) if flat else v
+
+    def get_blobs(self, flat: bool = False, thin: int = 1, discard: int = 0):
+        if not self.has_blobs:
+            return None
+        v = self._read("blobs", thin, discard)
+        return v.reshape((-1,) + v.shape[2:]) if flat else v
 
     def _full_chain(self) -> np.ndarray:
         return np.swapaxes(self._read("chain", 1, 0), 0, 1)

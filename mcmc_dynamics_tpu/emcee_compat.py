@@ -30,16 +30,20 @@ Supported surface: ``run_mcmc`` / ``sample`` (generator) / ``reset`` /
 accelerator batches all walkers), ``backend=`` (in-memory
 :class:`~mcmc_dynamics_tpu.emcee_backends.Backend` or persistent
 :class:`~mcmc_dynamics_tpu.emcee_backends.HDFBackend`, emcee-v3
-file-compatible, with bitwise restart), and ``moves=`` as either this
+file-compatible, with bitwise restart), ``moves=`` as either this
 package's move specs ("stretch"/"de"/"snooker" or weighted pairs) or emcee
-move *instances* (recognised by class name).  Blobs (a ``(log_prob, blobs)``
-return from the log-probability) are not implemented — they raise a clear
-error.
+move *instances* (recognised by class name, tuned hyperparameters kept),
+and **blobs**: a ``(log_prob, blobs)`` return is collected per stored step
+and read back with :meth:`EnsembleSampler.get_blobs` / ``State.blobs``.
+On the JAX path blobs are recomputed for the accepted positions in one
+batched call per ``run_mcmc`` (trace-safe log-probs are pure, so the values
+are identical); array blobs land in the HDF5 file in emcee's ``blobs``
+dataset layout.
 """
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 
@@ -54,24 +58,40 @@ from . import emcee_backends as backends
 __all__ = ["EnsembleSampler", "State", "backends"]
 
 
-class State(NamedTuple):
+class State:
     """Minimal emcee-compatible sampler state.
 
     Returned by :meth:`EnsembleSampler.run_mcmc` and
     :meth:`EnsembleSampler.get_last_sample`; can be passed back as
-    ``initial_state`` (the standard emcee burn-in idiom).  As a NamedTuple it
-    still unpacks as the ``(coords, log_prob)`` pair older code expects.
-    ``random_state`` and ``blobs`` exist so ported emcee code that reads them
-    stays alive; they are always ``None`` here (the PRNG lives in the sampler
-    and blobs are unsupported).
+    ``initial_state`` (the standard emcee burn-in idiom).  It unpacks as the
+    ``(coords, log_prob)`` pair older code expects.  ``blobs`` carries the
+    per-walker blobs at the current position when the log-probability
+    returns ``(log_prob, blobs)``; ``random_state`` exists so ported emcee
+    code that reads it stays alive (always ``None`` here — the PRNG lives in
+    the sampler and rides its checkpoints instead).
     """
 
-    coords: np.ndarray
-    log_prob: np.ndarray
-    # class attributes, NOT tuple fields: len(state) stays 2 so the
-    # ``coords, log_prob = state`` idiom keeps working
-    random_state = None
-    blobs = None
+    __slots__ = ("coords", "log_prob", "blobs", "random_state")
+
+    def __init__(self, coords, log_prob, blobs=None, random_state=None):
+        self.coords = coords
+        self.log_prob = log_prob
+        self.blobs = blobs
+        self.random_state = random_state
+
+    # unpacks as a pair: ``coords, log_prob = state``
+    def __iter__(self):
+        return iter((self.coords, self.log_prob))
+
+    def __len__(self):
+        return 2
+
+    def __getitem__(self, i):
+        return (self.coords, self.log_prob)[i]
+
+    def __repr__(self):
+        return (f"State(coords={self.coords!r}, log_prob={self.log_prob!r}, "
+                f"blobs={self.blobs!r})")
 
 
 class _FunctionWrapper:
@@ -87,13 +107,17 @@ class _FunctionWrapper:
         return self.fn(x, *self.args, **self.kwargs)
 
 
-def _reject_blobs(out):
-    """Raise a clear error for emcee-style ``(log_prob, blobs)`` returns."""
+def _split_blob(out):
+    """emcee return convention -> (log_prob, blob or None).
+
+    ``log_prob`` alone, ``(log_prob, blob)``, or ``(log_prob, b1, b2, ...)``
+    (the extra returns become a tuple blob, emcee's ``l[1:]`` rule).
+    """
     if isinstance(out, (tuple, list)):
-        raise NotImplementedError(
-            "log_prob_fn returned a tuple — emcee-style blobs are not "
-            "supported here; return only the scalar log-probability.")
-    return out
+        if len(out) == 2:
+            return out[0], out[1]
+        return out[0], tuple(out[1:])
+    return out, None
 
 _EMCEE_MOVE_NAMES = {
     "StretchMove": "stretch",
@@ -187,13 +211,38 @@ class EnsembleSampler:
         self._rng = np.random.default_rng(seed)
         self._pool = pool
 
+        self.has_blobs = False    # numpy path flips this on first tuple return
         self.backend_kind = self._probe_backend()
         # one vmapped closure for the life of the sampler: the scan is jitted
         # with the lnprob function as a static argument keyed by identity, so
         # a fresh jax.vmap per run_mcmc call would recompile the whole chain
         # (same reason as Runner._batched_lnprob_cached)
-        self._batched = ((self._fn if self._vectorize else jax.vmap(self._fn))
-                         if self.backend_kind == "jax" else None)
+        self._batched = None
+        self._blob_batched = None
+        self._chain_blob = None
+        if self.backend_kind == "jax":
+            fn = self._fn
+            if self.has_blobs:
+                # the sampler core sees only the scalar leg; blobs are
+                # recomputed for the stored positions afterwards (trace-safe
+                # log-probs are pure, so the values are identical to the
+                # ones computed when each position was accepted)
+                def lnp_only(x):
+                    return _split_blob(fn(x))[0]
+
+                def blob_only(x):
+                    return _split_blob(fn(x))[1]
+
+                self._batched = (lnp_only if self._vectorize
+                                 else jax.vmap(lnp_only))
+                per_step = blob_only if self._vectorize \
+                    else jax.vmap(blob_only)
+                self._blob_batched = jax.jit(per_step)      # (W, K) -> blobs
+                self._chain_blob = jax.jit(                 # (W, S, K) -> ...
+                    jax.vmap(per_step, in_axes=1, out_axes=1))
+            else:
+                self._batched = fn if self._vectorize else jax.vmap(fn)
+        self._live_blobs = None   # numpy path: (W,) object array, current pos
         self._state = None        # JAX EnsembleState or (pos, lnp) for numpy
         self.backend = backend if backend is not None else backends.Backend()
         if self.backend.initialized:
@@ -208,28 +257,48 @@ class EnsembleSampler:
 
     # ------------------------------------------------------------------ backends
     def _probe_backend(self) -> str:
-        """'jax' when log_prob traces cleanly AND returns a scalar; else 'numpy'."""
+        """'jax' when log_prob traces cleanly AND returns a scalar (optionally
+        plus blobs); else 'numpy'.  Sets ``self.has_blobs``."""
         probe = jnp.zeros((self.nwalkers, self.ndim), self.dtype) \
             if self._vectorize else jnp.zeros((self.ndim,), self.dtype)
         try:
             out = jax.eval_shape(self._fn, probe)
         except Exception:
             return "numpy"
-        _reject_blobs(out)
+        lnp, blob = _split_blob(out)
+        self.has_blobs = blob is not None
         expected = (self.nwalkers,) if self._vectorize else ()
-        if tuple(out.shape) != expected:
+        if tuple(lnp.shape) != expected:
             return "numpy"
         return "jax"
 
-    def _lnprob_batched_np(self, pos: np.ndarray) -> np.ndarray:
+    def _lnprob_batched_np(self, pos: np.ndarray):
+        """(log_prob (W,), blobs object (W,) or None) on the host path.
+
+        The first tuple-returning evaluation switches blob collection on —
+        the numpy path cannot know before calling the function (emcee probes
+        the same way)."""
         if self._vectorize:
-            return np.asarray(_reject_blobs(self._fn(pos)), dtype=np.float64)
-        if self._pool is not None:
-            return np.array([float(_reject_blobs(v))
-                             for v in self._pool.map(self._fn, pos)],
-                            dtype=np.float64)
-        return np.array([float(_reject_blobs(self._fn(p))) for p in pos],
-                        dtype=np.float64)
+            lnp, blob = _split_blob(self._fn(pos))
+            lnp = np.asarray(lnp, dtype=np.float64)
+            if blob is None:
+                return lnp, None
+            self.has_blobs = True
+            blobs = np.empty(len(lnp), dtype=object)
+            for i in range(len(lnp)):
+                blobs[i] = jax.tree_util.tree_map(lambda l: l[i], blob)
+            return lnp, blobs
+        outs = (list(self._pool.map(self._fn, pos)) if self._pool is not None
+                else [self._fn(p) for p in pos])
+        pairs = [_split_blob(v) for v in outs]
+        lnp = np.array([float(l) for l, _b in pairs], dtype=np.float64)
+        if pairs and pairs[0][1] is None:
+            return lnp, None
+        self.has_blobs = True
+        blobs = np.empty(len(pairs), dtype=object)
+        for i, (_l, b) in enumerate(pairs):
+            blobs[i] = b
+        return lnp, blobs
 
     # ------------------------------------------------------------------ emcee API
     def run_mcmc(self, initial_state, nsteps: int, progress: bool = False,
@@ -280,6 +349,16 @@ class EnsembleSampler:
                                   store_chain=store, batched=True,
                                   move=self._moves)
             key_data, key_impl = key_to_arrays(result.final.key)
+            blob_block = final_blobs = None
+            if self.has_blobs:
+                if store and nsteps:
+                    # one extra batched eval per stored step: blobs of the
+                    # ACCEPTED positions (pure fn => identical to the values
+                    # at proposal time), stacked (W, S, ...)
+                    blob_block = self._blob_block_np(
+                        self._chain_blob(result.chain), n_axes=2)
+                final_blobs = self._blob_block_np(
+                    self._blob_batched(result.final.coords), n_axes=1)
             self.backend.append(
                 np.asarray(result.chain) if store else None,
                 np.asarray(result.log_prob) if store else None,
@@ -287,14 +366,17 @@ class EnsembleSampler:
                 {"coords": np.asarray(result.final.coords),
                  "log_prob": np.asarray(result.final.log_prob),
                  "key_data": key_data, "key_impl": key_impl,
-                 "rng_state": None})
+                 "rng_state": None},
+                blob_block=blob_block)
             self._state = result.final
             return State(np.asarray(result.final.coords),
-                         np.asarray(result.final.log_prob))
+                         np.asarray(result.final.log_prob),
+                         blobs=final_blobs)
 
         pos, lnp = self._state
         chain = np.empty((self.nwalkers, nsteps, self.ndim)) if store else None
         lnps = np.empty((self.nwalkers, nsteps)) if store else None
+        blob_block = None
         accepted = np.zeros(self.nwalkers)
         for s in range(n_props):
             pos, lnp, acc = self._numpy_step(pos, lnp)
@@ -302,14 +384,22 @@ class EnsembleSampler:
             if store and (s + 1) % thin_by == 0:
                 chain[:, s // thin_by, :] = pos
                 lnps[:, s // thin_by] = lnp
+                if self.has_blobs:
+                    if blob_block is None:
+                        blob_block = np.empty((self.nwalkers, nsteps),
+                                              dtype=object)
+                    blob_block[:, s // thin_by] = self._live_blobs
         self._state = (pos, lnp)
         self.backend.append(
             chain if store else None, lnps if store else None,
             accepted, n_props,
             {"coords": pos.copy(), "log_prob": lnp.copy(),
              "key_data": None, "key_impl": None,
-             "rng_state": self._rng.bit_generator.state})
-        return State(pos.copy(), lnp.copy())
+             "rng_state": self._rng.bit_generator.state},
+            blob_block=blob_block)
+        return State(pos.copy(), lnp.copy(),
+                     blobs=None if self._live_blobs is None
+                     else self._live_blobs.copy())
 
     def sample(self, initial_state=None, iterations: int = 1, tune: bool = False,
                thin_by: int = 1, store: bool = True, progress: bool = False):
@@ -353,13 +443,25 @@ class EnsembleSampler:
     def get_log_prob(self, flat: bool = False, thin: int = 1, discard: int = 0):
         return self.backend.get_log_prob(flat=flat, thin=thin, discard=discard)
 
+    def get_blobs(self, flat: bool = False, thin: int = 1, discard: int = 0):
+        """(steps, walkers, ...) blobs in emcee's layout, or None when the
+        log-probability returns no blobs.  Array blobs come back as a numeric
+        array; structured blobs (tuples/dicts) as an object array."""
+        return self.backend.get_blobs(flat=flat, thin=thin, discard=discard)
+
     def get_last_sample(self):
         if self._state is None:
             return self.backend.get_last_sample()
         if self.backend_kind == "jax":
+            blobs = None
+            if self.has_blobs:
+                blobs = self._blob_block_np(
+                    self._blob_batched(self._state.coords), n_axes=1)
             return State(np.asarray(self._state.coords),
-                         np.asarray(self._state.log_prob))
-        return State(self._state[0].copy(), self._state[1].copy())
+                         np.asarray(self._state.log_prob), blobs=blobs)
+        return State(self._state[0].copy(), self._state[1].copy(),
+                     blobs=None if self._live_blobs is None
+                     else self._live_blobs.copy())
 
     def get_autocorr_time(self, discard: int = 0, thin: int = 1, c: float = 5.0,
                           tol: float = 50.0, quiet: bool = False):
@@ -403,6 +505,25 @@ class EnsembleSampler:
         return self.backend.proposals
 
     # ------------------------------------------------------------------ internals
+    @staticmethod
+    def _blob_block_np(blob, n_axes: int):
+        """JAX blob pytree with ``n_axes`` leading batch axes -> NumPy block.
+
+        A single-array blob becomes a numeric array (the emcee fast path);
+        structured blobs (tuples/dicts of arrays) become an object array of
+        per-element pytrees, which is what emcee degrades to as well when it
+        cannot discover a uniform dtype."""
+        leaves, treedef = jax.tree_util.tree_flatten(blob)
+        leaves = [np.asarray(l) for l in leaves]
+        if jax.tree_util.treedef_is_leaf(treedef):
+            return leaves[0]
+        shape = leaves[0].shape[:n_axes]
+        out = np.empty(shape, dtype=object)
+        for idx in np.ndindex(shape):
+            out[idx] = jax.tree_util.tree_unflatten(
+                treedef, [l[idx] for l in leaves])
+        return out
+
     def _restore_from_backend(self) -> bool:
         """Rebuild the live sampler state from the backend's saved payload
         (cross-process resume); bitwise when the payload carries PRNG state."""
@@ -434,6 +555,10 @@ class EnsembleSampler:
             # _numpy_step then mutates in place
             self._state = (coords.copy(),
                            np.array(payload["log_prob"], dtype=np.float64))
+            if getattr(self.backend, "has_blobs", False):
+                # one batched eval rebuilds the live per-walker blobs at the
+                # restored position (they are not persisted as state)
+                _, self._live_blobs = self._lnprob_batched_np(self._state[0])
         return True
 
     def _init_from(self, pos: np.ndarray):
@@ -444,7 +569,7 @@ class EnsembleSampler:
                                      batched=True)
             lnp0 = np.asarray(self._state.log_prob)
         else:
-            lnp0 = self._lnprob_batched_np(pos)
+            lnp0, self._live_blobs = self._lnprob_batched_np(pos)
             self._state = (pos.copy(), lnp0)
         bad = ~np.isfinite(lnp0)
         if bad.all():
@@ -484,11 +609,15 @@ class EnsembleSampler:
             z = ((a - 1.0) * self._rng.random(half) + 1.0) ** 2 / a
             partners = other_idx[self._rng.integers(0, half, half)]
             prop = pos[partners] + z[:, None] * (pos[active_idx] - pos[partners])
-            lnp_prop = self._lnprob_batched_np(prop)
+            lnp_prop, blobs_prop = self._lnprob_batched_np(prop)
             ln_acc = (self.ndim - 1) * np.log(z) + lnp_prop - lnp[active_idx]
             accept = np.log(self._rng.random(half)) < ln_acc
             accept &= np.isfinite(lnp_prop)
             pos[active_idx[accept]] = prop[accept]
             lnp[active_idx[accept]] = lnp_prop[accept]
+            if blobs_prop is not None:
+                if self._live_blobs is None:     # blobs appeared mid-run
+                    self._live_blobs = np.empty(w, dtype=object)
+                self._live_blobs[active_idx[accept]] = blobs_prop[accept]
             acc_total[active_idx] += accept
         return pos, lnp, acc_total

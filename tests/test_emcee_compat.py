@@ -7,7 +7,8 @@ import pytest
 
 import jax.numpy as jnp
 
-from mcmc_dynamics_tpu.emcee_compat import EnsembleSampler, _normalize_moves
+from mcmc_dynamics_tpu.emcee_compat import (EnsembleSampler, backends,
+                                             _normalize_moves)
 
 
 def _jax_lnprob(theta):
@@ -260,21 +261,112 @@ class TestNoRecompile:
         assert traces["n"] == n_first
 
 
-class TestBlobsRejected:
-    def test_jax_blobs_clear_error(self):
+class TestBlobs:
+    """emcee blobs: (log_prob, blobs) returns on both execution paths."""
+
+    def test_jax_scalar_blob(self):
+        """Traceable (lnp, blob): blobs are recomputed for the stored chain
+        and must equal the blob function applied to it elementwise."""
         def lnp_blob(theta):
-            return -0.5 * jnp.sum(theta * theta), theta[0]
+            return -0.5 * jnp.sum(theta * theta), jnp.sum(theta ** 3)
 
-        with pytest.raises(NotImplementedError, match="blobs"):
-            EnsembleSampler(8, 2, lnp_blob)
+        s = EnsembleSampler(16, 2, lnp_blob, seed=4)
+        assert s.backend_kind == "jax" and s.has_blobs
+        p0 = np.random.default_rng(0).normal(size=(16, 2))
+        state = s.run_mcmc(p0, 12)
+        blobs = s.get_blobs()                       # (S, W)
+        chain = s.get_chain()
+        assert blobs.shape == (12, 16)
+        np.testing.assert_allclose(blobs, np.sum(chain ** 3, axis=-1),
+                                   rtol=1e-6)
+        # final State carries the blobs at the current position
+        np.testing.assert_allclose(np.asarray(state.blobs), blobs[-1],
+                                   rtol=1e-6)
+        # flat/thin/discard follow get_chain semantics
+        assert s.get_blobs(flat=True).shape == (12 * 16,)
+        np.testing.assert_array_equal(s.get_blobs(discard=4, thin=2),
+                                      blobs[5::2])
 
-    def test_numpy_blobs_clear_error(self):
+    def test_jax_array_and_tuple_blobs(self):
+        def lnp_vec_blob(theta):     # array blob -> numeric (S, W, 2)
+            return -0.5 * jnp.sum(theta * theta), theta[:2] * 2.0
+
+        s = EnsembleSampler(8, 3, lnp_vec_blob, seed=1)
+        s.run_mcmc(np.random.default_rng(1).normal(size=(8, 3)), 5)
+        blobs = s.get_blobs()
+        assert blobs.shape == (5, 8, 2)
+        np.testing.assert_allclose(
+            blobs, 2.0 * np.swapaxes(s.get_chain(), 0, 1)[:, :, :2]
+            .swapaxes(0, 1), rtol=1e-6)
+
+        def lnp_multi(theta):        # (lnp, b1, b2) -> tuple blob, emcee rule
+            return (-0.5 * jnp.sum(theta * theta), theta[0], theta[1] ** 2)
+
+        s2 = EnsembleSampler(8, 3, lnp_multi, seed=2)
+        s2.run_mcmc(np.random.default_rng(2).normal(size=(8, 3)), 4)
+        blobs2 = s2.get_blobs()
+        # regularised object path: tuples of scalars -> (S, W, 2) numeric
+        assert blobs2.shape == (4, 8, 2)
+        chain2 = s2.get_chain()
+        np.testing.assert_allclose(blobs2[..., 0], chain2[..., 0], rtol=1e-6)
+        np.testing.assert_allclose(blobs2[..., 1], chain2[..., 1] ** 2,
+                                   rtol=1e-6)
+
+    def test_numpy_path_blobs_track_acceptance(self):
+        """Host fallback: the blob of a walker must always be the blob of
+        its CURRENT position (accepted proposals swap it in, rejections
+        keep the old one)."""
         def lnp_blob(theta):
-            return _scipy_lnprob(theta), 1.0
+            return _scipy_lnprob(theta), float(np.sum(theta ** 3))
 
-        s = EnsembleSampler(8, 2, lnp_blob)
-        with pytest.raises(NotImplementedError, match="blobs"):
-            s.run_mcmc(np.zeros((8, 2)), 2)
+        s = EnsembleSampler(12, 2, lnp_blob, seed=9)
+        s.run_mcmc(np.random.default_rng(3).normal(size=(12, 2)), 10)
+        assert s.backend_kind == "numpy" and s.has_blobs
+        blobs = s.get_blobs()                       # (S, W) via object path
+        chain = s.get_chain()
+        assert blobs.shape == (10, 12)
+        np.testing.assert_allclose(np.asarray(blobs, dtype=float),
+                                   np.sum(chain ** 3, axis=-1), rtol=1e-12)
+
+    def test_hdf_blobs_roundtrip(self, tmp_path):
+        """Array blobs land in the emcee-v3 'blobs' dataset and read back;
+        a resumed-from-file run keeps appending to it."""
+        def lnp_blob(theta):
+            return -0.5 * jnp.sum(theta * theta), jnp.sum(theta) * 0.5
+
+        fn = str(tmp_path / "blobs.h5")
+        be = backends.HDFBackend(fn)
+        s = EnsembleSampler(8, 2, lnp_blob, backend=be, seed=5)
+        s.run_mcmc(np.random.default_rng(4).normal(size=(8, 2)), 6)
+        import h5py
+        with h5py.File(fn, "r") as f:
+            g = f["mcmc"]
+            assert bool(g.attrs["has_blobs"])
+            assert g["blobs"].shape == (6, 8)
+        reader = backends.HDFBackend(fn, read_only=True)
+        assert reader.has_blobs
+        np.testing.assert_allclose(
+            reader.get_blobs(), 0.5 * np.sum(reader.get_chain(), axis=-1),
+            rtol=1e-6)
+        s2 = EnsembleSampler(8, 2, lnp_blob,
+                             backend=backends.HDFBackend(fn), seed=5)
+        s2.run_mcmc(None, 3)
+        assert s2.get_blobs().shape == (9, 8)
+
+    def test_hdf_rejects_object_blobs(self, tmp_path):
+        def lnp_multi(theta):
+            return (-0.5 * jnp.sum(theta * theta), theta[0], theta[1])
+
+        be = backends.HDFBackend(str(tmp_path / "obj.h5"))
+        s = EnsembleSampler(8, 2, lnp_multi, backend=be, seed=6)
+        with pytest.raises(NotImplementedError, match="in-memory"):
+            s.run_mcmc(np.zeros((8, 2)) + 0.1, 2)
+
+    def test_no_blobs_returns_none(self):
+        s = EnsembleSampler(8, 2, _jax_lnprob, seed=7)
+        s.run_mcmc(np.random.default_rng(5).normal(size=(8, 2)), 3)
+        assert s.get_blobs() is None
+        assert s.get_last_sample().blobs is None
 
 
 class TestSampleGenerator:
