@@ -151,12 +151,23 @@ def build_mesh(cfg):
 
 
 def _normalize_move(move_cfg):
-    """Config move spec -> the sampler's move argument (name or weighted list)."""
+    """Config move spec -> the sampler's move argument (name or weighted list).
+
+    JSON entries are ``[name, weight]`` or ``[name, weight, {hyper: value}]``
+    (e.g. ``["de", 0.8, {"gamma0": 0.6}]``); the params mapping is passed
+    through to :func:`sampler.stretch.normalize_move`, which validates the
+    hyperparameter names per move.
+    """
     if move_cfg is None:
         return "stretch"
     if isinstance(move_cfg, str):
         return move_cfg
-    return [(str(name), float(weight)) for name, weight in move_cfg]
+    out = []
+    for entry in move_cfg:
+        name, weight, *rest = entry
+        params = dict(rest[0]) if rest else {}
+        out.append((str(name), float(weight), params))
+    return out
 
 
 def make_overlay_plot(profile, binned, filename):

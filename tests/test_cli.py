@@ -72,6 +72,21 @@ class TestRunConfigLoading:
         g = build_background({"type": "gaussian", "mean": 0.0, "sigma": 50.0})
         assert np.isfinite(g(np.array([10.0]), np.array([1.0]))).all()
 
+    def test_move_spec_with_hyperparameters(self):
+        """Config move entries may carry a hyperparameter mapping as the
+        third JSON leg; it must reach the sampler's normalised spec."""
+        from mcmc_dynamics_tpu.cli.run import _normalize_move
+        from mcmc_dynamics_tpu.sampler.stretch import normalize_move
+
+        cfg = [["de", 0.8, {"gamma0": 0.6}], ["snooker", 0.2]]
+        norm = normalize_move(_normalize_move(cfg))
+        assert norm == (("de", 0.8, (("gamma0", 0.6),)),
+                        ("snooker", 0.2, ()))
+        assert _normalize_move(None) == "stretch"
+        assert _normalize_move("de") == "de"
+        with pytest.raises(ValueError, match="hyperparameter"):
+            normalize_move(_normalize_move([["de", 1.0, {"bogus": 1}]]))
+
 
 class TestRunTestsCli:
     def test_mock_verification_harness(self, tmp_path, monkeypatch):
