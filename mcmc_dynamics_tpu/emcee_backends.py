@@ -113,13 +113,21 @@ class Backend:
             block = np.asarray(chain_block)
             lnpb = np.asarray(lnp_block)
             n = block.shape[1]
-            self._ensure_capacity(self._len + n, block.dtype, lnpb.dtype,
-                                  blob_block)
-            self._chain[:, self._len:self._len + n] = block
-            self._lnp[:, self._len:self._len + n] = lnpb
-            if blob_block is not None:
-                self._blobs[:, self._len:self._len + n] = blob_block
-            self._len += n
+            if blob_block is None and self._blobs is not None and n:
+                # emcee raises the same way: silently misaligned blobs are
+                # worse than a failed resume
+                raise ValueError(
+                    "Inconsistent use of blobs: the stored chain has blobs "
+                    "but this advance provides none (did you resume a blob "
+                    "chain with a blob-less log-probability?).")
+            if n:
+                self._ensure_capacity(self._len + n, block.dtype, lnpb.dtype,
+                                      blob_block)
+                self._chain[:, self._len:self._len + n] = block
+                self._lnp[:, self._len:self._len + n] = lnpb
+                if blob_block is not None:
+                    self._blobs[:, self._len:self._len + n] = blob_block
+                self._len += n
         self._accepted = self._accepted + np.asarray(accepted_delta)
         self._proposals += int(proposals_delta)
         self._state = dict(state)
@@ -242,11 +250,14 @@ class HDFBackend(Backend):
         import os
         if not os.path.exists(self.filename):
             return False
-        try:
-            with self._open() as f:
-                return self.name in f
-        except OSError:
-            return False
+        if os.path.getsize(self.filename) == 0:
+            return False          # pre-created empty file: nothing stored
+        # an existing, non-empty file that cannot be opened (locked by a
+        # writer, corrupt) must RAISE: returning False here would send
+        # EnsembleSampler.__init__ into backend.reset(), which deletes the
+        # stored chain group — silent data loss on a transient lock
+        with self._open() as f:
+            return self.name in f
 
     def reset(self, nwalkers: int, ndim: int):
         nwalkers, ndim = int(nwalkers), int(ndim)
@@ -338,6 +349,13 @@ class HDFBackend(Backend):
             if chain_block is not None:
                 block = np.swapaxes(np.asarray(chain_block), 0, 1)  # (S, W, K)
                 lnp = np.swapaxes(np.asarray(lnp_block), 0, 1)      # (S, W)
+                if blob_block is None and block.shape[0] \
+                        and g.attrs.get("has_blobs", False):
+                    raise ValueError(
+                        "Inconsistent use of blobs: the stored chain has "
+                        "blobs but this advance provides none (did you "
+                        "resume a blob chain with a blob-less "
+                        "log-probability?).")
                 n0 = int(g.attrs["iteration"])
                 g["chain"].resize(n0 + block.shape[0], axis=0)
                 g["chain"][n0:] = block

@@ -107,6 +107,21 @@ class _FunctionWrapper:
         return self.fn(x, *self.args, **self.kwargs)
 
 
+def _regularize_blobs(block):
+    """(W, S[, ...]) blob block -> numeric array when the blobs are uniform.
+
+    Mirrors emcee's dtype discovery: scalar/array/tuple-of-scalar blobs
+    become a plain numeric array (storable in HDF5); genuinely irregular
+    blobs (dicts, ragged shapes) stay an object array."""
+    if not isinstance(block, np.ndarray) or block.dtype != object:
+        return block
+    try:
+        arr = np.asarray(block.tolist())
+    except (ValueError, TypeError):
+        return block
+    return block if arr.dtype == object else arr
+
+
 def _split_blob(out):
     """emcee return convention -> (log_prob, blob or None).
 
@@ -165,11 +180,14 @@ def _normalize_moves(moves):
             "pairs of those, or emcee StretchMove/DEMove/DESnookerMove "
             "instances.")
 
+    import numbers
     if isinstance(moves, Sequence):
         out = []
         for entry in moves:
+            # numbers.Real, not (int, float): np.float32/np.int64 weights
+            # (e.g. taken from an array) are not Python-float subclasses
             if isinstance(entry, (tuple, list)) and len(entry) == 2 \
-                    and isinstance(entry[1], (int, float)):
+                    and isinstance(entry[1], numbers.Real):
                 name, params = one(entry[0])
                 out.append((name, float(entry[1]), params))
             else:
@@ -355,8 +373,8 @@ class EnsembleSampler:
                     # one extra batched eval per stored step: blobs of the
                     # ACCEPTED positions (pure fn => identical to the values
                     # at proposal time), stacked (W, S, ...)
-                    blob_block = self._blob_block_np(
-                        self._chain_blob(result.chain), n_axes=2)
+                    blob_block = _regularize_blobs(self._blob_block_np(
+                        self._chain_blob(result.chain), n_axes=2))
                 final_blobs = self._blob_block_np(
                     self._blob_batched(result.final.coords), n_axes=1)
             self.backend.append(
@@ -396,7 +414,7 @@ class EnsembleSampler:
             {"coords": pos.copy(), "log_prob": lnp.copy(),
              "key_data": None, "key_impl": None,
              "rng_state": self._rng.bit_generator.state},
-            blob_block=blob_block)
+            blob_block=_regularize_blobs(blob_block))
         return State(pos.copy(), lnp.copy(),
                      blobs=None if self._live_blobs is None
                      else self._live_blobs.copy())

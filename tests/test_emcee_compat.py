@@ -353,14 +353,70 @@ class TestBlobs:
         s2.run_mcmc(None, 3)
         assert s2.get_blobs().shape == (9, 8)
 
-    def test_hdf_rejects_object_blobs(self, tmp_path):
+    def test_hdf_stores_uniform_tuple_blobs_rejects_irregular(self, tmp_path):
+        """Tuple-of-scalar blobs regularise to a numeric (S, W, 2) dataset
+        (emcee's dtype-discovery behaviour); genuinely irregular blobs
+        (dicts) stay object arrays, which the file backend refuses."""
         def lnp_multi(theta):
             return (-0.5 * jnp.sum(theta * theta), theta[0], theta[1])
 
-        be = backends.HDFBackend(str(tmp_path / "obj.h5"))
+        be = backends.HDFBackend(str(tmp_path / "tup.h5"))
         s = EnsembleSampler(8, 2, lnp_multi, backend=be, seed=6)
+        s.run_mcmc(np.random.default_rng(6).normal(size=(8, 2)), 3)
+        assert s.get_blobs().shape == (3, 8, 2)
+
+        def lnp_dict(theta):
+            return -0.5 * jnp.sum(theta * theta), {"x": theta[0]}
+
+        be2 = backends.HDFBackend(str(tmp_path / "obj.h5"))
+        s2 = EnsembleSampler(8, 2, lnp_dict, backend=be2, seed=6)
         with pytest.raises(NotImplementedError, match="in-memory"):
-            s.run_mcmc(np.zeros((8, 2)) + 0.1, 2)
+            s2.run_mcmc(np.zeros((8, 2)) + 0.1, 2)
+
+    def test_numpy_scalar_blobs_reach_the_hdf_file(self, tmp_path):
+        """Host-path scalar blobs are uniform -> numeric -> storable in HDF5
+        (they used to stay dtype=object and be rejected)."""
+        def lnp_blob(theta):
+            return _scipy_lnprob(theta), float(np.sum(theta))
+
+        be = backends.HDFBackend(str(tmp_path / "np.h5"))
+        s = EnsembleSampler(8, 2, lnp_blob, backend=be, seed=6)
+        s.run_mcmc(np.random.default_rng(7).normal(size=(8, 2)), 4)
+        assert s.backend_kind == "numpy"
+        blobs = s.get_blobs()
+        assert blobs.shape == (4, 8) and blobs.dtype != object
+        np.testing.assert_allclose(blobs, s.get_chain().sum(axis=-1),
+                                   rtol=1e-12)
+
+    def test_blobless_resume_of_blob_chain_raises(self):
+        """Resuming a blob chain with a blob-less log-prob must fail loudly,
+        not silently misalign get_blobs (emcee raises the same way)."""
+        def lnp_blob(theta):
+            return -0.5 * jnp.sum(theta * theta), theta[0]
+
+        be = backends.Backend()
+        s = EnsembleSampler(8, 2, lnp_blob, backend=be, seed=8)
+        s.run_mcmc(np.random.default_rng(8).normal(size=(8, 2)), 4)
+        s2 = EnsembleSampler(8, 2, _jax_lnprob, backend=be, seed=8)
+        with pytest.raises(ValueError, match="Inconsistent use of blobs"):
+            s2.run_mcmc(None, 3)
+
+    def test_zero_step_run_mcmc_is_a_noop(self):
+        """nsteps=0 is explicitly allowed by the validation; it must not
+        crash the in-memory backend's buffer bookkeeping."""
+        s = EnsembleSampler(8, 2, _jax_lnprob, seed=9)
+        p0 = np.random.default_rng(9).normal(size=(8, 2))
+        state = s.run_mcmc(p0, 0)
+        assert s.iteration == 0 and state.coords.shape == (8, 2)
+        s.run_mcmc(None, 5)
+        assert s.get_chain().shape == (5, 8, 2)
+
+    def test_numpy_float32_weights_accepted(self):
+        """emcee accepts np scalar weights in moves=; so must we."""
+        w = np.asarray([0.8, 0.2], dtype=np.float32)
+        norm = _normalize_moves([("de", w[0]), ("stretch", w[1])])
+        assert [(n, round(float(wt), 5), p) for n, wt, p in norm] == \
+            [("de", 0.8, {}), ("stretch", 0.2, {})]
 
     def test_no_blobs_returns_none(self):
         s = EnsembleSampler(8, 2, _jax_lnprob, seed=7)
