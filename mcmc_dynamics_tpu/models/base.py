@@ -269,6 +269,22 @@ class Runner:
             self._lnprob_batched_cache = cached
         return cached[1]
 
+    def _partial_tier_cached(self):
+        """``build_lnlike_partial_batched`` with identity-stable caching —
+        the star-sharded sampler's program cache keys on the tier object
+        (parallel/sharded.py), so a fresh closure per chunk would defeat it
+        exactly like an uncached batched tier would."""
+        import os
+
+        _ = self.compiled  # refresh fingerprint
+        key = (self._compiled_fp, os.environ.get("MCMC_TPU_LNPROB", "auto"),
+               bool(os.environ.get("MCMC_TPU_DISABLE_PALLAS")))
+        cached = getattr(self, "_partial_tier_cache", None)
+        if cached is None or cached[0] != key:
+            cached = (key, self.build_lnlike_partial_batched())
+            self._partial_tier_cache = cached
+        return cached[1]
+
     # public parity API (reference runner.py:288-306); host conveniences
     def lnprob(self, theta):
         _ = self.compiled  # fingerprint check: parameter mutations invalidate caches
@@ -375,7 +391,7 @@ class Runner:
                         n_temps: int = 8, beta_min: float = 1e-3,
                         swap_every: int = 5, pos=None,
                         seed: Optional[int] = None, mesh=None,
-                        temp_axis: str = "tp", move="stretch"):
+                        temp_axis: str = "tp", move="stretch", state=None):
         """Parallel-tempered ensemble sampling; returns (SamplerResult of the cold
         chain, thermodynamic-integration log-evidence estimate).
 
@@ -383,12 +399,19 @@ class Runner:
         one temperature per rank, each advancing its full ensemble through
         this model's fastest batched tier, replica swaps as nearest-neighbour
         ``ppermute`` exchanges over ICI (``parallel/tempered.py``).
-        ``n_temps`` is then taken from the mesh axis."""
+        ``n_temps`` is then taken from the mesh axis.  ``state=`` resumes a
+        prior run's ``result.final_state`` (every temperature's walkers plus
+        the advanced PRNG key), continuing the ladder where it stopped —
+        on the mesh path a chunked run matches an uninterrupted one."""
         from ..sampler.tempered import log_evidence, make_beta_ladder
 
-        if pos is None:
-            pos = self.get_initials(n_walkers)
-        key = jax.random.PRNGKey(self.seed if seed is None else seed)
+        if state is not None:
+            pos = state.coords          # (n_temps, W, P): full ladder state
+            key = state.key
+        else:
+            if pos is None:
+                pos = self.get_initials(n_walkers)
+            key = jax.random.PRNGKey(self.seed if seed is None else seed)
 
         if mesh is not None:
             from ..parallel.distributed import fetch
@@ -398,7 +421,9 @@ class Runner:
             res = run_tempered_sharded(self, jnp.asarray(pos, self.dtype), key,
                                        n_steps=n_steps, mesh=mesh,
                                        temp_axis=temp_axis, beta_min=beta_min,
-                                       swap_every=swap_every, move=move)
+                                       swap_every=swap_every, move=move,
+                                       step0=0 if state is None
+                                       else int(state.step))
             betas = make_beta_ladder(n_temps, beta_min)
             result = SamplerResult(chain=fetch(res.chain),
                                    lnprobability=fetch(res.log_prob),
@@ -410,9 +435,14 @@ class Runner:
             from ..sampler.tempered import init_tempered, run_tempered
 
             lnprob = self.build_lnprob()
-            state, betas = init_tempered(lnprob, jnp.asarray(pos, self.dtype),
-                                         key, n_temps=n_temps,
-                                         beta_min=beta_min)
+            if state is not None:    # full TemperedState: continue the ladder
+                n_temps = state.coords.shape[0]
+                betas = make_beta_ladder(n_temps, beta_min)
+            else:
+                state, betas = init_tempered(lnprob,
+                                             jnp.asarray(pos, self.dtype),
+                                             key, n_temps=n_temps,
+                                             beta_min=beta_min)
             res = run_tempered(lnprob, state, betas, n_steps=n_steps,
                                swap_every=swap_every, move=move)
         result = SamplerResult(chain=np.asarray(res.chain),

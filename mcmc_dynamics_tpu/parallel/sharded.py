@@ -34,6 +34,13 @@ from .distributed import fetch, mesh_spans_processes, to_global
 __all__ = ["pad_star_axis", "star_sharded_lnprob", "run_ensemble_sharded",
            "ShardedResult"]
 
+# compiled shard_map programs keyed by (runner, tiers, mesh, shapes, move, ...);
+# shard_map/jit cache on FUNCTION IDENTITY, so rebuilding the closure per
+# checkpoint chunk would retrace + recompile the whole n-step scan every
+# n_out steps (the unsharded loop caches for the same reason —
+# models/base.py _batched_lnprob_cached)
+_PROGRAM_CACHE: Dict[tuple, Callable] = {}
+
 
 def _globalize_key(key, mesh, spec):
     """Lay a PRNG key (typed or legacy uint32) out on a process-spanning mesh
@@ -79,14 +86,20 @@ def pad_star_axis(data: Dict[str, jnp.ndarray], n_shards: int) -> Dict[str, jnp.
 def star_sharded_lnprob(runner, mesh: Mesh, sp_axis: str = "sp") -> Callable:
     """Build ``lnprob(theta)`` with the star catalog sharded over ``sp_axis``.
 
-    Exact: equals the single-device lnprob up to float reduction order. ``theta``
-    is replicated; the per-star reduction is a local sum + ``psum`` over ICI.
+    Exact: equals the single-device lnprob up to float reduction order.
+    ``theta`` is replicated; the per-star reduction is a local sum + ``psum``
+    over ICI.  Works on process-spanning (multi-host) meshes too: the catalog
+    is laid out globally once here, and each ``theta`` is globalized per call.
     """
     compiled = runner.compiled
     n_sp = mesh.shape[sp_axis]
     data = pad_star_axis(runner.prepare_data(dict(runner._data_arrays)), n_sp)
     data_names = sorted(data.keys())
     data_arrays = [data[k] for k in data_names]
+    spans = mesh_spans_processes(mesh)
+    if spans:
+        data_arrays = [to_global(mesh, P(sp_axis), fetch(a))
+                       for a in data_arrays]
 
     in_specs = (P(),) + tuple(P(sp_axis) for _ in data_arrays)
 
@@ -103,92 +116,32 @@ def star_sharded_lnprob(runner, mesh: Mesh, sp_axis: str = "sp") -> Callable:
         total = lp + runner.extra_lnprior_fn(p) + ll
         return jnp.where(jnp.isfinite(lp), total, -jnp.inf)
 
+    if spans:
+        return lambda theta: lnprob(
+            to_global(mesh, P(), np.asarray(fetch(theta), runner.dtype)),
+            *data_arrays)
     return lambda theta: lnprob(theta, *data_arrays)
 
 
-class ShardedResult:
-    """Output of :func:`run_ensemble_sharded`: globally-shaped jax.Arrays (sharded
-    across the mesh) plus the resumable pieces."""
+def _build_sharded_run(runner, compiled, mesh, dp_axis, sp_axis, use_sp,
+                       moves, a, n_steps, half_local, w_local, key_prefolded,
+                       key_spec, star_spec, data_names, batched_tier,
+                       partial_tier):
+    """The shard_map SPMD scan program (see :func:`run_ensemble_sharded`).
 
-    def __init__(self, chain, log_prob, coords, lnp, key, acceptance_fraction,
-                 accepted=None):
-        self.chain = chain                    # (W, S, K) — walker axis dp-sharded
-        self.log_prob = log_prob              # (W, S)
-        self.final_coords = coords            # (W, K)
-        self.final_log_prob = lnp             # (W,)
-        self.final_key = key
-        self.acceptance_fraction = acceptance_fraction
-        self.accepted = accepted              # (W,) int: exact per-walker counts
-
-
-def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
-                         dp_axis: str = "dp", sp_axis: Optional[str] = "sp",
-                         a: float = 2.0, move: str = "stretch") -> ShardedResult:
-    """Advance a walker-sharded ensemble ``n_steps`` steps on a device mesh.
-
-    ``coords``: (W, K) with W a multiple of ``2 * mesh.shape[dp_axis]``.  Each device
-    block holds the same number of first-half and second-half walkers; the opposite
-    half is all-gathered over ``dp`` per half-step.  When ``sp_axis`` is given, the
-    star catalog is additionally sharded and likelihoods psum over it.
+    Built once per (runner, tiers, mesh, shapes, move) configuration and
+    cached in ``_PROGRAM_CACHE``: shard_map caches compiled executables on
+    the wrapped function's identity, so a fresh closure per checkpoint chunk
+    would recompile the whole n-step scan every ``n_out`` steps.
     """
-    compiled = runner.compiled
-    moves = normalize_move(move)
-    n_dp = mesh.shape[dp_axis]
-    use_sp = sp_axis is not None and sp_axis in mesh.shape
-    n_sp = mesh.shape[sp_axis] if use_sp else 1
-
-    # The key arrives replicated (fresh run: it is folded by dp rank below) or
-    # as a stacked per-dp-rank array (a prior chunk's ``final_key`` or a
-    # checkpointed sharded state).  Returning the stacked form and consuming
-    # it un-refolded makes a chunked sharded run bitwise-identical to an
-    # uninterrupted one — checkpoint resume included.
-    key_arr = key if hasattr(key, "ndim") else jnp.asarray(key)
-    typed_key = jnp.issubdtype(key_arr.dtype, jax.dtypes.prng_key)
-    key_prefolded = key_arr.ndim == (1 if typed_key else 2)
-    if key_prefolded and key_arr.shape[0] != n_dp:
-        raise ValueError(
-            f"Resuming a sharded run requires the same dp extent: state "
-            f"carries {key_arr.shape[0]} per-rank keys, mesh has dp={n_dp}.")
-    key_spec = P(dp_axis) if key_prefolded else P()
-
-    # process-spanning meshes (multi-host): inputs must become global arrays;
-    # bring coords to host first (it may itself be a prior chunk's global output)
-    spans = mesh_spans_processes(mesh)
-    if spans:
-        coords = fetch(coords)
-    coords = jnp.asarray(coords, dtype=runner.dtype) if not spans \
-        else np.asarray(coords, dtype=runner.dtype)
-    n_walkers, ndim = coords.shape
-    assert n_walkers % (2 * n_dp) == 0, \
-        f"walkers ({n_walkers}) must be a multiple of 2*dp ({2 * n_dp})"
-
-    # Reorder walkers so each contiguous device block holds interleaved half-A and
-    # half-B members: block d = [A_d ; B_d]. Global half A = union of A_d.
-    w_local = n_walkers // n_dp
-    half_local = w_local // 2
-    order = np.arange(n_walkers).reshape(2, n_dp, half_local).transpose(1, 0, 2).reshape(-1)
-    inverse_order = np.argsort(order)
-    coords = coords[order]
-
-    prepared = runner.prepare_data(dict(runner._data_arrays))
-    data = pad_star_axis(prepared, n_sp) if use_sp else prepared
-    if "mask" not in data:
-        data["mask"] = jnp.ones_like(data["v"])
-    data_names = sorted(data.keys())
-    data_arrays = [data[k] for k in data_names]
-
-    star_spec = P(sp_axis) if use_sp else P()
-    if spans:
-        # per-process feeding: every host holds the full catalog; each
-        # materialises only the shards its local devices own (DCN never
-        # carries the catalog — only psum partials and gathered half-ensembles)
-        coords = to_global(mesh, P(dp_axis, None), coords)
-        key = _globalize_key(key, mesh, key_spec)
-        data_arrays = [to_global(mesh, star_spec, fetch(a))
-                       for a in data_arrays]
-    in_specs = (P(dp_axis, None), key_spec) + tuple(star_spec for _ in data_arrays)
+    in_specs = (P(dp_axis, None), key_spec) + tuple(star_spec
+                                                    for _ in data_names)
     out_specs = (P(dp_axis, None), P(dp_axis), P(dp_axis),
                  P(None, dp_axis, None), P(None, dp_axis), P(dp_axis))
+
+    lnprior_batched = jax.vmap(compiled.lnprior)
+    extra_batched = jax.vmap(lambda t: runner.extra_lnprior_fn(
+        runner.scaled_values(t)))
 
     def local_lnprob(theta, local):
         lp = compiled.lnprior(theta)
@@ -200,18 +153,6 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         ll = jax.lax.psum(local_sum, sp_axis) if use_sp else local_sum
         total = lp + runner.extra_lnprior_fn(p) + ll
         return jnp.where(jnp.isfinite(lp), total, -jnp.inf)
-
-    # dp-only meshes replicate the catalog per device, so each shard can run the
-    # model's fastest batched tier (sufficient tables / fused Pallas kernels)
-    # instead of vmapping the generic per-walker likelihood — multi-chip scaling
-    # at full per-chip throughput.  Star-sharded meshes psum per-shard partial
-    # sums; models with a fused partial path (build_lnlike_partial_batched)
-    # keep kernel throughput there too.
-    batched_tier = None if use_sp else runner.build_lnprob_batched()
-    partial_tier = runner.build_lnlike_partial_batched() if use_sp else None
-    lnprior_batched = jax.vmap(compiled.lnprior)
-    extra_batched = jax.vmap(lambda t: runner.extra_lnprior_fn(
-        runner.scaled_values(t)))
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
              check_vma=False)
@@ -269,6 +210,131 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
             body, (coords_local, lnp0, jnp.zeros(w_local, jnp.int32), key),
             None, length=n_steps)
         return c_fin, lnp_fin, key_fin[None], chain, lnp_hist, acc
+
+    return sharded_run
+
+
+class ShardedResult:
+    """Output of :func:`run_ensemble_sharded`: globally-shaped jax.Arrays (sharded
+    across the mesh) plus the resumable pieces."""
+
+    def __init__(self, chain, log_prob, coords, lnp, key, acceptance_fraction,
+                 accepted=None):
+        self.chain = chain                    # (W, S, K) — walker axis dp-sharded
+        self.log_prob = log_prob              # (W, S)
+        self.final_coords = coords            # (W, K)
+        self.final_log_prob = lnp             # (W,)
+        self.final_key = key
+        self.acceptance_fraction = acceptance_fraction
+        self.accepted = accepted              # (W,) int: exact per-walker counts
+
+
+def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
+                         dp_axis: str = "dp", sp_axis: Optional[str] = "sp",
+                         a: float = 2.0, move: str = "stretch") -> ShardedResult:
+    """Advance a walker-sharded ensemble ``n_steps`` steps on a device mesh.
+
+    ``coords``: (W, K) with W a multiple of ``2 * mesh.shape[dp_axis]``.  Each device
+    block holds the same number of first-half and second-half walkers; the opposite
+    half is all-gathered over ``dp`` per half-step.  When ``sp_axis`` is given, the
+    star catalog is additionally sharded and likelihoods psum over it.
+    """
+    compiled = runner.compiled
+    moves = normalize_move(move)
+    n_dp = mesh.shape[dp_axis]
+    use_sp = sp_axis is not None and sp_axis in mesh.shape
+    n_sp = mesh.shape[sp_axis] if use_sp else 1
+
+    # The key arrives replicated (fresh run: it is folded by dp rank below) or
+    # as a stacked per-dp-rank array (a prior chunk's ``final_key`` or a
+    # checkpointed sharded state).  Returning the stacked form and consuming
+    # it un-refolded makes a chunked sharded run bitwise-identical to an
+    # uninterrupted one — checkpoint resume included.
+    key_arr = key if hasattr(key, "ndim") else jnp.asarray(key)
+    typed_key = jnp.issubdtype(key_arr.dtype, jax.dtypes.prng_key)
+    key_prefolded = key_arr.ndim == (1 if typed_key else 2)
+    if key_prefolded and key_arr.shape[0] != n_dp:
+        raise ValueError(
+            f"Resuming a sharded run requires the same dp extent: state "
+            f"carries {key_arr.shape[0]} per-rank keys, mesh has dp={n_dp}.")
+    key_spec = P(dp_axis) if key_prefolded else P()
+
+    # process-spanning meshes (multi-host): inputs must become global arrays;
+    # bring coords to host first (it may itself be a prior chunk's global output)
+    spans = mesh_spans_processes(mesh)
+    if spans:
+        coords = fetch(coords)
+    coords = jnp.asarray(coords, dtype=runner.dtype) if not spans \
+        else np.asarray(coords, dtype=runner.dtype)
+    n_walkers, ndim = coords.shape
+    if n_walkers % (2 * n_dp):
+        raise ValueError(
+            f"walkers ({n_walkers}) must be a multiple of 2*dp ({2 * n_dp})")
+
+    # Reorder walkers so each contiguous device block holds interleaved half-A and
+    # half-B members: block d = [A_d ; B_d]. Global half A = union of A_d.
+    w_local = n_walkers // n_dp
+    half_local = w_local // 2
+    order = np.arange(n_walkers).reshape(2, n_dp, half_local).transpose(1, 0, 2).reshape(-1)
+    inverse_order = np.argsort(order)
+    coords = coords[order]
+
+    # dp-only meshes replicate the catalog per device, so each shard can run the
+    # model's fastest batched tier (sufficient tables / fused Pallas kernels)
+    # instead of vmapping the generic per-walker likelihood — multi-chip scaling
+    # at full per-chip throughput.  The catalog is baked into the tier's
+    # closure, so NO data operands are passed (shipping replicated copies of
+    # every column per call would be pure overhead).  Star-sharded meshes psum
+    # per-shard partial sums; models with a fused partial path
+    # (build_lnlike_partial_batched) keep kernel throughput there too.
+    # Both tiers come from the runner's identity-stable caches: the compiled
+    # program below is reused across checkpoint chunks.
+    batched_tier = None if use_sp else runner._batched_lnprob_cached()
+    partial_tier = runner._partial_tier_cached() if use_sp else None
+
+    _ = runner.compiled  # refresh the parameter fingerprint for the caches
+    if use_sp:
+        # the padded device-resident catalog is reused across checkpoint
+        # chunks — rebuilding it would re-transfer every column per chunk
+        dkey = (runner._compiled_fp, n_sp)
+        dcache = getattr(runner, "_sharded_data_cache", None)
+        if dcache is None or dcache[0] != dkey:
+            data = pad_star_axis(
+                runner.prepare_data(dict(runner._data_arrays)), n_sp)
+            if "mask" not in data:
+                data["mask"] = jnp.ones_like(data["v"])
+            names = tuple(sorted(data.keys()))
+            dcache = (dkey, names, [data[k] for k in names])
+            runner._sharded_data_cache = dcache
+        data_names, data_arrays = dcache[1], list(dcache[2])
+    else:
+        data_names, data_arrays = (), []
+
+    star_spec = P(sp_axis) if use_sp else P()
+    if spans:
+        # per-process feeding: every host holds the full catalog; each
+        # materialises only the shards its local devices own (DCN never
+        # carries the catalog — only psum partials and gathered half-ensembles)
+        coords = to_global(mesh, P(dp_axis, None), coords)
+        key = _globalize_key(key, mesh, key_spec)
+        data_arrays = [to_global(mesh, star_spec, fetch(a))
+                       for a in data_arrays]
+
+    cache_key = (runner, runner._compiled_fp, batched_tier, partial_tier,
+                 mesh, dp_axis, sp_axis, use_sp, moves, float(a),
+                 int(n_steps), n_walkers, ndim, bool(typed_key),
+                 bool(key_prefolded), str(runner.dtype),
+                 tuple((k, tuple(v.shape), str(v.dtype))
+                       for k, v in zip(data_names, data_arrays)))
+    sharded_run = _PROGRAM_CACHE.get(cache_key)
+    if sharded_run is None:
+        if len(_PROGRAM_CACHE) >= 8:
+            _PROGRAM_CACHE.clear()
+        sharded_run = _build_sharded_run(
+            runner, compiled, mesh, dp_axis, sp_axis, use_sp, moves, a,
+            n_steps, half_local, w_local, key_prefolded, key_spec, star_spec,
+            data_names, batched_tier, partial_tier)
+        _PROGRAM_CACHE[cache_key] = sharded_run
 
     c_fin, lnp_fin, key_fin, chain, lnp_hist, acc = sharded_run(
         coords, key, *data_arrays)

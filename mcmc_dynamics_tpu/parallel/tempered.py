@@ -38,17 +38,30 @@ from .distributed import fetch, mesh_spans_processes, to_global
 
 __all__ = ["run_tempered_sharded"]
 
+# compiled ladder programs keyed by (runner, tier, mesh, shapes, ...); same
+# rationale as parallel/sharded.py: shard_map caches on function identity,
+# so chunked ladder runs would otherwise recompile the scan per chunk
+_PROGRAM_CACHE: dict = {}
+
 
 def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
                          temp_axis: str = "tp", beta_min: float = 1e-3,
                          a: float = 2.0, swap_every: int = 1,
-                         move="stretch") -> TemperedResult:
+                         move="stretch", step0: int = 0) -> TemperedResult:
     """Advance a temperature-sharded tempered ensemble ``n_steps`` steps.
 
     ``coords``: (W, P) starting positions (replicated to every temperature, as
-    in :func:`sampler.tempered.init_tempered`).  The ladder size equals the
-    mesh's ``temp_axis`` extent; the star catalog is replicated per rank so
-    each temperature runs the model's fastest batched tier locally.
+    in :func:`sampler.tempered.init_tempered`), or (n_temps, W, P) —
+    a prior run's ``result.final.coords`` — to RESUME the ladder: each
+    temperature continues from its own walkers (per-level lnP is recomputed
+    deterministically), and passing ``result.final.key`` continues the PRNG
+    stream, so chunked runs match an uninterrupted one.  ``step0`` (a resumed
+    state's ``final.step``) keeps the even-odd swap-phase sequence aligned
+    when the completed step count is not an even multiple of
+    ``swap_every``.  The ladder size
+    equals the mesh's ``temp_axis`` extent; the star catalog is replicated
+    per rank so each temperature runs the model's fastest batched tier
+    locally.
     """
     if temp_axis not in mesh.shape:
         raise ValueError(f"mesh has no axis {temp_axis!r} (axes: {mesh.shape})")
@@ -57,14 +70,21 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         raise ValueError("Need at least 2 temperatures (mesh axis size >= 2).")
 
     coords = jnp.asarray(coords, runner.dtype)
-    n_walkers, ndim = coords.shape
+    resumed = coords.ndim == 3
+    if resumed and coords.shape[0] != n_temps:
+        raise ValueError(
+            f"Resuming a tempered ladder requires the same tp extent: state "
+            f"carries {coords.shape[0]} temperatures, mesh has tp={n_temps}.")
+    n_walkers, ndim = coords.shape[-2:]
     if n_walkers % 2:
         raise ValueError("Number of walkers must be even.")
     half = n_walkers // 2
+    coords_spec = P(temp_axis) if resumed else P()
 
     betas = jnp.asarray(make_beta_ladder(n_temps, beta_min), coords.dtype)
     moves = normalize_move(move)
-    batched_lnprob = runner.build_lnprob_batched()
+    # identity-stable tier: the shard_map program below is cached on it
+    batched_lnprob = runner._batched_lnprob_cached()
 
     # process-spanning (multi-host) meshes: inputs become global arrays —
     # the ladder sharded over tp, starting ensemble and key replicated
@@ -72,7 +92,7 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         from .sharded import _globalize_key
 
         betas = to_global(mesh, P(temp_axis), fetch(betas))
-        coords = to_global(mesh, P(), fetch(coords))
+        coords = to_global(mesh, coords_spec, fetch(coords))
         key = _globalize_key(key, mesh, P())
 
     # even-odd phase pairings as static ppermute permutations
@@ -86,7 +106,7 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
 
     perms = (_phase_perm(0), _phase_perm(1))
 
-    in_specs = (P(temp_axis), P(), P())
+    in_specs = (P(temp_axis), coords_spec, P(), P())
     # per-level outputs carry the ladder on their leading axis; the cold
     # trajectory and the advanced key are replicated (P()) — the trajectory is
     # masked to rank 0 and psum'd so the host never gathers the 7 unused
@@ -97,9 +117,14 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
              check_vma=False)
-    def sharded_run(betas_local, coords0, key):
+    def sharded_run(betas_local, coords0, key, step_offset):
         k_idx = jax.lax.axis_index(temp_axis)
         beta = betas_local[0]
+        if resumed:
+            coords0 = coords0[0]   # this rank's temperature block (1, W, P)
+        # per-level lnP is recomputed rather than carried: batched_lnprob is
+        # deterministic, so the value is bitwise-identical to the one a
+        # carried state would hold
         lnp0 = batched_lnprob(coords0)
 
         def half_update(active, active_lnp, other, subkey):
@@ -149,11 +174,15 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
 
             # phase counts SWAP ROUNDS, not raw steps: with an even swap_every
             # a raw step_idx % 2 phase would be pinned and half the pairs
-            # (including the cold pair) would never exchange
+            # (including the cold pair) would never exchange.  The GLOBAL
+            # step (step_offset + step_idx) drives both the swap timing and
+            # the phase, so a resumed chunk continues the exact sequence an
+            # uninterrupted run would follow.
+            g = step_offset + step_idx
             c, lnp, n_sw = jax.lax.cond(
-                (step_idx % swap_every) == swap_every - 1,
+                (g % swap_every) == swap_every - 1,
                 lambda args: do_swap(args[0], args[1], k_swap,
-                                     (step_idx // swap_every) % 2),
+                                     (g // swap_every) % 2),
                 lambda args: (args[0], args[1], jnp.zeros((), jnp.int32)),
                 (c, lnp))
             swaps = swaps + n_sw
@@ -177,8 +206,24 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         return (c_fin[None], lnp_fin[None], jnp.mean(lnp_means)[None],
                 traj_c, traj_lnp, acc[None], swaps[None], k_out)
 
+    _ = runner.compiled  # refresh the parameter fingerprint for the cache key
+    cache_key = (runner, runner._compiled_fp, batched_lnprob, mesh, temp_axis,
+                 n_temps, moves, float(a), int(swap_every), int(n_steps),
+                 n_walkers, ndim, bool(resumed), str(runner.dtype))
+    cached = _PROGRAM_CACHE.get(cache_key)
+    if cached is not None:
+        sharded_run = cached     # reuse the compiled program across chunks
+    else:
+        if len(_PROGRAM_CACHE) >= 8:
+            _PROGRAM_CACHE.clear()
+        _PROGRAM_CACHE[cache_key] = sharded_run
+
+    step0 = int(step0)
+    step_arr = jnp.asarray(step0, jnp.int32)
+    if mesh_spans_processes(mesh):
+        step_arr = to_global(mesh, P(), np.asarray(step0, np.int32))
     (c_fin, lnp_fin, mean_lnp, traj_c, traj_lnp, acc,
-     swaps, key_data) = sharded_run(betas, coords, key)
+     swaps, key_data) = sharded_run(betas, coords, key, step_arr)
 
     # host-side assembly mirrors sampler.tempered.run_tempered; the advanced
     # key (identical on every rank — swaps/moves fold a shared stream) makes
@@ -188,16 +233,21 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key_data
     chain = jnp.swapaxes(traj_c, 0, 1)             # cold chain (W, S, P)
     log_prob = jnp.swapaxes(traj_lnp, 0, 1)
-    # pair (k, k+1) is active when the swap-round parity equals k % 2, so with
-    # an odd round count the even (phase-0) pairs attempt one extra round
-    n_rounds = n_steps // max(swap_every, 1)
+    # pair (k, k+1) is active when the swap-round parity equals k % 2; count
+    # the phase-0/phase-1 rounds that actually fell inside this chunk's
+    # global step window [step0, step0 + n_steps)
+    se = max(swap_every, 1)
+    first_swap = step0 + ((se - 1 - step0) % se)
+    n_even = sum(1 for s in range(first_swap, step0 + n_steps, se)
+                 if (s // se) % 2 == 0)
+    n_rounds = len(range(first_swap, step0 + n_steps, se))
     pair_idx = np.arange(n_temps - 1)
-    attempts = np.where(pair_idx % 2 == 0, (n_rounds + 1) // 2, n_rounds // 2)
+    attempts = np.where(pair_idx % 2 == 0, n_even, n_rounds - n_even)
     attempts = np.maximum(attempts * n_walkers, 1)
     final = TemperedState(
         coords=c_fin, log_prob=lnp_fin, key=final_key,
         accepted=acc, swaps_accepted=swaps[:-1],
-        step=jnp.asarray(n_steps, jnp.int32))
+        step=jnp.asarray(step0 + n_steps, jnp.int32))
     return TemperedResult(
         chain=chain, log_prob=log_prob,
         mean_lnp_by_beta=mean_lnp,

@@ -105,7 +105,8 @@ class TestWalkerSharding:
         fit = _fit(n=50)
         mesh = make_mesh(("dp",), (8,))
         pos = fit.get_initials(20)  # not a multiple of 16
-        with pytest.raises(AssertionError):
+        # ValueError, not assert: user-input validation must survive python -O
+        with pytest.raises(ValueError, match="multiple of 2"):
             run_ensemble_sharded(fit, pos, jax.random.PRNGKey(0), n_steps=5,
                                  mesh=mesh, sp_axis=None)
 
@@ -125,6 +126,42 @@ class TestMeshShapes:
         lnp = np.asarray(result.final_log_prob)
         for w in (0, 7, 15):
             assert math.isclose(lnp[w], float(fit.lnprob(coords[w])), rel_tol=1e-9)
+
+    def test_three_axis_mesh_autofactorized(self):
+        """make_mesh with three axis names must produce a valid 3-axis shape
+        (it used to crash with a Mesh-ndim error from a 2-tuple factorization)."""
+        mesh = make_mesh(("dp", "sp", "tp"))
+        assert len(mesh.shape) == 3
+        assert int(np.prod(list(mesh.shape.values()))) == 8
+        from mcmc_dynamics_tpu.parallel.mesh import factorize_devices
+        assert factorize_devices(8, 3) == (2, 2, 2)
+        assert factorize_devices(12, 3) == (3, 2, 2)
+        assert factorize_devices(7, 2) == (7, 1)
+        with pytest.raises(ValueError, match="devices"):
+            make_mesh(("dp",), (3,))
+
+    def test_sharded_program_cache_reuses_across_chunks(self):
+        """Chunked sharded runs (the _call_sharded loop) must hit the compiled
+        program cache — a rebuild per n_out chunk recompiles the whole scan."""
+        from mcmc_dynamics_tpu.parallel import sharded as sh
+
+        fit = _fit(n=80, seed=6)
+        mesh = make_mesh(("dp",), (4,), devices=jax.devices()[:4])
+        pos = fit.get_initials(16)
+        sh._PROGRAM_CACHE.clear()
+        r1 = run_ensemble_sharded(fit, pos, jax.random.PRNGKey(3), n_steps=4,
+                                  mesh=mesh, sp_axis=None)
+        n_after_first = len(sh._PROGRAM_CACHE)
+        # resume chunk: prefolded stacked key -> one more (different) program
+        r2 = run_ensemble_sharded(fit, r1.final_coords, r1.final_key,
+                                  n_steps=4, mesh=mesh, sp_axis=None)
+        n_after_second = len(sh._PROGRAM_CACHE)
+        # third chunk must reuse the second's program exactly
+        run_ensemble_sharded(fit, r2.final_coords, r2.final_key,
+                             n_steps=4, mesh=mesh, sp_axis=None)
+        assert n_after_first == 1
+        assert n_after_second == 2
+        assert len(sh._PROGRAM_CACHE) == 2
 
 
 class TestJamSharding:

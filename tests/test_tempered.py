@@ -159,6 +159,65 @@ class TestShardedTempering:
             run_tempered_sharded(fit, fit.get_initials(8),
                                  jax.random.PRNGKey(0), n_steps=4, mesh=mesh)
 
+    def test_ladder_resume_matches_uninterrupted(self):
+        """final.coords (n_temps, W, P) + final.key + step0 resume the ladder
+        ON the mesh: a 25+35 chunked run reproduces a 60-step run's cold
+        chain bitwise — the ODD split exercises the global-step swap-phase
+        alignment (per-level lnP recompute is deterministic)."""
+        import jax
+        from mcmc_dynamics_tpu.parallel import make_mesh, run_tempered_sharded
+        from mcmc_dynamics_tpu.parallel import tempered as pt
+
+        fit = self._fit(seed=7)
+        mesh = make_mesh(("tp",), (8,))
+        pos = fit.get_initials(16)
+        full = run_tempered_sharded(fit, pos, jax.random.PRNGKey(9),
+                                    n_steps=60, mesh=mesh)
+        pt._PROGRAM_CACHE.clear()
+        r1 = run_tempered_sharded(fit, pos, jax.random.PRNGKey(9),
+                                  n_steps=25, mesh=mesh)
+        r2 = run_tempered_sharded(fit, r1.final.coords, r1.final.key,
+                                  n_steps=35, mesh=mesh,
+                                  step0=int(r1.final.step))
+        assert int(r2.final.step) == 60
+        chunked = np.concatenate([np.asarray(r1.chain), np.asarray(r2.chain)],
+                                 axis=1)
+        np.testing.assert_array_equal(chunked, np.asarray(full.chain))
+        np.testing.assert_array_equal(np.asarray(r2.final.coords),
+                                      np.asarray(full.final.coords))
+        # a further same-shape resumed chunk reuses the compiled program
+        n_programs = len(pt._PROGRAM_CACHE)
+        run_tempered_sharded(fit, r2.final.coords, r2.final.key,
+                             n_steps=35, mesh=mesh, step0=int(r2.final.step))
+        assert len(pt._PROGRAM_CACHE) == n_programs == 2  # fresh + resumed
+        # wrong ladder extent is rejected
+        with pytest.raises(ValueError, match="tp extent"):
+            run_tempered_sharded(fit, r1.final.coords[:4],
+                                 r1.final.key, n_steps=4, mesh=mesh)
+
+    def test_sample_tempered_state_resume_both_paths(self):
+        """Runner.sample_tempered(state=...) continues the ladder where a
+        prior run stopped, on the mesh and on a single device."""
+        from mcmc_dynamics_tpu.parallel import make_mesh
+
+        fit = self._fit(seed=9)
+        mesh = make_mesh(("tp",), (8,))
+        # reuse pos: get_initials advances the host RNG on every call
+        pos = fit.get_initials(16)
+        r1, _ = fit.sample_tempered(pos=pos, n_steps=21, mesh=mesh, seed=4)
+        r2, _ = fit.sample_tempered(n_steps=19, mesh=mesh,
+                                    state=r1.final_state)
+        full, _ = fit.sample_tempered(pos=pos, n_steps=40, mesh=mesh, seed=4)
+        chunked = np.concatenate([r1.chain, r2.chain], axis=1)
+        np.testing.assert_array_equal(chunked, full.chain)
+
+        s1, _ = fit.sample_tempered(pos=pos, n_steps=20, n_temps=4, seed=5)
+        s2, _ = fit.sample_tempered(n_steps=20, n_temps=4,
+                                    state=s1.final_state)
+        sfull, _ = fit.sample_tempered(pos=pos, n_steps=40, n_temps=4, seed=5)
+        chunked1 = np.concatenate([s1.chain, s2.chain], axis=1)
+        np.testing.assert_array_equal(chunked1, sfull.chain)
+
 
 class TestTemperedMoves:
     def test_de_mixture_move_in_tempered_sampler(self):
