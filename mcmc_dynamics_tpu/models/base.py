@@ -85,6 +85,7 @@ class Runner:
 
         # observable columns -> device-ready arrays in internal units
         self._data_arrays: Dict[str, jnp.ndarray] = {}
+        self._host_arrays: Dict[str, np.ndarray] = {}
         for name, unit in self.OBSERVABLES.items():
             assert name in data.data, f"Input data missing required column <{name}>"
             col = data.data[name]
@@ -101,7 +102,6 @@ class Runner:
             if internal is not None:
                 values = values * u.parse_unit(unit).conversion_factor(
                     u.parse_unit(internal))
-            self._host_arrays = getattr(self, "_host_arrays", {})
             self._host_arrays[name] = values  # float64, for exact precomputes
             self._data_arrays[name] = jnp.asarray(values, dtype=self.dtype)
 
@@ -261,7 +261,8 @@ class Runner:
         import os
 
         _ = self.compiled  # refresh fingerprint
-        key = (self._compiled_fp, os.environ.get("MCMC_TPU_LNPROB", "auto"),
+        key = (self._compiled_fp, self.program_cache_salt(),
+               os.environ.get("MCMC_TPU_LNPROB", "auto"),
                bool(os.environ.get("MCMC_TPU_DISABLE_PALLAS")))
         cached = getattr(self, "_lnprob_batched_cache", None)
         if cached is None or cached[0] != key:
@@ -277,7 +278,8 @@ class Runner:
         import os
 
         _ = self.compiled  # refresh fingerprint
-        key = (self._compiled_fp, os.environ.get("MCMC_TPU_LNPROB", "auto"),
+        key = (self._compiled_fp, self.program_cache_salt(),
+               os.environ.get("MCMC_TPU_LNPROB", "auto"),
                bool(os.environ.get("MCMC_TPU_DISABLE_PALLAS")))
         cached = getattr(self, "_partial_tier_cache", None)
         if cached is None or cached[0] != key:
@@ -285,11 +287,33 @@ class Runner:
             self._partial_tier_cache = cached
         return cached[1]
 
+    def _validated_initials(self, pos, n_walkers: int) -> np.ndarray:
+        """Draw (if needed) and validate (W, K) starting positions: shape
+        check + every walker must start at finite lnprior.  Shared by the
+        single-device and mesh production loops."""
+        if pos is None:
+            pos = self.get_initials(n_walkers)
+        pos = np.asarray(pos, dtype=np.float64)
+        if pos.shape != (n_walkers, self.n_fitted_parameters):
+            raise ValueError(
+                f"Array with starting values has invalid shape {pos.shape}; "
+                f"expected {(n_walkers, self.n_fitted_parameters)}.")
+        lnprior_v = jax.jit(jax.vmap(self.compiled.lnprior))
+        bad = ~np.isfinite(np.asarray(lnprior_v(jnp.asarray(pos, self.dtype))))
+        if bad.any():
+            i = int(np.argmax(bad))
+            raise ValueError(f"Invalid initial guesses for walker {i}: "
+                             f"{self.fitted_parameters}={pos[i]}")
+        return pos
+
     # public parity API (reference runner.py:288-306); host conveniences
     def lnprob(self, theta):
         _ = self.compiled  # fingerprint check: parameter mutations invalidate caches
-        if self._lnprob_jit is None:
+        salt = self.program_cache_salt()
+        if self._lnprob_jit is None \
+                or getattr(self, "_lnprob_jit_salt", None) != salt:
             self._lnprob_jit = jax.jit(self.build_lnprob())
+            self._lnprob_jit_salt = salt
         return self._lnprob_jit(jnp.asarray(theta, dtype=self.dtype))
 
     def lnprior(self, theta):
@@ -499,21 +523,7 @@ class Runner:
         lnprob = self._batched_lnprob_cached()
 
         if state is None:
-            if pos is None:
-                pos = self.get_initials(n_walkers)
-            pos = np.asarray(pos, dtype=np.float64)
-            assert pos.shape == (n_walkers, self.n_fitted_parameters), \
-                "Array with starting values has invalid shape."
-
-            lnprior_v = jax.jit(jax.vmap(self.compiled.lnprior))
-            prior_vals = np.asarray(lnprior_v(jnp.asarray(pos, dtype=self.dtype)))
-            bad = ~np.isfinite(prior_vals)
-            if bad.any():
-                i = int(np.argmax(bad))
-                raise ValueError(
-                    f"Invalid initial guesses for walker {i}: "
-                    f"{self.fitted_parameters}={pos[i]}")
-
+            pos = self._validated_initials(pos, n_walkers)
             key = make_key(self.seed if seed is None else seed)
             state = init_state(lnprob, jnp.asarray(pos, dtype=self.dtype), key,
                                batched=True)
@@ -535,7 +545,10 @@ class Runner:
                 with telemetry.chunk(steps):
                     result = run_ensemble(lnprob, state, n_steps=steps, a=a,
                                           thin=thin, move=move, batched=True)
-                    jax.block_until_ready(result.final.coords)
+                    # np.asarray, not block_until_ready: the tunnelled TPU
+                    # backend's barrier can return before the scan finishes,
+                    # inflating telemetry rates (CLAUDE.md bench note)
+                    np.asarray(result.final.log_prob)
             else:
                 result = run_ensemble(lnprob, state, n_steps=steps, a=a, thin=thin,
                                       move=move, batched=True)
@@ -677,17 +690,7 @@ class Runner:
             n_walkers = coords.shape[0]
             key = state.key
         else:
-            if pos is None:
-                pos = self.get_initials(n_walkers)
-            pos = np.asarray(pos, dtype=np.float64)
-            assert pos.shape == (n_walkers, self.n_fitted_parameters), \
-                "Array with starting values has invalid shape."
-            lnprior_v = jax.jit(jax.vmap(self.compiled.lnprior))
-            bad = ~np.isfinite(np.asarray(lnprior_v(jnp.asarray(pos, self.dtype))))
-            if bad.any():
-                i = int(np.argmax(bad))
-                raise ValueError(f"Invalid initial guesses for walker {i}: "
-                                 f"{self.fitted_parameters}={pos[i]}")
+            pos = self._validated_initials(pos, n_walkers)
             key = make_key(self.seed if seed is None else seed)
             coords = jnp.asarray(pos, self.dtype)
 
@@ -722,7 +725,8 @@ class Runner:
                                                   n_steps=steps, mesh=mesh,
                                                   dp_axis=dp_axis,
                                                   sp_axis=sp_axis, a=a, move=move)
-                    jax.block_until_ready(result.final_coords)
+                    # fetch+asarray = real completion barrier (see above)
+                    np.asarray(fetch(result.final_log_prob))
             else:
                 result = run_ensemble_sharded(self, coords, key, n_steps=steps,
                                               mesh=mesh, dp_axis=dp_axis,
@@ -789,6 +793,7 @@ class Runner:
         arrays = dict(chain=fetch(chain), lnprob=fetch(lnprob),
                       key=key_data, key_impl=np.asarray(key_impl),
                       coords=fetch(state.coords),
+                      log_prob=fetch(state.log_prob),
                       accepted=fetch(state.accepted), step=fetch(state.step))
         if is_primary():
             np.savez(f"{prefix}_chain.npz", **arrays)
@@ -809,17 +814,29 @@ class Runner:
             key = key_from_arrays(f["key"], impl)
             accepted = jnp.asarray(f["accepted"])
             step = jnp.asarray(f["step"])
-        lnprob = self.build_lnprob_batched()
-        log_prob = lnprob(coords)
+            # restore the IN-SCAN log_prob: an eager recompute can differ at
+            # the ULP level from the fused in-scan value (especially f32 on
+            # TPU) and flip the first accept/reject decisions after resume,
+            # breaking the bitwise-exact continuation contract
+            if "log_prob" in f:
+                log_prob = jnp.asarray(f["log_prob"], dtype=self.dtype)
+            else:       # legacy checkpoint: recompute (best effort)
+                log_prob = None
+        if log_prob is None:
+            log_prob = self._batched_lnprob_cached()(coords)
         return EnsembleState(coords=coords, log_prob=log_prob, key=key,
                              accepted=accepted, step=step)
 
     @staticmethod
     def read_chain(filename: str):
-        """Load a checkpointed chain; supports this package's .npz and legacy pickle."""
+        """Load a checkpointed chain; supports this package's .npz and legacy
+        pickle.  An explicitly named existing file is honoured verbatim — the
+        .npz fallback only kicks in when the given path itself is absent."""
         path = pathlib.Path(filename)
-        if path.suffix == ".npz" or path.with_suffix(".npz").exists():
-            with np.load(path if path.suffix == ".npz" else path.with_suffix(".npz")) as f:
+        if path.suffix == ".npz" \
+                or (not path.exists() and path.with_suffix(".npz").exists()):
+            with np.load(path if path.suffix == ".npz"
+                         else path.with_suffix(".npz")) as f:
                 return f["chain"]
         with open(path, "rb") as f:
             return pickle.load(f)
@@ -884,8 +901,6 @@ class Runner:
             raise NotImplementedError(
                 f"{type(self).__name__} does not expose analytic "
                 "rotation/dispersion fields; use create_profiles().")
-        from ..utils.table import Table
-
         ra_q = ra if isinstance(ra, u.Quantity) else u.Quantity(ra, "deg")
         dec_q = dec if isinstance(dec, u.Quantity) else u.Quantity(dec, "deg")
         ra_rad = np.atleast_1d(ra_q.to("rad").value)
@@ -898,6 +913,11 @@ class Runner:
 
         chain = np.asarray(chain)
         flat = chain[:, n_burn:, :].reshape(-1, chain.shape[-1])
+        if flat.shape[0] == 0:
+            raise ValueError(
+                f"n_burn={n_burn} leaves no posterior samples: the chain "
+                f"holds {chain.shape[1]} recorded steps (note recorded steps "
+                "= true steps / thin).")
         rng = np.random.default_rng(seed)
         draws = jnp.asarray(flat[rng.integers(0, flat.shape[0], n_samples)],
                             self.dtype)
@@ -912,9 +932,12 @@ class Runner:
 
     @staticmethod
     def _predictive_table(ra_q, dec_q, v, sigma):
-        from ..utils.table import Table
-
         good = np.isfinite(v).all(axis=1) & np.isfinite(sigma).all(axis=1)
+        if not good.any():
+            raise ValueError(
+                "Every posterior draw produced non-finite predicted fields — "
+                "the sampled region of parameter space is invalid for this "
+                "model (check bounds / burn-in).")
         v, sigma = v[good], sigma[good]
         pv = np.percentile(v, [50, 16, 84], axis=0)
         ps = np.percentile(sigma, [50, 16, 84], axis=0)
@@ -1000,11 +1023,14 @@ class SamplerResult:
         """Stored chain in the emcee *v3* layout (steps, walkers, ndim);
         ``discard`` drops burn-in steps, ``thin`` keeps every thin-th step,
         ``flat`` flattens (steps, walkers) into one sample axis."""
-        v = np.swapaxes(np.asarray(self.chain), 0, 1)[discard::thin]
+        # emcee v3 slice semantics ([discard+thin-1::thin]: the LAST step of
+        # each thin window) — matches real emcee and emcee_backends.get_chain
+        v = np.swapaxes(np.asarray(self.chain), 0, 1)[discard + thin - 1::thin]
         return v.reshape(-1, v.shape[2]) if flat else v
 
     def get_log_prob(self, flat: bool = False, thin: int = 1, discard: int = 0):
-        v = np.swapaxes(np.asarray(self.lnprobability), 0, 1)[discard::thin]
+        v = np.swapaxes(np.asarray(self.lnprobability), 0,
+                        1)[discard + thin - 1::thin]
         return v.reshape(-1) if flat else v
 
     def get_autocorr_time(self, discard: int = 0, thin: int = 1, c: float = 5.0,
@@ -1014,7 +1040,7 @@ class SamplerResult:
         shorter than ``tol`` tau, unless ``quiet``)."""
         from ..sampler.diagnostics import AutocorrError, autocorr_time
 
-        sub = np.asarray(self.chain)[:, discard::thin, :]
+        sub = np.asarray(self.chain)[:, discard + thin - 1::thin, :]
         tau = autocorr_time(sub, c=c) * thin
         n_eff_steps = sub.shape[1] * thin
         if not quiet and np.any(tau * tol > n_eff_steps):

@@ -320,7 +320,8 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         data_arrays = [to_global(mesh, star_spec, fetch(a))
                        for a in data_arrays]
 
-    cache_key = (runner, runner._compiled_fp, batched_tier, partial_tier,
+    cache_key = (runner, runner._compiled_fp, runner.program_cache_salt(),
+                 batched_tier, partial_tier,
                  mesh, dp_axis, sp_axis, use_sp, moves, float(a),
                  int(n_steps), n_walkers, ndim, bool(typed_key),
                  bool(key_prefolded), str(runner.dtype),

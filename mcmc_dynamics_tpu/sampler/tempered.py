@@ -104,7 +104,7 @@ def _scan_tempered(batched_lnprob, state: TemperedState, betas, n_steps: int,
         return (jnp.concatenate([cA, cB]), jnp.concatenate([pA, pB]),
                 jnp.concatenate([aA, aB]))
 
-    def body(carry, step_idx):
+    def body(carry, _):
         st = carry
         key, k_move, k_swap = jax.random.split(st.key, 3)
         move_keys = jax.random.split(k_move, n_temps)
@@ -134,8 +134,11 @@ def _scan_tempered(batched_lnprob, state: TemperedState, betas, n_steps: int,
             return jax.lax.fori_loop(0, n_temps - 1, swap_pair,
                                      (coords, lnp, swaps))
 
+        # gate on the carried GLOBAL step (st.step), not the scan-local
+        # index: a run resumed from a checkpoint then keeps the exact swap
+        # schedule of an uninterrupted run at any chunk split
         coords, lnp, swaps = jax.lax.cond(
-            (step_idx % swap_every) == swap_every - 1,
+            (st.step % swap_every) == swap_every - 1,
             do_swaps, lambda args: args, (coords, lnp, st.swaps_accepted))
 
         new = TemperedState(coords=coords, log_prob=lnp, key=key,
@@ -145,8 +148,8 @@ def _scan_tempered(batched_lnprob, state: TemperedState, betas, n_steps: int,
                jnp.mean(lnp, axis=1))
         return new, out
 
-    final, (traj, lnp_by_beta) = jax.lax.scan(body, state,
-                                              jnp.arange(n_steps))
+    final, (traj, lnp_by_beta) = jax.lax.scan(body, state, None,
+                                              length=n_steps)
     return final, traj, lnp_by_beta
 
 

@@ -233,6 +233,25 @@ class TestMgeGrid:
         with pytest.raises(AssertionError):
             Axisymmetric(data, mge_mass=None, mge_lum=None, mge_files=None)
 
+    def test_quadrature_change_invalidates_cached_programs(self):
+        """n_u/n_zeta are documented tunables baked into the jitted
+        likelihood closures; changing them must rebuild lnprob and the
+        batched tier (they used to key caches on the parameter fingerprint
+        only, silently reusing the old quadrature)."""
+        data, lum, mass = _mock_jam_data(n=40)
+        params = _base_params()
+        params["mlr"].set(fixed=False, min=0.1, max=10.0)
+        fit = Axisymmetric(data, parameters=params, mge_mass=mass, mge_lum=lum)
+        theta = np.array([2.0])
+        v24 = float(fit.lnprob(theta))
+        tier24 = fit._batched_lnprob_cached()
+        fit.n_u = 8                    # deliberately coarse -> different value
+        v8 = float(fit.lnprob(theta))
+        assert v8 != v24
+        assert fit._batched_lnprob_cached() is not tier24
+        fit.n_u = type(fit).n_u        # restore -> cache key matches again
+        assert float(fit.lnprob(theta)) == v24
+
 
 class TestAxisymmetricWithBackground:
     def test_field_star_mixture(self):

@@ -158,9 +158,10 @@ class TestDiagnostics:
         v3 = res.get_chain()
         assert v3.shape == (S, W, K)
         np.testing.assert_array_equal(v3[7, 2], chain[2, 7])
+        # emcee v3 thin rule: the LAST step of each window ([discard+thin-1::thin])
         sub = res.get_chain(discard=10, thin=2)
-        assert sub.shape == ((S - 10 + 1) // 2, W, K)
-        np.testing.assert_array_equal(sub[0, 1], chain[1, 10])
+        assert sub.shape == ((S - 10) // 2, W, K)
+        np.testing.assert_array_equal(sub[0, 1], chain[1, 11])
         flat = res.get_chain(discard=10, thin=2, flat=True)
         assert flat.shape == (sub.shape[0] * W, K)
         assert res.get_log_prob(discard=5).shape == (S - 5, W)

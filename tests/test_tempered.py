@@ -211,8 +211,10 @@ class TestShardedTempering:
         chunked = np.concatenate([r1.chain, r2.chain], axis=1)
         np.testing.assert_array_equal(chunked, full.chain)
 
-        s1, _ = fit.sample_tempered(pos=pos, n_steps=20, n_temps=4, seed=5)
-        s2, _ = fit.sample_tempered(n_steps=20, n_temps=4,
+        # odd split: the swap schedule is gated on the carried global step,
+        # so resume aligns even when the chunk is not a swap_every multiple
+        s1, _ = fit.sample_tempered(pos=pos, n_steps=17, n_temps=4, seed=5)
+        s2, _ = fit.sample_tempered(n_steps=23, n_temps=4,
                                     state=s1.final_state)
         sfull, _ = fit.sample_tempered(pos=pos, n_steps=40, n_temps=4, seed=5)
         chunked1 = np.concatenate([s1.chain, s2.chain], axis=1)
