@@ -81,7 +81,9 @@ class ConstantFit(Runner):
         import jax
         if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
             return False
+        from ..ops.lnlike_kernels import star_table_fits_vmem
         return (jax.default_backend() == "tpu" and self._canonical_layout()
+                and star_table_fits_vmem(self.n_data)
                 and "lnlike_background" in self._data_arrays)
 
     def _sufficient_eligible(self) -> bool:
@@ -226,7 +228,9 @@ class ConstantFitGB(ConstantFit):
         import jax
         if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
             return False
-        return jax.default_backend() == "tpu" and self._canonical_layout()
+        from ..ops.lnlike_kernels import star_table_fits_vmem
+        return (jax.default_backend() == "tpu" and self._canonical_layout()
+                and star_table_fits_vmem(self.n_data))
 
     def _sufficient_eligible(self) -> bool:
         return False  # the density mixture is not quadratic in theta

@@ -92,7 +92,9 @@ class ModelFit(Runner):
         import jax
         if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
             return False
-        return jax.default_backend() == "tpu" and self._canonical_layout()
+        from ..ops.lnlike_kernels import star_table_fits_vmem
+        return (jax.default_backend() == "tpu" and self._canonical_layout()
+                and star_table_fits_vmem(self.n_data))
 
     def _sufficient_eligible(self) -> bool:
         """The O(n_bins)-per-walker radially-binned sufficient-statistics path
@@ -304,7 +306,9 @@ class _ModelMixtureKernelMixin:
         import jax
         if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
             return False
-        return jax.default_backend() == "tpu" and self._canonical_layout()
+        from ..ops.lnlike_kernels import star_table_fits_vmem
+        return (jax.default_backend() == "tpu" and self._canonical_layout()
+                and star_table_fits_vmem(self.n_data))
 
     def _sufficient_eligible(self) -> bool:
         return False  # density mixtures are not quadratic in theta

@@ -17,6 +17,8 @@ from __future__ import annotations
 import functools
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +36,10 @@ def background_logsumexp(v_catalog, v, verr, sigma_int=0.0,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if np.size(v_catalog) == 0:
+        raise ValueError(
+            "Empty background catalog: the KDE log-likelihood is undefined "
+            "(did the field-star selection match no stars?).")
     dtype = jnp.result_type(jnp.asarray(v).dtype, jnp.float32)
     v = jnp.asarray(v, dtype)
     verr = jnp.asarray(verr, dtype)

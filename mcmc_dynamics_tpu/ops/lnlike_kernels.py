@@ -37,6 +37,23 @@ __all__ = ["constant_mixture_lnlike_batched", "model_lnlike_batched",
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
+# The direct kernels hold the whole (rows, N_padded) star table resident in
+# VMEM (the fori_loop chunks register pressure, not footprint), plus walker
+# tiles and accumulators.  Stay well under the ~16 MB scoped-VMEM budget —
+# beyond this the Mosaic compile fails with an opaque VMEM-exhaustion error,
+# so eligibility checks route larger catalogs to the XLA lnlike_terms path
+# (or, for ModelFit/ConstantFit, the N-independent sufficient tiers).
+_VMEM_STAR_BUDGET_BYTES = 8 * 2 ** 20
+_MAX_TABLE_ROWS = 9            # widest kernel layout (GB mixtures)
+
+
+def star_table_fits_vmem(n_stars: int, rows: int = _MAX_TABLE_ROWS,
+                         itemsize: int = 4, star_chunk: int = 2048) -> bool:
+    """True when a catalog's padded star table fits the direct kernels'
+    VMEM budget (conservative: sized for the widest kernel in f32)."""
+    n_padded = -(-int(n_stars) // star_chunk) * star_chunk
+    return rows * n_padded * itemsize <= _VMEM_STAR_BUDGET_BYTES
+
 
 def _pad_stars(arrays, multiple):
     n = arrays[0].shape[0]
@@ -106,7 +123,11 @@ def constant_mixture_lnlike_batched(params, gx, gy, v, verr2, lgp, lg1mp, lnb, m
             ln_member = jnp.log(rs) - 0.5 * (dr * dr + _LOG_2PI)
             a_ = lgp_c + ln_member
             hi = jnp.maximum(a_, lgb_c)
-            t = (hi + jnp.log1p(jnp.exp(-jnp.abs(a_ - lgb_c)))) * m_c
+            # select(), not multiply: padded lanes (verr2 = 0) at the
+            # prior-legal sigma_max = 0 boundary give rs = inf -> a_ = inf,
+            # and inf * mask(0) = NaN poisons the walker
+            t = jnp.where(m_c > 0,
+                          hi + jnp.log1p(jnp.exp(-jnp.abs(a_ - lgb_c))), 0.0)
             return acc + jnp.sum(t, axis=1, keepdims=True)
 
         acc = jax.lax.fori_loop(0, n_chunks, body,
@@ -194,7 +215,11 @@ def model_lnlike_batched(params, dxm, dym, r2, v, verr2, mask,
             sig2 = sigma2 * jax.lax.rsqrt(1.0 + r2_c * inv_a2)
             norm = e2_c + sig2
             rs = jax.lax.rsqrt(q * q * norm)
-            quad = (d2 * rs) * (d2 * rs) * m_c
+            # select(), not multiply: a padded lane (verr2 = r2 = 0) with a
+            # prior-legal boundary walker (sigma_max = 0 or a = 0) yields
+            # rsqrt(0) = inf, and inf * mask(0) = NaN poisons the whole
+            # walker (cf. base.masked_sum)
+            quad = jnp.where(m_c > 0, (d2 * rs) * (d2 * rs), 0.0)
             # sum_i m log norm_i via products of 4: quarters the log count;
             # safe while norm^4 stays in f32 range (sigma <~ 1e4 km/s)
             nm = jnp.where(m_c > 0, norm, 1.0)
@@ -421,7 +446,9 @@ def double_model_lnlike_batched(params, dxm, dym, r2, v, verr2, mask,
             sig2 = sigma2 * jax.lax.rsqrt(1.0 + r2_c * inv_a2)
             norm = e2_c + sig2
             rs = jax.lax.rsqrt(norm)
-            quad = (d * rs) * (d * rs) * m_c
+            # select(), not multiply: see model_lnlike_batched (padded-lane
+            # inf * 0 = NaN at prior-legal boundary walkers)
+            quad = jnp.where(m_c > 0, (d * rs) * (d * rs), 0.0)
             nm = jnp.where(m_c > 0, norm, 1.0)
             logdet = jnp.log((nm[:, :quart] * nm[:, quart:half])
                              * (nm[:, half:half + quart] * nm[:, half + quart:]))

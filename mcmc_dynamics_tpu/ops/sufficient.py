@@ -59,7 +59,12 @@ class ConstantSufficientStats(NamedTuple):
         gy = jnp.asarray(gy, dtype)
         v = jnp.asarray(v, dtype)
         verr2 = jnp.asarray(verr2, dtype)
-        m = jnp.ones_like(v) if mask is None else jnp.asarray(mask, dtype)  # binary {0,1}
+        # binarise: the derivative tables fold the mask into both the basis
+        # and the w2 weight, so a fractional mask would be applied with
+        # different powers in the value vs derivative channels — only
+        # membership (0/1) semantics are supported
+        m = jnp.ones_like(v) if mask is None \
+            else (jnp.asarray(mask, dtype) > 0).astype(dtype)
 
         t0 = 0.0
         t1 = math.log1p(s_max)

@@ -189,6 +189,43 @@ class TestModelKernel:
             expected[w] = -0.5 * np.sum(t * mask)
         np.testing.assert_allclose(got, expected, rtol=1e-8)
 
+    def test_boundary_walker_survives_padded_lanes(self):
+        """A prior-legal boundary walker (sigma_max = 0) with zero-padded
+        star lanes must produce a finite lnlike — the padded lane used to
+        hit rsqrt(0) = inf and inf * mask(0) = NaN, freezing the walker."""
+        from jax.experimental.pallas import tpu as pltpu
+        from mcmc_dynamics_tpu.ops import (model_lnlike_batched,
+                                           constant_mixture_lnlike_batched)
+
+        rng = np.random.default_rng(3)
+        N = 100                      # NOT a multiple of star_chunk -> padding
+        dxm, dym = rng.normal(size=N), rng.normal(size=N)
+        r2 = dxm ** 2 + dym ** 2
+        v = rng.normal(size=N)
+        verr2 = (0.5 + rng.random(N)) ** 2
+        mask = np.ones(N)
+        # walker 0: sigma_max = 0 (bound); walker 1: ordinary
+        params = np.array([[0.0, 0.0, 1.0, 0.0, 0.0, 1.0],
+                           [0.0, 5.0, 1.0, 1.0, 1.0, 1.0]])
+        args = [jnp.asarray(a) for a in (params, dxm, dym, r2, v, verr2, mask)]
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(model_lnlike_batched(*args, walker_tile=8,
+                                                  star_chunk=128))
+        assert np.isfinite(got).all(), got
+
+        lgp = np.log(np.full(N, 0.7))
+        lgb = np.log(np.full(N, 0.3)) - 5.0
+        cparams = np.array([[0.0, 0.0, 0.0, 0.0],    # sigma_max = 0
+                            [0.0, 5.0, 1.0, 1.0]])
+        gx, gy = dym / np.sqrt(r2), -dxm / np.sqrt(r2)
+        with pltpu.force_tpu_interpret_mode():
+            got_c = np.asarray(constant_mixture_lnlike_batched(
+                jnp.asarray(cparams), jnp.asarray(gx), jnp.asarray(gy),
+                jnp.asarray(v), jnp.asarray(verr2), jnp.asarray(lgp),
+                jnp.asarray(np.log(0.3) * np.ones(N)), jnp.asarray(lgb),
+                jnp.asarray(mask), walker_tile=8, star_chunk=128))
+        assert np.isfinite(got_c).all(), got_c
+
 
 def _model_inputs(n_stars=1500, seed=11):
     rng = np.random.default_rng(seed)
@@ -653,3 +690,39 @@ class TestDoubleModelGBKernel:
                 jnp.asarray(np.log(dens)), jnp.ones_like(d["v"]),
                 walker_tile=8, star_chunk=128))
         np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+class TestKernelGuards:
+    def test_vmem_size_guard(self):
+        """Direct kernels hold the star table in VMEM; the eligibility guard
+        must route over-budget catalogs to the XLA path instead of letting
+        Mosaic fail at compile."""
+        from mcmc_dynamics_tpu.ops.lnlike_kernels import star_table_fits_vmem
+
+        assert star_table_fits_vmem(10_000)
+        assert star_table_fits_vmem(200_000)
+        assert not star_table_fits_vmem(1_000_000)
+
+    def test_sufficient_build_binarises_mask(self):
+        """Fractional masks would enter the value and derivative tables with
+        different powers; build() treats any positive mask as membership."""
+        from mcmc_dynamics_tpu.ops import ConstantSufficientStats
+
+        rng = np.random.default_rng(0)
+        n = 500
+        gx, gy = rng.normal(size=n), rng.normal(size=n)
+        v = 3.0 * rng.normal(size=n)
+        verr2 = (0.5 + rng.random(n)) ** 2
+        frac = np.where(rng.random(n) < 0.7, 0.5, 0.0)   # fractional weights
+        binary = (frac > 0).astype(float)
+        s_frac = ConstantSufficientStats.build(gx, gy, v, verr2, mask=frac)
+        s_bin = ConstantSufficientStats.build(gx, gy, v, verr2, mask=binary)
+        theta = jnp.asarray(np.array([[0.1, 4.0, 0.5, -0.3]]))
+        np.testing.assert_allclose(np.asarray(s_frac.lnlike(theta)),
+                                   np.asarray(s_bin.lnlike(theta)), rtol=1e-12)
+
+    def test_empty_background_catalog_rejected(self):
+        from mcmc_dynamics_tpu.ops import background_logsumexp
+
+        with pytest.raises(ValueError, match="Empty background"):
+            background_logsumexp(np.zeros(0), np.array([1.0]), np.array([1.0]))
