@@ -212,8 +212,19 @@ class Backend:
         payload = self.load_state()
         if payload is None:
             raise AttributeError("No samples stored yet: call run_mcmc first.")
-        return State(np.asarray(payload["coords"]),
-                     np.asarray(payload["log_prob"]))
+        coords = np.asarray(payload["coords"])
+        # emcee's get_last_sample carries blobs; attach the last stored blob
+        # column when it corresponds to this position (every store=True
+        # advance ends on a thin boundary, so the final state IS the last
+        # stored step — a store=False tail leaves them misaligned, so skip)
+        blobs = self._last_stored_blobs(coords) if self.has_blobs else None
+        return State(coords, np.asarray(payload["log_prob"]), blobs=blobs)
+
+    def _last_stored_blobs(self, coords):
+        """Last stored (W, ...) blob column iff it belongs to ``coords``."""
+        if self._len and np.array_equal(coords, self._chain[:, self._len - 1]):
+            return self._blobs[:, self._len - 1].copy()
+        return None
 
 
 class HDFBackend(Backend):
@@ -476,3 +487,14 @@ class HDFBackend(Backend):
 
     def _full_lnp(self) -> np.ndarray:
         return np.swapaxes(self._read("log_prob", 1, 0), 0, 1)
+
+    def _last_stored_blobs(self, coords):
+        """Last stored (W, ...) blob row iff it belongs to ``coords`` (the
+        HDF5 layout is steps-major, like emcee's)."""
+        with self._open() as f:
+            g = self._group(f)
+            n = int(g.attrs["iteration"])
+            if n and "blobs" in g and np.array_equal(
+                    coords, np.asarray(g["chain"][n - 1])):
+                return np.asarray(g["blobs"][n - 1])
+        return None

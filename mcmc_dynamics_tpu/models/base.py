@@ -447,7 +447,9 @@ class Runner:
                                        temp_axis=temp_axis, beta_min=beta_min,
                                        swap_every=swap_every, move=move,
                                        step0=0 if state is None
-                                       else int(state.step))
+                                       else int(state.step),
+                                       log_prob0=None if state is None
+                                       else state.log_prob)
             betas = make_beta_ladder(n_temps, beta_min)
             result = SamplerResult(chain=fetch(res.chain),
                                    lnprobability=fetch(res.log_prob),

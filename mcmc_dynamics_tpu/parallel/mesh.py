@@ -20,7 +20,7 @@ def factorize_devices(n_devices: int, n_axes: int = 2) -> Tuple[int, ...]:
     if n_axes == 1:
         return (n_devices,)
     # peel off the largest factor <= the n_axes-th root for the LAST axis,
-    # recurse on the rest: 8 devices x 3 axes -> (4, 2, 1)... prefer balance:
+    # recurse on the rest: 8 devices x 3 axes -> (2, 2, 2); prefer balance:
     # find the factor closest to the root from below (>= 1 always divides)
     root = max(1, round(n_devices ** (1.0 / n_axes)))
     last = 1

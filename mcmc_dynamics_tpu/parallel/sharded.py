@@ -317,8 +317,17 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         # carries the catalog — only psum partials and gathered half-ensembles)
         coords = to_global(mesh, P(dp_axis, None), coords)
         key = _globalize_key(key, mesh, key_spec)
-        data_arrays = [to_global(mesh, star_spec, fetch(a))
-                       for a in data_arrays]
+        if use_sp:
+            # the GLOBAL catalog arrays are cached too (keyed on mesh+spec):
+            # without this each checkpoint chunk would re-run fetch()+
+            # to_global() and re-transfer every column to the devices
+            gkey = (dkey, mesh, sp_axis)
+            gcache = getattr(runner, "_sharded_gdata_cache", None)
+            if gcache is None or gcache[0] != gkey:
+                gcache = (gkey, [to_global(mesh, star_spec, fetch(a))
+                                 for a in data_arrays])
+                runner._sharded_gdata_cache = gcache
+            data_arrays = list(gcache[1])
 
     cache_key = (runner, runner._compiled_fp, runner.program_cache_salt(),
                  batched_tier, partial_tier,

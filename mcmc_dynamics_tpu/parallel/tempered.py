@@ -47,15 +47,20 @@ _PROGRAM_CACHE: dict = {}
 def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
                          temp_axis: str = "tp", beta_min: float = 1e-3,
                          a: float = 2.0, swap_every: int = 1,
-                         move="stretch", step0: int = 0) -> TemperedResult:
+                         move="stretch", step0: int = 0,
+                         log_prob0=None) -> TemperedResult:
     """Advance a temperature-sharded tempered ensemble ``n_steps`` steps.
 
     ``coords``: (W, P) starting positions (replicated to every temperature, as
     in :func:`sampler.tempered.init_tempered`), or (n_temps, W, P) —
     a prior run's ``result.final.coords`` — to RESUME the ladder: each
-    temperature continues from its own walkers (per-level lnP is recomputed
-    deterministically), and passing ``result.final.key`` continues the PRNG
-    stream, so chunked runs match an uninterrupted one.  ``step0`` (a resumed
+    temperature continues from its own walkers, and passing
+    ``result.final.key`` continues the PRNG stream, so chunked runs match an
+    uninterrupted one.  On resume, pass the state's ``log_prob`` (n_temps, W)
+    as ``log_prob0`` so the carried IN-SCAN values continue bitwise — an
+    eager recompute of the same coords can differ at the ULP under f32
+    fusion and flip post-resume accepts (same rule as the ensemble
+    checkpoints); without it the lnP is recomputed.  ``step0`` (a resumed
     state's ``final.step``) keeps the even-odd swap-phase sequence aligned
     when the completed step count is not an even multiple of
     ``swap_every``.  The ladder size
@@ -80,6 +85,13 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
         raise ValueError("Number of walkers must be even.")
     half = n_walkers // 2
     coords_spec = P(temp_axis) if resumed else P()
+    carry_lnp = resumed and log_prob0 is not None
+    if carry_lnp:
+        log_prob0 = jnp.asarray(log_prob0, coords.dtype)
+        if log_prob0.shape != (n_temps, n_walkers):
+            raise ValueError(
+                f"log_prob0 must be (n_temps, n_walkers) = "
+                f"{(n_temps, n_walkers)}, got {log_prob0.shape}.")
 
     betas = jnp.asarray(make_beta_ladder(n_temps, beta_min), coords.dtype)
     moves = normalize_move(move)
@@ -93,6 +105,8 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
 
         betas = to_global(mesh, P(temp_axis), fetch(betas))
         coords = to_global(mesh, coords_spec, fetch(coords))
+        if carry_lnp:
+            log_prob0 = to_global(mesh, P(temp_axis), fetch(log_prob0))
         key = _globalize_key(key, mesh, P())
 
     # even-odd phase pairings as static ppermute permutations
@@ -106,7 +120,8 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
 
     perms = (_phase_perm(0), _phase_perm(1))
 
-    in_specs = (P(temp_axis), coords_spec, P(), P())
+    in_specs = (P(temp_axis), coords_spec, P(), P()) \
+        + ((P(temp_axis),) if carry_lnp else ())
     # per-level outputs carry the ladder on their leading axis; the cold
     # trajectory and the advanced key are replicated (P()) — the trajectory is
     # masked to rank 0 and psum'd so the host never gathers the 7 unused
@@ -117,15 +132,19 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
              check_vma=False)
-    def sharded_run(betas_local, coords0, key, step_offset):
+    def sharded_run(betas_local, coords0, key, step_offset, *lnp0_in):
         k_idx = jax.lax.axis_index(temp_axis)
         beta = betas_local[0]
         if resumed:
             coords0 = coords0[0]   # this rank's temperature block (1, W, P)
-        # per-level lnP is recomputed rather than carried: batched_lnprob is
-        # deterministic, so the value is bitwise-identical to the one a
-        # carried state would hold
-        lnp0 = batched_lnprob(coords0)
+        if carry_lnp:
+            # continue the IN-SCAN lnP carried by the checkpoint: a top-level
+            # recompute of the same coords is not guaranteed to fuse
+            # identically to the half_update call and can flip post-resume
+            # accepts at the ULP level (same rule as the ensemble resume)
+            lnp0 = lnp0_in[0][0]
+        else:
+            lnp0 = batched_lnprob(coords0)
 
         def half_update(active, active_lnp, other, subkey):
             # shared proposal machinery at inverse temperature beta
@@ -209,7 +228,8 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
     _ = runner.compiled  # refresh the parameter fingerprint for the cache key
     cache_key = (runner, runner._compiled_fp, batched_lnprob, mesh, temp_axis,
                  n_temps, moves, float(a), int(swap_every), int(n_steps),
-                 n_walkers, ndim, bool(resumed), str(runner.dtype))
+                 n_walkers, ndim, bool(resumed), bool(carry_lnp),
+                 str(runner.dtype))
     cached = _PROGRAM_CACHE.get(cache_key)
     if cached is not None:
         sharded_run = cached     # reuse the compiled program across chunks
@@ -222,8 +242,9 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
     step_arr = jnp.asarray(step0, jnp.int32)
     if mesh_spans_processes(mesh):
         step_arr = to_global(mesh, P(), np.asarray(step0, np.int32))
+    extra = (log_prob0,) if carry_lnp else ()
     (c_fin, lnp_fin, mean_lnp, traj_c, traj_lnp, acc,
-     swaps, key_data) = sharded_run(betas, coords, key, step_arr)
+     swaps, key_data) = sharded_run(betas, coords, key, step_arr, *extra)
 
     # host-side assembly mirrors sampler.tempered.run_tempered; the advanced
     # key (identical on every rank — swaps/moves fold a shared stream) makes

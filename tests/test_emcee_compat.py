@@ -353,6 +353,23 @@ class TestBlobs:
         s2.run_mcmc(None, 3)
         assert s2.get_blobs().shape == (9, 8)
 
+    def test_backend_get_last_sample_carries_blobs(self, tmp_path):
+        """Reading the State straight off the backend (the cross-process
+        resume path) keeps blobs, like emcee's backends do — both in-memory
+        and HDF5."""
+        def lnp_blob(theta):
+            return -0.5 * jnp.sum(theta * theta), jnp.sum(theta) * 0.5
+
+        for be in (backends.Backend(),
+                   backends.HDFBackend(str(tmp_path / "last.h5"))):
+            s = EnsembleSampler(8, 2, lnp_blob, backend=be, seed=5)
+            s.run_mcmc(np.random.default_rng(4).normal(size=(8, 2)), 6)
+            last = be.get_last_sample()
+            assert last.blobs is not None
+            np.testing.assert_array_equal(np.asarray(last.blobs, dtype=float),
+                                          s.get_blobs()[-1])
+            np.testing.assert_array_equal(last.coords, s.get_chain()[-1])
+
     def test_hdf_stores_uniform_tuple_blobs_rejects_irregular(self, tmp_path):
         """Tuple-of-scalar blobs regularise to a numeric (S, W, 2) dataset
         (emcee's dtype-discovery behaviour); genuinely irregular blobs

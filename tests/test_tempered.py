@@ -178,18 +178,33 @@ class TestShardedTempering:
                                   n_steps=25, mesh=mesh)
         r2 = run_tempered_sharded(fit, r1.final.coords, r1.final.key,
                                   n_steps=35, mesh=mesh,
-                                  step0=int(r1.final.step))
+                                  step0=int(r1.final.step),
+                                  log_prob0=r1.final.log_prob)
         assert int(r2.final.step) == 60
         chunked = np.concatenate([np.asarray(r1.chain), np.asarray(r2.chain)],
                                  axis=1)
         np.testing.assert_array_equal(chunked, np.asarray(full.chain))
         np.testing.assert_array_equal(np.asarray(r2.final.coords),
                                       np.asarray(full.final.coords))
+        # resuming WITHOUT the carried lnP (recompute fallback) also matches
+        # here (f64 CPU recompute is exact); the carried path above is the
+        # production rule — see the checkpoint invariant in models/base.py
+        r2b = run_tempered_sharded(fit, r1.final.coords, r1.final.key,
+                                   n_steps=35, mesh=mesh,
+                                   step0=int(r1.final.step))
+        np.testing.assert_array_equal(np.asarray(r2b.chain),
+                                      np.asarray(r2.chain))
         # a further same-shape resumed chunk reuses the compiled program
         n_programs = len(pt._PROGRAM_CACHE)
         run_tempered_sharded(fit, r2.final.coords, r2.final.key,
-                             n_steps=35, mesh=mesh, step0=int(r2.final.step))
-        assert len(pt._PROGRAM_CACHE) == n_programs == 2  # fresh + resumed
+                             n_steps=35, mesh=mesh, step0=int(r2.final.step),
+                             log_prob0=r2.final.log_prob)
+        assert len(pt._PROGRAM_CACHE) == n_programs == 3  # fresh + 2 resumed
+        # wrong-shaped carried lnP is rejected
+        with pytest.raises(ValueError, match="log_prob0"):
+            run_tempered_sharded(fit, r1.final.coords, r1.final.key,
+                                 n_steps=4, mesh=mesh,
+                                 log_prob0=r1.final.log_prob[:, :4])
         # wrong ladder extent is rejected
         with pytest.raises(ValueError, match="tp extent"):
             run_tempered_sharded(fit, r1.final.coords[:4],
