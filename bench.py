@@ -588,6 +588,50 @@ def validate():
         failures.append("jam/accelerator-vs-cpu")
         print(f"  {'jam/accelerator-vs-cpu':24s} FAIL {exc}", file=sys.stderr)
 
+    # checkpoint-resume bitwise determinism ON THE DEVICE in f32: the f64 CPU
+    # suite proves the chunk-split rule, but the rule exists precisely because
+    # f32 fusion of a top-level lnprob call need not match the in-scan call —
+    # so re-prove here that a resumed run continues the carried in-scan state
+    # bitwise (ensemble via state=, tempered ladder via TemperedState)
+    def check_resume(name, run):
+        try:
+            full, chunked = run()
+            assert np.array_equal(chunked, full), \
+                f"chunk-split diverges (max|d| " \
+                f"{np.max(np.abs(chunked - full)):.3g})"
+            print(f"  {name:24s} OK   (bitwise across the split)",
+                  file=sys.stderr)
+        except AssertionError as exc:
+            failures.append(name)
+            print(f"  {name:24s} FAIL {exc}", file=sys.stderr)
+
+    def ensemble_split():
+        pos0 = cfit.get_initials(64)
+        full = cfit(n_walkers=64, n_steps=40, n_burn=0, pos=pos0, seed=11,
+                    plot=False, prefix=None)
+        r1 = cfit(n_walkers=64, n_steps=17, n_burn=0, pos=pos0, seed=11,
+                  plot=False, prefix=None)
+        r2 = cfit(n_steps=23, n_burn=0, state=r1.final_state, plot=False,
+                  prefix=None)
+        return (np.asarray(full.chain),
+                np.concatenate([np.asarray(r1.chain), np.asarray(r2.chain)],
+                               axis=1))
+
+    def tempered_split():
+        pos0 = cfit.get_initials(32)
+        full, _ = cfit.sample_tempered(pos=pos0, n_steps=40, n_temps=4,
+                                       seed=12, swap_every=3)
+        r1, _ = cfit.sample_tempered(pos=pos0, n_steps=17, n_temps=4,
+                                     seed=12, swap_every=3)
+        r2, _ = cfit.sample_tempered(n_steps=23, n_temps=4, swap_every=3,
+                                     state=r1.final_state)
+        return (np.asarray(full.chain),
+                np.concatenate([np.asarray(r1.chain), np.asarray(r2.chain)],
+                               axis=1))
+
+    check_resume("resume/ensemble-f32", ensemble_split)
+    check_resume("resume/tempered-f32", tempered_split)
+
     if failures:
         print(f"VALIDATE FAILED: {failures}", file=sys.stderr)
         return 1

@@ -195,10 +195,12 @@ class Axisymmetric(Runner):
     # (~6 MB at 1e3 stars, n_u=24, n_zeta=32), so a plain vmap over a
     # 2048-walker ensemble wants >= 12 GB of HBM for the tables alone and
     # OOMs.  Chunking the walker axis with lax.map(batch_size=) caps the
-    # live footprint at lnprob_chunk walkers (the same HBM traffic — the
-    # engine is bandwidth-bound there either way, docs/design.md — but a
-    # bounded working set at ANY ensemble size).
-    lnprob_chunk = 256
+    # live footprint at lnprob_chunk walkers AND sets the XLA program shape
+    # of the per-chunk contraction.  64 is a measured sharp optimum on v5e
+    # (tools/probe_jam.py, W=512/2048, bench MGE): 1.49e5 evals/s vs 9.7e4
+    # at 48, 1.0e5 at 96, 6.8e4 at the old 256 — 2.2x from the batch dim
+    # aligning with the backend's tiling; re-run the probe before changing.
+    lnprob_chunk = 64
 
     def build_lnprob_batched(self):
         import jax
@@ -350,7 +352,7 @@ class Axisymmetric(Runner):
             arrays = (*self.mge_lum.as_arrays(), *self.mge_mass.as_arrays())
         for a in arrays:
             h.update(np.ascontiguousarray(np.asarray(a, np.float64)).tobytes())
-        return (h.hexdigest(), self.n_u, self.n_zeta)
+        return (h.hexdigest(), self.n_u, self.n_zeta, int(self.lnprob_chunk))
 
     def compute_mass_posterior(self, chain, n_burn: int, n_samples: int = 1000,
                                seed: int = 0) -> np.ndarray:
