@@ -21,6 +21,16 @@ Two kernels remain after round-2 measurement:
 A plain ConstantFit kernel existed in round 1; it tied XLA's fusion exactly
 (both are VPU-bound at the same op count, 1.70e7 evals/s) and every workload it
 served is covered by the 5.5e7-evals/s sufficient tier, so it was deleted.
+
+Measured dead end (round 4, tools/probe_mixture.py — don't retry without new
+evidence): restructuring the GB mixtures to cut per-pair transcendentals from
+~6-7 to ~3.75 (split the logaddexp as b + max(d,0) + log1p(exp(-|d|)), pull
+the member/background normalisations and log(D+f) out of the pair loop as
+products-of-4/2 star sums) measured 7.29e6 vs the shipping 8.72e6 evals/s on
+v5e (constant_gb, 16k x 1e4) and OOMs scoped VMEM at walker_tile 1024.  The
+VPU pipelines the transcendentals better than op counting predicts, and the
+half/quarter lane slicing for the product trick costs relayouts the straight
+per-pair form doesn't have.
 """
 
 from __future__ import annotations
