@@ -11,69 +11,117 @@ which is *quadratic* in c = (v_sys, vx, vy) with weights w_i(s) = 1/n_i.  Expand
 
 with F(s) = sum_i log n_i and the weighted moments
 M0 = sum w v^2, M1 = sum w v u, M2 = sum w u u^T, u_i = (1, gx_i, gy_i) —
-eleven scalar functions of s ONLY.  They are analytic on s >= 0 (poles at
-s = -verr_i^2 < 0) and so are their exact derivatives
-(dF/ds = sum w, dM/ds = -sum w^2 ...), so a cubic **Hermite** interpolant on a
-log-spaced grid with exact endpoint derivatives evaluates them to ~1e-9 relative —
-below float32 noise.  The per-walker cost drops from O(N_stars) to ~60 flops.
+eleven scalar functions of s ONLY.  In the log variable t = log(s + E_min)
+(E_min = min verr_i^2, the same pole-shift as ops/model_sufficient.py) each
+channel is analytic on the sampling interval with its singularity lattice a
+distance ~pi off the real axis, so a single global **Chebyshev** series of
+degree sized from the pole geometry evaluates all eleven to the dtype's
+useful truncation level.  Per-walker cost is ~11 D flops of pure FMA with NO
+table gathers.
+
+A cubic-Hermite lookup table (2048 log-spaced nodes, exact derivative
+endpoints) was the round-1..3 implementation; it is numerically equivalent
+(~1e-9 relative) but its four per-walker row gathers dominate the evaluation
+on TPU: measured 1.26e8 evals/s at 131072 walkers vs 4.9e8-9.9e8 for the
+gather-free Chebyshev form (tools/probe_constant_sufficient.py), which lifted
+the sampler-inclusive headline row ~2.5x.  Don't reintroduce gathers.
 
 This is the TPU production path for the reference's binned-fit workload
 (bin/run.py:186-189: thousands of small ConstantFit posteriors): the star catalog
-is touched ONCE to build the tables; sampling never re-reads it.
+is touched ONCE to build the tables; sampling never re-reads it.  ``build`` is
+trace-compatible (pipelines.py constructs per-bin tables inside one jitted
+program) provided ``n_coef`` is passed statically.
 """
 
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ConstantSufficientStats"]
+__all__ = ["ConstantSufficientStats", "chebyshev_degree"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
-class ConstantSufficientStats(NamedTuple):
-    """Hermite tables of the eleven moment functions over t = log1p(s)."""
+def chebyshev_degree(e_min: float, s_max: float, dtype) -> int:
+    """Chebyshev degree for the eleven channels from the pole geometry.
 
-    t0: jnp.ndarray          # scalar: grid start
-    dt: jnp.ndarray          # scalar: grid spacing
-    values: jnp.ndarray      # (n_nodes, 11)
-    derivs: jnp.ndarray      # (n_nodes, 11) d/dt
+    In t = log(S + e_min) the channel singularities sit a distance ~pi off
+    the real interval of half-length L, giving the convergence factor
+    rho = eta + sqrt(1 + eta^2), eta = pi/L (ops/model_sufficient.py uses the
+    identical sizing).  Degree targets 1e-6 truncation in float32 (at the f32
+    evaluation floor; more terms are dead weight) and 1e-12 in float64
+    (compatible with the tier's documented ~1e-9-exact contract).
+    """
+    is_f64 = jnp.dtype(dtype) == jnp.float64
+    off = max(float(e_min), 1e-12)
+    half_len = 0.5 * (math.log(s_max + off) - math.log(off))
+    eta = math.pi / max(half_len, 1e-6)
+    rho = eta + math.sqrt(1.0 + eta * eta)
+    trunc = 1e12 if is_f64 else 1e6
+    needed = math.ceil(math.log(trunc) / math.log(rho))
+    cap = 160 if is_f64 else 96
+    if needed > cap:
+        import logging
+        logging.getLogger(__name__).warning(
+            "ConstantFit sufficient tier: Chebyshev degree capped at %d (pole "
+            "geometry wants %d for %.0e truncation; expect ~%.0e relative "
+            "instead).  Tighten the sigma_max prior or raise the minimum "
+            "velocity error.", cap, needed, 1.0 / trunc, rho ** -cap)
+    return int(np.clip(needed, 16, cap))
+
+
+class ConstantSufficientStats(NamedTuple):
+    """Chebyshev tables of the eleven moment channels over t = log(s + offset)."""
+
+    coeffs: jnp.ndarray      # (D, 11)
+    t_lo: jnp.ndarray        # scalar: log(offset)
+    t_hi: jnp.ndarray        # scalar: log(s_max + offset)
+    offset: jnp.ndarray      # scalar: E_min pole-shift
     n_stars: jnp.ndarray     # effective (masked) star count
 
     @classmethod
-    def build(cls, gx, gy, v, verr2, mask=None, n_nodes: int = 2048,
+    def build(cls, gx, gy, v, verr2, mask=None, n_coef: Optional[int] = None,
               s_max: float = 1.0e6,
               star_chunk: int = 16384) -> "ConstantSufficientStats":
         """Precompute the moment tables from the star catalog.
 
-        The star axis is processed in chunks under ``lax.scan`` so the (n_nodes x
-        N_stars) weight matrix never materialises — catalogs of 10^6+ stars build
-        in bounded memory.
+        The star axis is processed in chunks under ``lax.scan`` so the
+        (n_coef x N_stars) weight matrix never materialises — catalogs of
+        10^6+ stars build in bounded memory.  ``n_coef=None`` sizes the degree
+        from the pole geometry and requires concrete (non-traced) ``verr2``;
+        in-jit callers must pass a static ``n_coef`` (see pipelines.py).
         """
         gx = jnp.asarray(gx)
         dtype = gx.dtype
         gy = jnp.asarray(gy, dtype)
         v = jnp.asarray(v, dtype)
         verr2 = jnp.asarray(verr2, dtype)
-        # binarise: the derivative tables fold the mask into both the basis
-        # and the w2 weight, so a fractional mask would be applied with
-        # different powers in the value vs derivative channels — only
-        # membership (0/1) semantics are supported
+        # binarise: documented membership (0/1) semantics — fractional masks
+        # would silently re-weight the quadratic and log-det channels
         m = jnp.ones_like(v) if mask is None \
             else (jnp.asarray(mask, dtype) > 0).astype(dtype)
 
-        t0 = 0.0
-        t1 = math.log1p(s_max)
-        t = jnp.linspace(t0, t1, n_nodes, dtype=dtype)
-        s = jnp.expm1(t)                                   # (G,)
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+        e_min = jnp.min(jnp.where(m > 0, verr2, big))
+        off = jnp.maximum(jnp.where(jnp.isfinite(e_min) & (e_min < big),
+                                    e_min, 1.0), 1e-12)
+        if n_coef is None:
+            n_coef = chebyshev_degree(float(off), s_max, dtype)
+
+        t_lo = jnp.log(off)
+        t_hi = jnp.log(s_max + off)
+        k = np.arange(n_coef)
+        xi = np.cos(np.pi * (k + 0.5) / n_coef)             # Chebyshev-Gauss
+        t_nodes = 0.5 * (t_hi + t_lo) + 0.5 * (t_hi - t_lo) * jnp.asarray(xi, dtype)
+        s = jnp.clip(jnp.exp(t_nodes) - off, 0.0, s_max)    # (D,)
 
         n_stars_total = v.shape[0]
-        # adapt the chunk to the catalog: small catalogs use one unpadded-ish
-        # chunk, large ones stream in fixed blocks
         star_chunk = min(star_chunk, max(128, -(-n_stars_total // 128) * 128))
         n_pad = (-n_stars_total) % star_chunk
         if n_pad:
@@ -82,68 +130,71 @@ class ConstantSufficientStats(NamedTuple):
             verr2 = jnp.concatenate([verr2, jnp.ones(n_pad, dtype)])
         n_chunks = gx.shape[0] // star_chunk
         stars = jnp.stack([gx, gy, v, verr2, m]).reshape(5, n_chunks, star_chunk)
-        stars = jnp.swapaxes(stars, 0, 1)                  # (chunks, 5, C)
+        stars = jnp.swapaxes(stars, 0, 1)                   # (chunks, 5, C)
 
-        def chunk_moments(carry, chunk):
-            vals, ders = carry
+        # full-precision contractions: on TPU the default matmul precision is
+        # a single bf16 pass (~3 decimal digits) — at channel magnitudes of
+        # ~1e6 that injects O(1e-2) relative noise into the tables (measured
+        # as a 322-abs lnL error at 1e4 stars); HIGHEST forces f32 passes
+        dot = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+        def chunk_moments(vals, chunk):
             cgx, cgy, cv, ce2, cm = chunk
-            n = ce2[None, :] + s[:, None]                  # (G, C)
+            n = ce2[None, :] + s[:, None]                   # (D, C)
             w = cm[None, :] / n
-            basis = jnp.stack([cm, cgx * cm, cgy * cm])    # mask folded into basis
-            uu = jnp.stack([basis[0], cgx * basis[0], cgy * basis[0],
-                            cgx * basis[1], cgy * basis[1], cgy * basis[2]])
-
-            def moments(weight):
-                m0 = weight @ (cv * cv * cm)               # (G,)
-                m1 = weight @ (cv[:, None] * basis.T)      # (G, 3)
-                m2 = weight @ uu.T                         # (G, 6)
-                return m0, m1, m2
+            basis = jnp.stack([jnp.ones_like(cgx), cgx, cgy])   # (3, C)
 
             f = jnp.sum(jnp.log(n) * cm[None, :], axis=1)
-            m0, m1, m2 = moments(w / jnp.maximum(cm, 1e-30)[None, :])
-            # note: basis already carries one mask factor; w brings the 1/n weight
-            vals = vals + jnp.concatenate([f[:, None], m0[:, None], m1, m2], axis=1)
+            m0 = dot(w, cv * cv)                            # (D,)
+            m1 = dot(w, cv[:, None] * basis.T)              # (D, 3)
+            uu = jnp.stack([basis[0], cgx, cgy,
+                            cgx * cgx, cgy * cgx, cgy * cgy])
+            m2 = dot(w, uu.T)                               # (D, 6)
+            return vals + jnp.concatenate(
+                [f[:, None], m0[:, None], m1, m2], axis=1), None
 
-            w2 = (w / jnp.maximum(cm, 1e-30)[None, :]) * w
-            df = jnp.sum(w, axis=1)
-            dm0, dm1, dm2 = moments(-w2)
-            ders = ders + jnp.concatenate([df[:, None], dm0[:, None], dm1, dm2],
-                                          axis=1)
-            return (vals, ders), None
+        init = jnp.zeros((n_coef, 11), dtype)
+        samples, _ = jax.lax.scan(chunk_moments, init, stars)
 
-        init = (jnp.zeros((n_nodes, 11), dtype), jnp.zeros((n_nodes, 11), dtype))
-        (values, derivs_s), _ = jax.lax.scan(chunk_moments, init, stars)
-        # chain rule to t-space: ds/dt = s + 1
-        derivs = derivs_s * (s + 1.0)[:, None]
+        # values at the nodes -> Chebyshev coefficients (static DCT matrix)
+        d = np.arange(n_coef)
+        tmat = np.cos(np.outer(d, np.arccos(xi))) * (2.0 / n_coef)
+        tmat[0] *= 0.5
+        coeffs = jnp.matmul(jnp.asarray(tmat, dtype), samples,
+                            precision=jax.lax.Precision.HIGHEST)   # (D, 11)
 
-        return cls(t0=jnp.asarray(t0, dtype),
-                   dt=jnp.asarray((t1 - t0) / (n_nodes - 1), dtype),
-                   values=values, derivs=derivs, n_stars=jnp.sum(m))
+        return cls(coeffs=coeffs,
+                   t_lo=jnp.asarray(t_lo, dtype),
+                   t_hi=jnp.asarray(t_hi, dtype),
+                   offset=jnp.asarray(off, dtype),
+                   n_stars=jnp.sum(m))
 
     def interpolate(self, s):
-        """Hermite-cubic evaluation of all 11 moments at s (batched)."""
-        t = jnp.log1p(s)
-        x = (t - self.t0) / self.dt
-        j = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, self.values.shape[0] - 2)
-        u = jnp.clip(x - j, 0.0, 1.0)[..., None]
+        """All 11 moment channels at s (batched): Chebyshev series through the
+        three-term recurrence — pure FMA, no gathers."""
+        t = jnp.log(jnp.maximum(s, 0.0) + self.offset)
+        xi = jnp.clip((2.0 * t - (self.t_hi + self.t_lo))
+                      / (self.t_hi - self.t_lo), -1.0, 1.0)
 
-        y0 = self.values[j]
-        y1 = self.values[j + 1]
-        d0 = self.derivs[j] * self.dt
-        d1 = self.derivs[j + 1] * self.dt
+        def step(carry, c):
+            tm1, tm0, acc = carry
+            tp = 2.0 * xi * tm0 - tm1
+            return (tm0, tp, acc + c * tp[..., None]), None
 
-        u2 = u * u
-        u3 = u2 * u
-        h00 = 2 * u3 - 3 * u2 + 1
-        h10 = u3 - 2 * u2 + u
-        h01 = -2 * u3 + 3 * u2
-        h11 = u3 - u2
-        return h00 * y0 + h10 * d0 + h01 * y1 + h11 * d1    # (..., 11)
+        # (a tail-first accumulation — summing the small high-order terms
+        # before adding c0 + c1 xi — was measured identical in accuracy: the
+        # residual f32 error lives in the one-time table build, not here)
+        acc0 = (jnp.broadcast_to(self.coeffs[0], xi.shape + (11,))
+                + self.coeffs[1] * xi[..., None])
+        (_, _, mom), _ = jax.lax.scan(
+            step, (jnp.ones_like(xi), xi, acc0), self.coeffs[2:])
+        return mom                                          # (..., 11)
 
     def lnlike(self, params):
         """Batched ConstantFit log-likelihood: params (W, 4) columns
-        (v_sys, sigma_max, v_maxx, v_maxy) -> (W,).  Exact up to interpolation
-        error ~1e-9 relative."""
+        (v_sys, sigma_max, v_maxx, v_maxy) -> (W,).  Exact up to Chebyshev
+        truncation (~1e-12 relative in float64, the f32 evaluation floor in
+        float32)."""
         v_sys = params[:, 0]
         s = params[:, 1] * params[:, 1]
         vx = params[:, 2]

@@ -221,15 +221,24 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
     if use_sufficient:
         # O(1)-per-walker tier: each bin's weighted-moment tables are built once
         # inside the same jitted program (see ops.sufficient)
-        from .ops.sufficient import ConstantSufficientStats
+        from .ops.sufficient import ConstantSufficientStats, chebyshev_degree
 
         s_max = template._sufficient_s_max()
+        # static Chebyshev degree from the FULL catalog's minimum velocity
+        # error: per-bin tables built under jit get traced e_min, and any
+        # bin's e_min >= the global one, so the global degree is conservative
+        full = template.prepare_data(dict(template._data_arrays))
+        verr2_all = np.asarray(full["verr"], np.float64) ** 2
+        m_all = np.asarray(full.get("mask", np.ones_like(verr2_all)))
+        e_min_global = float(verr2_all[m_all > 0].min()) if np.any(m_all > 0) \
+            else 1.0
+        n_coef = chebyshev_degree(e_min_global, s_max, dtype)
 
         def run_one(bin_data, pos, key):
             stats = ConstantSufficientStats.build(
                 bin_data["gx"], bin_data["gy"], bin_data["v"],
                 bin_data["verr"] * bin_data["verr"], mask=bin_data["mask"],
-                s_max=s_max)
+                n_coef=n_coef, s_max=s_max)
 
             def fn(thetas):
                 lp = lnprior_batched(thetas)

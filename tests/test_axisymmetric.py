@@ -252,6 +252,40 @@ class TestMgeGrid:
         fit.n_u = type(fit).n_u        # restore -> cache key matches again
         assert float(fit.lnprob(theta)) == v24
 
+    def test_lnprob_chunk_invariance(self):
+        """The walker-chunked batched lnprob (lax.map over lnprob_chunk-sized
+        walker blocks, models/jam/axisymmetric.py) must agree across chunk
+        sizes — bitwise when the program shape is unchanged (divisor chunks),
+        to ULP-level tolerance for non-divisors (the remainder block compiles
+        a different program shape), with identical -inf rejection patterns
+        always.  The chunk size must also invalidate cached jitted programs
+        (it is baked into the closure's program shape)."""
+        data, lum, mass = _mock_jam_data(n=60)
+        params = _base_params()
+        params["mlr"].set(fixed=False, min=0.1, max=10.0)
+        params["kappa_x"].set(fixed=False, min=-2.0, max=2.0)
+        fit = Axisymmetric(data, parameters=params, mge_mass=mass, mge_lum=lum)
+        rng = np.random.default_rng(7)
+        pos = np.column_stack([rng.uniform(1.0, 3.0, 10),
+                               rng.uniform(0.2, 0.8, 10)])
+        salts = set()
+        ref = None
+        for chunk in (1000, 10, 7, 3):   # full batch, divisor, non-divisors
+            fit.lnprob_chunk = chunk
+            salts.add(fit.program_cache_salt())
+            got = np.asarray(fit.build_lnprob_batched()(jnp.asarray(pos)))
+            assert not np.any(np.isnan(got))
+            if ref is None:
+                ref = got
+                continue
+            fin = np.isfinite(ref)
+            assert np.array_equal(np.isfinite(got), fin), chunk
+            if chunk == 10:              # same block shape as the full batch
+                assert np.array_equal(got, ref), chunk
+            else:
+                assert np.allclose(got[fin], ref[fin], rtol=1e-12, atol=0), chunk
+        assert len(salts) == 4
+
 
 class TestAxisymmetricWithBackground:
     def test_field_star_mixture(self):
