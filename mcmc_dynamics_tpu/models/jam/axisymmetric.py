@@ -200,6 +200,8 @@ class Axisymmetric(Runner):
     # (tools/probe_jam.py, W=512/2048, bench MGE): 1.49e5 evals/s vs 9.7e4
     # at 48, 1.0e5 at 96, 6.8e4 at the old 256 — 2.2x from the batch dim
     # aligning with the backend's tiling; re-run the probe before changing.
+    # (Those rates predate the Precision.HIGH moment contraction; with it
+    # the composed W=512 rate is 1.12e5 — see moments.py for that trade.)
     lnprob_chunk = 64
 
     def build_lnprob_batched(self):

@@ -280,7 +280,15 @@ def _jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
 
     g_f = jnp.broadcast_to(g_star[:, None], R2.shape).reshape(P)   # (P,)
     E_t = jnp.exp(-(bk_f[:, None] * R2f[None, :] + bkt_f[:, None] * z2f[None, :]))
-    S_rows = coef_rows @ E_t                                       # (2L+1, P)
+    # Precision.HIGH (bf16x3): the TPU default matmul precision is ONE bf16
+    # pass (~3 decimal digits), which put ~0.6 absolute lnL noise on a
+    # 1e3-star catalog — 100x the certified quadrature error, a rough
+    # (quantisation-stepped) likelihood surface.  Measured trade on v5e at
+    # W=512 (round 4): default 1.50e5 evals/s / max|d| 0.67 lnL; HIGH 1.12e5
+    # / 0.068; HIGHEST 0.88e5 / 0.022.  HIGH buys 10x accuracy for 25% rate —
+    # the sweet spot; don't silently revert to default when touching this.
+    S_rows = jnp.matmul(coef_rows, E_t,
+                        precision=jax.lax.Precision.HIGH)          # (2L+1, P)
     # g <= e_j holds only for components that were allowed to set the scale;
     # a masked zero-intensity component (excluded from g_star above) can have
     # g - e_j >> 0, overflowing to inf and poisoning its nu0 = 0 row with
