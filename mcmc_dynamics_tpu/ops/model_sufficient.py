@@ -252,7 +252,11 @@ class ModelSufficientStats(NamedTuple):
 
         scal = self._field_scalars(sigma_max, a, r_peak)
         basis = self._basis(scal[0])                        # (D, W, B)
-        mom = jnp.einsum("dwb,bdc->wbc", basis, self.coeffs)
+        # HIGHEST: this XLA form is the correctness reference for the Pallas
+        # kernels (bench --validate); the TPU default single-bf16-pass matmul
+        # would put ~1e-2 relative noise on the ~1e5-magnitude channels
+        mom = jnp.einsum("dwb,bdc->wbc", basis, self.coeffs,
+                         precision=jax.lax.Precision.HIGHEST)
 
         def get(p, j, k):                                   # payload p, combo (j,k)
             return mom[:, :, 1 + 6 * p + _COMBOS.index((j, k))]
