@@ -456,9 +456,10 @@ def model_sufficient_lnlike_pallas_mxu(stats: "ModelSufficientStats", params,
     * the coefficient table is pre-transposed host-side to (B * CH_pad, D):
       bin b's tile is a contiguous (CH_pad, D) row block (CH padded to the
       sublane multiple), loaded from VMEM with a dynamic row slice;
-    * f32 accuracy: jnp.dot with preferred_element_type=float32 — on v5e this
-      lowers to bf16x3 passes, preserving the table tier's f32 error floor
-      (validated on-device by ``bench.py --validate``).
+    * f32 accuracy: the dot is pinned to ``Precision.HIGHEST`` — inside Mosaic
+      a plain f32 ``jnp.dot`` lowers to a SINGLE bf16 pass, which the validate
+      gate measured at 6.4e-3 relative lnL error against the HIGHEST XLA
+      reference (``bench.py --validate`` guards this on-device).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -520,7 +521,12 @@ def model_sufficient_lnlike_pallas_mxu(stats: "ModelSufficientStats", params,
                 rows.append(2.0 * xi * rows[-1] - rows[-2])
             basis = jnp.concatenate(rows, axis=0)           # (D, TW)
 
+            # HIGHEST is required, not decoration: inside Mosaic a plain f32
+            # jnp.dot lowers to a SINGLE bf16 pass (~3 decimal digits), which
+            # the round-4 validate gate measured as 6.4e-3 relative lnL error
+            # against the HIGHEST XLA reference (79 abs at 1e4 stars)
             mom = jnp.dot(ctile, basis,
+                          precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)  # (CH_pad, TW)
 
             def get(pay, j, k):
