@@ -176,6 +176,9 @@ def bench_model(rows):
     # row documents the crossover) ...
     rows["model/sufficient"] = _measure(fit.build_lnprob_sufficient(), pos,
                                         fit.dtype)
+    # ... the exact O(1)/walker tensor-Chebyshev tier (ops/model_tensor.py):
+    # the auto default for big catalogs whenever a/r_peak priors are finite
+    rows["model/tensor"] = _measure(fit.build_lnprob_tensor(), pos, fit.dtype)
     os.environ["MCMC_TPU_LNPROB"] = "direct"
     if fit._pallas_eligible():
         rows["model/pallas"] = _measure(fit.build_lnprob_batched(), pos, fit.dtype)
@@ -255,6 +258,8 @@ def bench_model(rows):
     fit5 = ModelFit(data5, parameters=params5)
     rows["model/sufficient@1e5stars"] = _measure(fit5.build_lnprob_sufficient(),
                                                  pos, fit5.dtype)
+    rows["model/tensor@1e5stars"] = _measure(fit5.build_lnprob_tensor(),
+                                             pos, fit5.dtype)
     os.environ["MCMC_TPU_LNPROB"] = "direct"
     if fit5._pallas_eligible():
         rows["model/pallas@1e5stars"] = _measure(fit5.build_lnprob_batched(), pos,
@@ -451,6 +456,8 @@ def validate():
         check("model/pallas", mfit, mpos)
     check("model/sufficient", mfit, mpos, build=mfit.build_lnprob_sufficient,
           atol=0.5)  # the table tier is approximate (~f32 eval floor)
+    check("model/tensor", mfit, mpos, build=mfit.build_lnprob_tensor,
+          atol=0.5)  # HIGH-precision MXU contraction: ~1e-4 rel (measured)
 
     # the measured-alternative MXU formulation of the table tier: not in the
     # default dispatch (within ~5% of the VPU kernel, ops/model_sufficient.py)

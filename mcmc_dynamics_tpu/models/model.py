@@ -107,7 +107,9 @@ class ModelFit(Runner):
         1.08e7 at any N) — and unlike them it is approximate (~1e-4 in lnL),
         so it must never silently replace the exact likelihood for ordinary
         catalogs on ANY backend.  ``MCMC_TPU_LNPROB=sufficient`` forces it
-        regardless of size."""
+        regardless of size.  When the priors on ``a``/``r_peak`` are finite
+        the tensor-Chebyshev tier (:meth:`_tensor_eligible`) supersedes this
+        one in ``auto`` mode — it is exact in the star sum and faster."""
         import os
 
         mode = os.environ.get("MCMC_TPU_LNPROB", "auto")
@@ -118,6 +120,82 @@ class ModelFit(Runner):
         if mode == "auto":
             return int(self._data_arrays["v"].shape[0]) >= 16384
         return True
+
+    def _tensor_bounds(self):
+        """Finite positive (lo, hi) prior bounds of ``a`` and ``r_peak`` in
+        internal arcmin — the grid box of the tensor-Chebyshev tier — or
+        ``None`` when either prior is unbounded (the tier needs a box)."""
+        scales = self.compiled.scale_factors({"a": "arcmin", "r_peak": "arcmin"})
+        out = []
+        for name in ("a", "r_peak"):
+            par = self.parameters[name]
+            lo, hi = par.min * scales[name], par.max * scales[name]
+            if not (0.0 < lo < hi < np.inf):
+                return None
+            out.append((float(lo), float(hi)))
+        return tuple(out)
+
+    def _tensor_eligible(self) -> bool:
+        """The exact O(1)-per-walker tensor-Chebyshev path
+        (ops/model_tensor.py): the star sum collapses into eleven channel
+        functions tabulated over the (sigma_max^2, a, r_peak) prior box, so
+        it needs the canonical layout plus finite positive priors on ``a``
+        and ``r_peak``.  Same ``auto`` catalog-size threshold as the binned
+        tier (below it the direct kernel is already at machine rate and
+        bitwise-exact); ``MCMC_TPU_LNPROB=tensor`` forces it at any size."""
+        import os
+
+        mode = os.environ.get("MCMC_TPU_LNPROB", "auto")
+        if mode not in ("auto", "tensor"):
+            return False
+        if not self._canonical_layout():
+            return False
+        if self._tensor_bounds() is None:
+            if mode == "tensor":
+                raise ValueError(
+                    "MCMC_TPU_LNPROB=tensor needs finite positive prior "
+                    "bounds on 'a' and 'r_peak' (they define the table box).")
+            return False
+        if mode == "auto":
+            return int(self._data_arrays["v"].shape[0]) >= 16384
+        return True
+
+    def build_lnprob_tensor(self):
+        """Batched lnprob through the 3-D tensor-Chebyshev channel tables:
+        exact in the star sum (unlike the radially-binned tier), O(1) per
+        walker, and the dominant contraction is a single MXU matmul (see
+        ops.model_tensor).  Walkers outside the (sigma_max, a, r_peak) table
+        box get -inf — the box IS the prior box, so this coincides with the
+        prior's own bound rejection."""
+        import jax
+
+        from ..ops.model_tensor import ModelTensorStats
+
+        data = self.prepare_data(dict(self._data_arrays))
+        s_max = self._sufficient_s_max()
+        a_bounds, r_bounds = self._tensor_bounds()
+        stats = ModelTensorStats.build(
+            data["dxm"], data["dym"], data["v"], data["verr"] * data["verr"],
+            a_bounds=a_bounds, r_bounds=r_bounds, mask=data.get("mask"),
+            s_max=s_max, dtype=self.dtype)
+        logger.info("tensor tier: degrees (%d, %d, %d), table %s",
+                    stats.n_s, stats.n_a, stats.n_r, stats.table.shape)
+        col_scale = self._internal_col_scale()
+        lnprior_batched = jax.vmap(self.compiled.lnprior)
+        # MXU precision: HIGH (bf16x3) measured 1.41e8 evals/s at 9.4e-5 rel
+        # lnL error vs the on-device direct reference; HIGHEST (bf16x6) is
+        # 8.7e7 at 4.6e-5 — both within the f32 validate gate, so take the
+        # rate (tools/probe_model_tensor_tpu.py, v5e, W=16384 x 1e4 stars)
+        prec = jax.lax.Precision.HIGH
+
+        def batched(thetas):
+            lp = lnprior_batched(thetas)
+            ti = thetas * col_scale[None, :]
+            ll = stats.lnlike(ti, precision=prec)
+            return jnp.where(jnp.isfinite(lp) & stats.in_box(ti),
+                             lp + ll, -jnp.inf)
+
+        return batched
 
     def _internal_col_scale(self):
         """Static per-column conversion factors to internal units (km/s, arcmin)."""
@@ -183,6 +261,8 @@ class ModelFit(Runner):
     def build_lnprob_batched(self):
         import jax
 
+        if self._tensor_eligible():
+            return self.build_lnprob_tensor()
         if self._sufficient_eligible():
             return self.build_lnprob_sufficient()
         if not self._pallas_eligible():
@@ -312,6 +392,9 @@ class _ModelMixtureKernelMixin:
 
     def _sufficient_eligible(self) -> bool:
         return False  # density mixtures are not quadratic in theta
+
+    def _tensor_eligible(self) -> bool:
+        return False  # same: the mixture logsumexp breaks the channel collapse
 
     def prepare_data(self, data):
         from .base import with_density_logs

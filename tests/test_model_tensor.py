@@ -1,0 +1,175 @@
+"""Tensor-Chebyshev ModelFit tier (ops/model_tensor.py): exactness in the star
+sum, mask semantics, the prior-box guard and the ModelFit dispatch rules."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from test_ops import _model_inputs, _model_reference_lnlike
+
+A_BOUNDS = (0.05, 10.0)   # arcmin
+R_BOUNDS = (0.05, 10.0)
+
+
+def _box_params(n_walkers, seed=12):
+    """Walkers inside the (a, r_peak) table box (internal arcmin units)."""
+    rng = np.random.default_rng(seed)
+    return np.column_stack([
+        rng.uniform(-10, 10, n_walkers),
+        np.exp(rng.uniform(np.log(0.3), np.log(100.0), n_walkers)),
+        np.exp(rng.uniform(np.log(0.06), np.log(9.0), n_walkers)),
+        rng.uniform(-10, 10, n_walkers),
+        rng.uniform(-10, 10, n_walkers),
+        np.exp(rng.uniform(np.log(0.06), np.log(9.0), n_walkers)),
+    ])
+
+
+class TestModelTensorStats:
+    def test_matches_direct_lnlike(self):
+        """Exact in the star sum: f64 agreement with the direct likelihood is
+        limited only by the Chebyshev truncation (1e-10 target)."""
+        from mcmc_dynamics_tpu.ops import ModelTensorStats
+
+        dxm, dym, v, verr2, mask = _model_inputs()
+        stats = ModelTensorStats.build(dxm, dym, v, verr2, A_BOUNDS, R_BOUNDS,
+                                       mask=mask, s_max=1e6)
+        params = _box_params(256)
+        got = np.asarray(stats.lnlike(jnp.asarray(params)))
+        expected = _model_reference_lnlike(params, dxm, dym, v, verr2, mask)
+        np.testing.assert_allclose(got, expected, rtol=1e-8)
+
+    def test_respects_mask(self):
+        from mcmc_dynamics_tpu.ops import ModelTensorStats
+
+        dxm, dym, v, verr2, mask = _model_inputs(n_stars=600, seed=13)
+        mask[300:] = 0.0
+        stats = ModelTensorStats.build(dxm, dym, v, verr2, A_BOUNDS, R_BOUNDS,
+                                       mask=mask)
+        params = _box_params(16, seed=14)
+        got = np.asarray(stats.lnlike(jnp.asarray(params)))
+        expected = _model_reference_lnlike(params, dxm[:300], dym[:300], v[:300],
+                                           verr2[:300], np.ones(300))
+        np.testing.assert_allclose(got, expected, rtol=1e-8)
+
+    def test_in_box_guard(self):
+        """Walkers outside the (sigma_max, a, r_peak) grid are flagged; inside
+        ones are not."""
+        from mcmc_dynamics_tpu.ops import ModelTensorStats
+
+        dxm, dym, v, verr2, _ = _model_inputs(n_stars=400, seed=15)
+        stats = ModelTensorStats.build(dxm, dym, v, verr2, A_BOUNDS, R_BOUNDS,
+                                       s_max=1e4)
+        inside = _box_params(8, seed=16)
+        assert np.asarray(stats.in_box(jnp.asarray(inside))).all()
+        for col, bad in ((1, 150.0),       # sigma_max: s > s_max
+                         (2, A_BOUNDS[1] * 2), (2, A_BOUNDS[0] / 2),
+                         (5, R_BOUNDS[1] * 2), (5, R_BOUNDS[0] / 2)):
+            out = inside.copy()
+            out[:, col] = bad
+            assert not np.asarray(stats.in_box(jnp.asarray(out))).any()
+
+    def test_requires_finite_bounds(self):
+        from mcmc_dynamics_tpu.ops import ModelTensorStats
+
+        dxm, dym, v, verr2, _ = _model_inputs(n_stars=100, seed=17)
+        with pytest.raises(ValueError, match="finite positive"):
+            ModelTensorStats.build(dxm, dym, v, verr2, (0.0, np.inf), R_BOUNDS)
+
+
+class TestModelFitTensorDispatch:
+    def _fit(self, n=400, a_max=600.0, r_max=600.0, seed=15):
+        from mcmc_dynamics_tpu import units as u
+        from mcmc_dynamics_tpu.models import ModelFit
+        from mcmc_dynamics_tpu.utils import DataReader
+
+        ra_c, dec_c = 56.345, -26.675
+        rng = np.random.default_rng(seed)
+        data = DataReader({
+            "ra": u.Quantity(ra_c + 0.03 * rng.normal(size=n), "deg"),
+            "dec": u.Quantity(dec_c + 0.03 * rng.normal(size=n), "deg"),
+            "v": u.Quantity(5.0 * rng.normal(size=n), "km/s"),
+            "verr": u.Quantity(0.5 + 0.5 * rng.random(n), "km/s"),
+        })
+        params = ModelFit.default_parameters()
+        params["ra_center"].set(value=ra_c, fixed=True)
+        params["dec_center"].set(value=dec_c, fixed=True)
+        params["r_peak"].set(min=1.0, max=r_max)   # arcsec
+        params["a"].set(min=1.0, max=a_max)
+        return ModelFit(data, parameters=params), rng
+
+    def test_forced_tier_matches_direct(self):
+        fit, rng = self._fit()
+        # auto: below the catalog-size threshold, and bounded priors alone
+        # must not flip the tier on
+        assert not fit._tensor_eligible()
+
+        thetas = jnp.asarray(np.column_stack([
+            rng.normal(0, 2, 32),
+            np.exp(rng.uniform(np.log(1.0), np.log(60.0), 32)),
+            rng.uniform(30, 500, 32),    # a (arcsec, declared unit)
+            rng.normal(0, 3, 32),
+            rng.normal(0, 3, 32),
+            rng.uniform(30, 500, 32),    # r_peak (arcsec)
+        ]), fit.dtype)
+
+        try:
+            os.environ["MCMC_TPU_LNPROB"] = "tensor"
+            assert fit._tensor_eligible()
+            fast = fit.build_lnprob_batched()
+            os.environ["MCMC_TPU_LNPROB"] = "direct"
+            os.environ["MCMC_TPU_DISABLE_PALLAS"] = "1"
+            direct = fit.build_lnprob_batched()
+        finally:
+            del os.environ["MCMC_TPU_LNPROB"], os.environ["MCMC_TPU_DISABLE_PALLAS"]
+        np.testing.assert_allclose(np.asarray(fast(thetas)),
+                                   np.asarray(direct(thetas)),
+                                   rtol=1e-7, atol=1e-6)
+
+    def test_out_of_box_walkers_get_neg_inf(self):
+        fit, rng = self._fit(a_max=300.0, r_max=300.0)
+        thetas = np.column_stack([
+            rng.normal(0, 2, 8), np.full(8, 10.0), np.full(8, 100.0),
+            rng.normal(0, 3, 8), rng.normal(0, 3, 8), np.full(8, 100.0)])
+        thetas[:4, 2] = 400.0   # a beyond its 300 arcsec prior bound
+        try:
+            os.environ["MCMC_TPU_LNPROB"] = "tensor"
+            lnp = np.asarray(fit.build_lnprob_batched()(
+                jnp.asarray(thetas, fit.dtype)))
+        finally:
+            del os.environ["MCMC_TPU_LNPROB"]
+        assert np.isneginf(lnp[:4]).all()
+        assert np.isfinite(lnp[4:]).all()
+
+    def test_unbounded_priors_are_ineligible(self):
+        """auto mode quietly skips the tier without a prior box; forcing it
+        is a hard error."""
+        fit, _ = self._fit(a_max=np.inf)
+        assert fit._tensor_bounds() is None
+        assert not fit._tensor_eligible()
+        try:
+            os.environ["MCMC_TPU_LNPROB"] = "tensor"
+            with pytest.raises(ValueError, match="finite positive"):
+                fit._tensor_eligible()
+        finally:
+            del os.environ["MCMC_TPU_LNPROB"]
+
+    def test_gb_variants_opt_out(self):
+        from mcmc_dynamics_tpu.models import ModelFitGB
+
+        fit, _ = self._fit()
+        data = fit.data
+        data.data["density"] = 10.0 ** np.random.default_rng(3).uniform(
+            -1, 2, len(data.data["v"]))
+        gparams = ModelFitGB.default_parameters()
+        gparams["ra_center"].set(value=fit.parameters["ra_center"].value,
+                                 fixed=True)
+        gparams["dec_center"].set(value=fit.parameters["dec_center"].value,
+                                  fixed=True)
+        gfit = ModelFitGB(data, parameters=gparams)
+        try:
+            os.environ["MCMC_TPU_LNPROB"] = "tensor"
+            assert not gfit._tensor_eligible()
+        finally:
+            del os.environ["MCMC_TPU_LNPROB"]
