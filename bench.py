@@ -670,8 +670,9 @@ def main():
     headline = max(rows.values())
     print(json.dumps({
         "metric": ("lnprob evals/sec/chip (best tier; matrix of "
-                   "ConstantFit/ModelFit x sufficient/pallas/xla @16k walkers "
-                   "x 1e4 stars, chain stored, + JAM @64x1e3 in 'rows')"),
+                   "ConstantFit/ModelFit x tensor/sufficient/pallas/xla @16k "
+                   "walkers x 1e4 stars, chain stored, + JAM @64x1e3 in "
+                   "'rows')"),
         "value": round(headline, 1),
         "unit": "evals/s",
         "vs_baseline": round(headline / 1.0e7, 4),

@@ -182,18 +182,27 @@ class ModelFit(Runner):
                     stats.n_s, stats.n_a, stats.n_r, stats.table.shape)
         col_scale = self._internal_col_scale()
         lnprior_batched = jax.vmap(self.compiled.lnprior)
-        # MXU precision: HIGH (bf16x3) measured 1.41e8 evals/s at 9.4e-5 rel
-        # lnL error vs the on-device direct reference; HIGHEST (bf16x6) is
-        # 8.7e7 at 4.6e-5 — both within the f32 validate gate, so take the
-        # rate (tools/probe_model_tensor_tpu.py, v5e, W=16384 x 1e4 stars)
+        # MXU precision HIGH (bf16x3) everywhere: measured on v5e at
+        # W=16384 x 1e4 stars (tools/probe_model_tensor_tpu.py) —
+        # fused Pallas kernel 2.34e8 evals/s at 6.6e-5 rel lnL, XLA form
+        # 1.72e8 at 9.9e-5, HIGHEST variants ~2x slower for ~2x accuracy;
+        # all within the f32 validate gate, so take the rate
         prec = jax.lax.Precision.HIGH
+        import os
+        use_kernel = (jax.default_backend() == "tpu"
+                      and not os.environ.get("MCMC_TPU_DISABLE_PALLAS"))
+        if use_kernel:
+            from ..ops.model_tensor import model_tensor_lnlike_pallas
+            eval_ll = lambda t: model_tensor_lnlike_pallas(stats, t,
+                                                           precision=prec)
+        else:
+            eval_ll = lambda t: stats.lnlike(t, precision=prec)
 
         def batched(thetas):
             lp = lnprior_batched(thetas)
             ti = thetas * col_scale[None, :]
-            ll = stats.lnlike(ti, precision=prec)
             return jnp.where(jnp.isfinite(lp) & stats.in_box(ti),
-                             lp + ll, -jnp.inf)
+                             lp + eval_ll(ti), -jnp.inf)
 
         return batched
 

@@ -70,6 +70,22 @@ class TestModelTensorStats:
             out[:, col] = bad
             assert not np.asarray(stats.in_box(jnp.asarray(out))).any()
 
+    def test_tucker_compression_certified(self):
+        """At f32-level truncation the (s, a) modes compress (measured ranks
+        well under the degrees) and the compressed evaluation still matches
+        the direct likelihood to the truncation target."""
+        from mcmc_dynamics_tpu.ops import ModelTensorStats
+
+        dxm, dym, v, verr2, mask = _model_inputs()
+        stats = ModelTensorStats.build(dxm, dym, v, verr2, A_BOUNDS, R_BOUNDS,
+                                       mask=mask, s_max=1e6, trunc=1e-6)
+        assert stats.u_s.shape[1] < stats.n_s   # compression actually engaged
+        assert stats.table.shape[0] == stats.u_s.shape[1] * stats.u_a.shape[1]
+        params = _box_params(128, seed=21)
+        got = np.asarray(stats.lnlike(jnp.asarray(params)))
+        expected = _model_reference_lnlike(params, dxm, dym, v, verr2, mask)
+        np.testing.assert_allclose(got, expected, rtol=3e-5)
+
     def test_requires_finite_bounds(self):
         from mcmc_dynamics_tpu.ops import ModelTensorStats
 

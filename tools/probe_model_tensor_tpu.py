@@ -60,15 +60,26 @@ def main():
     probe = jnp.asarray(pos_i[:1024], fit.dtype)
     ref = np.asarray(ref_fn(probe))
 
+    prec_map = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}
     precs = sys.argv[1:] or ["highest", "high", "default"]
     for pname in precs:
-        prec = {"highest": jax.lax.Precision.HIGHEST,
-                "high": jax.lax.Precision.HIGH,
-                "default": jax.lax.Precision.DEFAULT}[pname]
-        fn = lambda t: st.lnlike(t, precision=prec)
+        if pname.startswith("pallas"):
+            # pallas[:prec[:walker_tile]], e.g. pallas:high:4096
+            from mcmc_dynamics_tpu.ops.model_tensor import \
+                model_tensor_lnlike_pallas
+            bits = pname.split(":")
+            pr = prec_map[bits[1] if len(bits) > 1 else "high"]
+            wt = int(bits[2]) if len(bits) > 2 else 2048
+            fn = lambda t: model_tensor_lnlike_pallas(
+                st, t, walker_tile=wt, precision=pr)
+        else:
+            prec = prec_map[pname]
+            fn = lambda t: st.lnlike(t, precision=prec)
         got = np.asarray(jax.jit(fn)(probe))
         err = np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1.0))
-        measure(fn, pos_i, fit.dtype, label=f"tensor W={W} prec={pname} "
+        measure(fn, pos_i, fit.dtype, label=f"tensor W={W} {pname} "
                                             f"(rel err {err:.2e})")
 
 
