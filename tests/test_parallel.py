@@ -101,6 +101,31 @@ class TestWalkerSharding:
             expect = float(fit.lnprob(chain[w, -1]))
             assert math.isclose(lnp[w, -1], expect, rel_tol=1e-10)
 
+    def test_dp_sharded_tensor_tier_matches_lnprob(self, monkeypatch):
+        """dp-only meshes run the model's fastest batched tier per shard; with
+        the tensor tier forced, the sharded log_prob must equal the tier's
+        own lnprob (the catalog collapses into the tables at build)."""
+        monkeypatch.setenv("MCMC_TPU_LNPROB", "tensor")
+        params = ModelFit.default_parameters()
+        params["ra_center"].set(value=RA_C, fixed=True)
+        params["dec_center"].set(value=DEC_C, fixed=True)
+        params["a"].set(min=1.0, max=600.0,
+                        initials="60+10*rng.normal(size=n)")
+        params["r_peak"].set(min=1.0, max=600.0,
+                             initials="50+10*rng.normal(size=n)")
+        fit = ModelFit(_catalog(150, seed=4), parameters=params)
+        assert fit._tensor_eligible()
+        mesh = make_mesh(("dp",), (8,))
+        pos = fit.get_initials(32)
+        result = run_ensemble_sharded(fit, pos, jax.random.PRNGKey(5),
+                                      n_steps=16, mesh=mesh, sp_axis=None)
+        chain = np.asarray(result.chain)
+        lnp = np.asarray(result.log_prob)
+        assert np.isfinite(lnp[:, -1]).all()
+        for w in (0, 13, 31):
+            expect = float(fit.lnprob(chain[w, -1]))
+            assert math.isclose(lnp[w, -1], expect, rel_tol=1e-10)
+
     def test_walker_count_validation(self):
         fit = _fit(n=50)
         mesh = make_mesh(("dp",), (8,))
