@@ -166,9 +166,10 @@ class Axisymmetric(Runner):
         kappa = jnp.sqrt(p["kappa_x"] ** 2 + p["kappa_y"] ** 2)
         return p["beta"], kappa, p["mlr"]
 
-    def model_moments(self, p, data):
-        """(vz, v2zz, valid) at every star for the current parameters (pure)."""
-        x, y = self._rotated_coords_arcsec(p, data)
+    def _moments_at(self, p, x, y):
+        """Engine call at arbitrary MODEL-FRAME positions (pure): the one
+        funnel for the likelihood's moment evaluations, shared by the direct
+        per-star path and the polar-grid tier."""
         lum_i, lum_s, lum_q, mass_i, mass_s, mass_q = self._select_mge(p)
         incl = self._inclination(p["barq"])
         beta, kappa, mscale = self.jam_parameters(p)
@@ -178,8 +179,14 @@ class Axisymmetric(Runner):
                               n_u=self.n_u, n_zeta=self.n_zeta)
         return res.vz, res.v2zz, res.valid
 
-    def lnlike_terms(self, p, data):
-        vz, v2zz, valid = self.model_moments(p, data)
+    def model_moments(self, p, data):
+        """(vz, v2zz, valid) at every star for the current parameters (pure)."""
+        x, y = self._rotated_coords_arcsec(p, data)
+        return self._moments_at(p, x, y)
+
+    def _terms_from_moments(self, p, data, vz, v2zz, valid):
+        """Per-star terms from LOS moments: validity mapping, Gaussian terms,
+        optional fixed-background mixture (reference axisymmetric.py:299-316)."""
         sigma2 = v2zz - vz * vz
         ok = valid & jnp.all(sigma2 > 0) & jnp.all(jnp.isfinite(v2zz))
         safe_sigma = jnp.sqrt(jnp.maximum(sigma2, 1e-12))
@@ -189,6 +196,9 @@ class Axisymmetric(Runner):
             terms = mixture_lnlike_terms(terms, data["lnlike_background"],
                                          data["pmember"])
         return jnp.where(ok, terms, -jnp.inf)
+
+    def lnlike_terms(self, p, data):
+        return self._terms_from_moments(p, data, *self.model_moments(p, data))
 
     # big-ensemble memory containment: the moment engine materialises the
     # (u-node x mass-component, star x LOS-node) pair table PER WALKER
@@ -204,10 +214,98 @@ class Axisymmetric(Runner):
     # the composed W=512 rate is 1.12e5 — see moments.py for that trade.)
     lnprob_chunk = 64
 
+    # polar-grid moment tier (models/jam/grid.py): per walker the engine runs
+    # at n_r x n_phi quarter-plane points instead of N stars and the star
+    # moments come from one MXU interpolation matmul — JAM cost decoupled
+    # from the catalog size.  Auto-selected for large fixed-centre catalogs;
+    # MCMC_TPU_JAM=grid|direct forces/disables it.  Default orders measured
+    # in tools/probe_jam_grid.py and certified in tests/test_jam_grid.py:
+    # the angular cosine series of log v2zz needs ~12 harmonics at the
+    # edge-on/faint-edge corner, while the radial decay is only ~d^-3 — the
+    # JAM rotation model vbar_phi = kappa sqrt(max(0, <v_phi^2> -
+    # b sigma_z^2)) has C^(1/2) kinks — so most of the budget goes into
+    # radial nodes: at (128, 12) the tier's worst-case moment error EQUALS
+    # the direct engine's own quadrature error (dvz 8.6e-4, dsig 5.1e-4
+    # dispersion-relative) over the full incl/beta/kappa/BH box.  The
+    # sharded (multi-chip) path keeps the direct evaluation.
+    jam_grid_orders = (128, 12)
+    jam_grid_min_stars = 4096
+
+    def _jam_grid_spec(self):
+        """The polar-grid interpolation spec, or None for the direct path."""
+        import os
+
+        mode = os.environ.get("MCMC_TPU_JAM", "auto")
+        if mode not in ("auto", "grid", "direct"):
+            raise ValueError(f"MCMC_TPU_JAM={mode!r}: use auto|grid|direct.")
+        if mode == "direct":
+            return None
+        # the grid path reproduces Axisymmetric's moment->terms pipeline;
+        # subclasses that reroute it (ChemoProfiles' multi-population
+        # lnlike_terms) must keep the direct evaluation
+        if (type(self).lnlike_terms is not Axisymmetric.lnlike_terms
+                or type(self).model_moments is not Axisymmetric.model_moments):
+            if mode == "grid":
+                raise ValueError(
+                    f"MCMC_TPU_JAM=grid: {type(self).__name__} overrides the "
+                    "moment->likelihood pipeline; the grid tier only serves "
+                    "models whose lnlike_terms flow through "
+                    "Axisymmetric.model_moments.")
+            return None
+        if not self.center_is_fixed():
+            if mode == "grid":
+                raise ValueError(
+                    "MCMC_TPU_JAM=grid needs a fixed cluster centre (the "
+                    "per-star radial/angular bases are precomputed).")
+            return None
+        if mode == "auto" and self.n_data < self.jam_grid_min_stars:
+            return None
+
+        from .grid import JamGridSpec
+
+        orders = tuple(int(v) for v in self.jam_grid_orders)
+        cached = getattr(self, "_jam_grid_cache", None)
+        if cached is None or cached[0] != orders:
+            dx, dy = self.fixed_center_offsets()
+            spec = JamGridSpec.build(np.asarray(dx) * _ARCSEC_PER_RAD,
+                                     np.asarray(dy) * _ARCSEC_PER_RAD,
+                                     n_r=orders[0], n_phi=orders[1],
+                                     dtype=self.dtype)
+            logger.info("JAM grid tier: %d stars -> %d x %d polar grid",
+                        self.n_data, orders[0], orders[1])
+            cached = (orders, spec)
+            self._jam_grid_cache = cached
+        return cached[1]
+
     def build_lnprob_batched(self):
         import jax
 
-        fn = self.build_lnprob()
+        spec = self._jam_grid_spec()
+        if spec is None:
+            fn = self.build_lnprob()
+        else:
+            from .grid import jam_grid_moments
+
+            compiled = self.compiled
+            data = self.prepare_data(dict(self._data_arrays))
+            from ..base import masked_sum
+
+            # likelihood-natural log floor: below the smallest measurement
+            # variance, sigma_model^2 is invisible in n_i = verr^2 + sigma^2
+            floor = max(float(np.min(np.asarray(data["verr"])) ** 2), 1e-12)
+
+            def fn(theta):
+                lp = compiled.lnprior(theta)
+                p = self.scaled_values(theta)
+                lp = lp + self.extra_lnprior_fn(p)
+                theta0 = jnp.arctan2(p["kappa_y"], p["kappa_x"])
+                vz, v2zz, valid = jam_grid_moments(
+                    spec, lambda gx, gy: self._moments_at(p, gx, gy), theta0,
+                    floor=floor)
+                ll = masked_sum(self._terms_from_moments(p, data, vz, v2zz,
+                                                         valid), data)
+                return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
         chunk = int(self.lnprob_chunk)
 
         def batched(thetas):
@@ -354,7 +452,11 @@ class Axisymmetric(Runner):
             arrays = (*self.mge_lum.as_arrays(), *self.mge_mass.as_arrays())
         for a in arrays:
             h.update(np.ascontiguousarray(np.asarray(a, np.float64)).tobytes())
-        return (h.hexdigest(), self.n_u, self.n_zeta, int(self.lnprob_chunk))
+        import os
+        return (h.hexdigest(), self.n_u, self.n_zeta, int(self.lnprob_chunk),
+                os.environ.get("MCMC_TPU_JAM", "auto"),
+                tuple(int(v) for v in self.jam_grid_orders),
+                int(self.jam_grid_min_stars))
 
     def compute_mass_posterior(self, chain, n_burn: int, n_samples: int = 1000,
                                seed: int = 0) -> np.ndarray:

@@ -174,17 +174,38 @@ def _jam_los_moments(x, y, lum_i, lum_s, lum_q, mass_i, mass_s, mass_q,
         # clipped scale resolves both the BH cusp and the global structure:
         # measured worst-case dsig over incl x mbh x rbh grids is 8e-4 (at
         # negligible mbh) and <= 1e-4 wherever the BH actually matters.
-        s_scale = jnp.sqrt(jnp.clip(r_sky, 1e-3, 3.0 * s_max)
-                           * jnp.clip(r_sky, s_min, 3.0 * s_max))
+        s_scale = jnp.sqrt(jnp.clip(r_sky, 1e-3, s_max)
+                           * jnp.clip(r_sky, s_min, s_max))
     else:
-        s_scale = jnp.clip(r_sky, s_min, 3.0 * s_max)       # per-star LOS scale
+        # cap at 1.0 * s_max (NOT 3x): beyond the outermost tracer Gaussian
+        # the LOS integrand stays ~s_max wide, and a window that keeps
+        # growing with r starves it of nodes — measured v2zz errors of 3-5x
+        # at r ~ 2.8 s_max on a truncated MGE with the old 3 * s_max cap,
+        # vs <= 1e-3 with this one (tools/probe_jam_grid.py edge case)
+        s_scale = jnp.clip(r_sky, s_min, s_max)             # per-star LOS scale
+
+    # LOS ridge centring: for a deprojected Gaussian of axis ratio q_i the
+    # intrinsic ellipsoidal radius along the LOS through (x', y'),
+    # l^2 = R^2 + z^2/q_i^2 with y = y' cos i + zeta sin i,
+    # z = -y' sin i + zeta cos i, is minimised at
+    #     zeta_c = y' sin i cos i (1/q_i^2 - 1) / (sin^2 i + cos^2 i / q_i^2)
+    # — for strongly flattened components the density ridge sits up to ~1 y'
+    # AWAY from zeta = 0, so a map centred at 0 starves it of nodes at large
+    # |y'| (measured 3-5x v2zz errors at r ~ 2.8 s_max, barq ~ 0.4).  Centre
+    # the tangent map on the ridge of the total-luminosity-weighted tracer.
+    lum_w = lum_i * lum_s ** 2 * lum_q                       # component L_tot
+    q2bar = jnp.sum(lum_w * lum_qi * lum_qi) / jnp.maximum(jnp.sum(lum_w),
+                                                           1e-300)
+    tilt = (sini * cosi * (1.0 / q2bar - 1.0)
+            / (sini_2 + cosi * cosi / q2bar))
+    zeta_c = y_pc * tilt                                     # (N,)
 
     t_nodes, t_weights = _gauss_legendre(n_zeta)
     t_nodes = jnp.asarray(0.5 * jnp.pi * t_nodes * 0.999, dtype)
     t_weights = jnp.asarray(t_weights, dtype) * 0.5 * jnp.pi * 0.999
     tan_t = jnp.tan(t_nodes)
     sec2_t = 1.0 + tan_t * tan_t
-    zeta = s_scale[:, None] * tan_t[None, :]                 # (N, Z)
+    zeta = zeta_c[:, None] + s_scale[:, None] * tan_t[None, :]   # (N, Z)
     w_zeta = s_scale[:, None] * (t_weights * sec2_t)[None, :]
 
     # intrinsic coordinates at each (star, LOS node)

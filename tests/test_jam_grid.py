@@ -1,0 +1,174 @@
+"""JAM polar-grid moment tier (models/jam/grid.py): interpolation accuracy,
+likelihood parity with the direct engine, dispatch rules and cache salting.
+
+Order certification lives in tools/probe_jam_grid.py (full incl/beta/kappa/BH
+sweep against a converged-quadrature truth); these tests pin the measured
+behaviour at the production defaults.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mcmc_dynamics_tpu.models import Axisymmetric
+from mcmc_dynamics_tpu.models.jam.grid import JamGridSpec, jam_grid_moments
+from mcmc_dynamics_tpu.models.jam.moments import jam_los_moments
+
+from test_axisymmetric import _base_params, _mge_pair, _mock_jam_data
+
+LUM_I = np.array([8000.0, 4000.0, 1000.0, 200.0])
+LUM_S = np.array([3.0, 12.0, 40.0, 120.0])
+LUM_Q = np.array([0.95, 0.85, 0.75, 0.9])
+MASS_I = LUM_I * np.array([1.0, 1.2, 0.9, 1.1])
+
+
+def _stars(n=400, seed=3):
+    rng = np.random.default_rng(seed)
+    r = np.exp(rng.uniform(np.log(0.1), np.log(250.0), n))
+    phi = rng.uniform(-np.pi, np.pi, n)
+    return r * np.cos(phi), r * np.sin(phi)
+
+
+def _moments_closure(**over):
+    kw = dict(d=5.0, beta=0.0, kappa=1.0, mscale=2.0,
+              incl=np.deg2rad(55.0), mbh=0.0, rbh=1.0, n_u=24, n_zeta=32)
+    kw.update(over)
+
+    def at(gx, gy):
+        res = jam_los_moments(gx, gy, LUM_I, LUM_S, LUM_Q,
+                              MASS_I, LUM_S, LUM_Q, **kw)
+        return res.vz, res.v2zz, res.valid
+
+    return at
+
+
+class TestGridMoments:
+    @pytest.mark.parametrize("over", [
+        {},                                    # the hardest measured case
+        {"mbh": 3.0e5, "incl": np.deg2rad(75.0), "beta": 0.2, "kappa": 0.6},
+        {"kappa": 0.0, "incl": np.deg2rad(88.0)},
+    ])
+    def test_matches_direct_engine(self, over):
+        """Grid (128, 12) reproduces the direct engine at scattered stars to
+        within the engine's own quadrature noise class (probe: grid-vs-truth
+        error equals direct-vs-truth error, ~6e-4 dispersion-relative)."""
+        dx, dy = _stars()
+        r, phi = np.hypot(dx, dy), np.arctan2(dy, dx)
+        theta0 = 0.37
+        spec = JamGridSpec.build(dx, dy, n_r=128, n_phi=12, dtype=jnp.float64)
+        at = _moments_closure(**over)
+        vz_g, v2_g, valid = jam_grid_moments(spec, at, jnp.asarray(theta0))
+        assert bool(valid)
+
+        ref = at(jnp.asarray(r * np.cos(phi - theta0)),
+                 jnp.asarray(r * np.sin(phi - theta0)))
+        sig = np.sqrt(np.asarray(ref[1]) - np.asarray(ref[0]) ** 2)
+        dvz = np.max(np.abs(np.asarray(vz_g) - np.asarray(ref[0])) / sig)
+        sig_g = np.sqrt(np.maximum(
+            np.asarray(v2_g) - np.asarray(vz_g) ** 2, 0.0))
+        dsig = np.max(np.abs(sig_g - sig) / sig)
+        # the reference here is the engine at its PRODUCTION orders, so this
+        # difference stacks the grid truncation on top of the engine's own
+        # quadrature noise (largest with a BH); the tight certification
+        # against converged truth is tools/probe_jam_grid.py (8.6e-4 worst)
+        assert dvz < 4.0e-3
+        assert dsig < 1.5e-3
+
+    def test_rotation_frame_shift_exact(self):
+        """The theta0 shift is algebraic in harmonic space: rotating the
+        stars and shifting the reconstruction angle must agree to machine
+        precision with evaluating at theta0 = 0."""
+        dx, dy = _stars(n=100)
+        spec = JamGridSpec.build(dx, dy, n_r=64, n_phi=8, dtype=jnp.float64)
+        at = _moments_closure(kappa=0.7)
+        vz0, v20, _ = jam_grid_moments(spec, at, jnp.asarray(0.0))
+
+        r, phi = np.hypot(dx, dy), np.arctan2(dy, dx)
+        th = 1.1
+        rot = JamGridSpec.build(r * np.cos(phi + th), r * np.sin(phi + th),
+                                n_r=64, n_phi=8, dtype=jnp.float64)
+        vz1, v21, _ = jam_grid_moments(rot, at, jnp.asarray(th))
+        np.testing.assert_allclose(np.asarray(vz1), np.asarray(vz0),
+                                   rtol=0, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(v21), np.asarray(v20),
+                                   rtol=1e-10)
+
+    def test_invalid_model_flag_passes_through(self):
+        dx, dy = _stars(n=50)
+        spec = JamGridSpec.build(dx, dy, n_r=32, n_phi=8, dtype=jnp.float64)
+        at = _moments_closure(beta=1.5)  # beta >= 1 is invalid
+        _, _, valid = jam_grid_moments(spec, at, jnp.asarray(0.0))
+        assert not bool(valid)
+
+
+class TestLnprobParity:
+    def _fit(self, monkeypatch, mode, n=300, **extra):
+        monkeypatch.setenv("MCMC_TPU_JAM", mode)
+        data, lum, mass = _mock_jam_data(n=n, seed=5)
+        params = _base_params()
+        for name in ("mlr", "kappa_x", "kappa_y"):
+            params[name].set(fixed=False)
+        fit = Axisymmetric(data, parameters=params, mge_mass=mass,
+                           mge_lum=lum, **extra)
+        fit.jam_grid_min_stars = 100
+        return fit
+
+    def test_grid_lnprob_matches_direct(self, monkeypatch):
+        fit = self._fit(monkeypatch, "grid")
+        # walkers near the mock truth (mlr=2, kappa=(0.5, 0)): wide default
+        # initials can draw kappa > 1, where the rotation model itself goes
+        # unphysical (v2zz < vz^2) and BOTH paths correctly return -inf
+        rng = np.random.default_rng(11)
+        pos = (np.array([2.0, 0.5, 0.0])[None, :]
+               + rng.normal(0, [0.1, 0.05, 0.05], (8, 3)))
+        assert fit._jam_grid_spec() is not None
+        lp_grid = np.asarray(fit.build_lnprob_batched()(
+            jnp.asarray(pos, fit.dtype)))
+
+        monkeypatch.setenv("MCMC_TPU_JAM", "direct")
+        assert fit._jam_grid_spec() is None
+        lp_dir = np.asarray(fit.build_lnprob_batched()(
+            jnp.asarray(pos, fit.dtype)))
+
+        assert np.isfinite(lp_grid).all()
+        # per-star moment error ~6e-4 dispersion-relative -> lnL differences
+        # well under O(1) at 300 stars
+        np.testing.assert_allclose(lp_grid, lp_dir, rtol=0, atol=1.0)
+        # and the agreement must be much tighter than the lnL spread
+        assert np.std(lp_dir) > 10 * np.max(np.abs(lp_grid - lp_dir))
+
+    def test_auto_threshold(self, monkeypatch):
+        fit = self._fit(monkeypatch, "auto")
+        fit.jam_grid_min_stars = 4096
+        assert fit._jam_grid_spec() is None          # 300 stars < threshold
+        fit.jam_grid_min_stars = 100
+        assert fit._jam_grid_spec() is not None      # now eligible
+        salt_grid = fit.program_cache_salt()
+        monkeypatch.setenv("MCMC_TPU_JAM", "direct")
+        assert fit.program_cache_salt() != salt_grid  # env is in the salt
+
+    def test_free_center_rejected(self, monkeypatch):
+        monkeypatch.setenv("MCMC_TPU_JAM", "grid")
+        data, lum, mass = _mock_jam_data(n=120, seed=6)
+        params = _base_params()
+        params["ra_center"].set(fixed=False)
+        fit = Axisymmetric(data, parameters=params, mge_mass=mass, mge_lum=lum)
+        with pytest.raises(ValueError, match="fixed cluster centre"):
+            fit._jam_grid_spec()
+        monkeypatch.setenv("MCMC_TPU_JAM", "auto")
+        assert fit._jam_grid_spec() is None           # auto falls back
+
+    def test_custom_terms_subclass_rejected(self, monkeypatch):
+        class Custom(Axisymmetric):
+            def lnlike_terms(self, p, data):
+                return super().lnlike_terms(p, data)
+
+        monkeypatch.setenv("MCMC_TPU_JAM", "grid")
+        data, lum, mass = _mock_jam_data(n=120, seed=7)
+        fit = Custom(data, parameters=_base_params(), mge_mass=mass,
+                     mge_lum=lum)
+        with pytest.raises(ValueError, match="overrides the"):
+            fit._jam_grid_spec()
+        monkeypatch.setenv("MCMC_TPU_JAM", "auto")
+        assert fit._jam_grid_spec() is None
