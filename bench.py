@@ -354,6 +354,33 @@ def bench_jam(rows):
     rows["jam-profiles/xla"] = _measure(afit.build_lnprob_batched(), apos,
                                         afit.dtype, n_steps=n_steps)
 
+    # round-4 polar-grid tier (models/jam/grid.py): JAM cost decoupled from
+    # catalog size.  16384 stars is the production IMBH-catalog scale; the
+    # fixed-centre auto-dispatch selects the 128x12 polar grid there, and the
+    # direct row alongside records the measured speedup on the same workload.
+    n_big, w_big = 16384, 512
+    bdata, ra_b, dec_b = _mock_catalog(n_big, rng)
+    bparams = Axisymmetric.default_parameters()
+    for name, val in dict(d=5.0, beta=0.0, mbh=0.0, ra_center=ra_b,
+                          dec_center=dec_b, rbh=1.0, delta_v=0.0).items():
+        bparams[name].set(value=val, fixed=True)
+    bparams["mlr"].set(value=2.0, min=0.1, max=10.0, fixed=False)
+    bparams["barq"].set(value=0.4, fixed=False)
+    bparams["kappa_x"].set(value=0.5, min=-2.0, max=2.0, fixed=False)
+    bparams["kappa_y"].set(value=0.0, min=-2.0, max=2.0, fixed=False)
+    bigfit = Axisymmetric(bdata, mge_mass=mass, mge_lum=lum,
+                          parameters=bparams)
+    _, bpos = jam_pos(w_big)
+    assert bigfit._jam_grid_spec() is not None  # auto must pick the grid here
+    rows["jam/grid@16k"] = _measure(bigfit.build_lnprob_batched(), bpos,
+                                    bigfit.dtype, n_steps=80)
+    os.environ["MCMC_TPU_JAM"] = "direct"
+    try:
+        rows["jam/direct@16k"] = _measure(bigfit.build_lnprob_batched(), bpos,
+                                          bigfit.dtype, n_steps=8, repeats=2)
+    finally:
+        del os.environ["MCMC_TPU_JAM"]
+
 
 def bench_binned_pipeline(rows):
     """The reference's production workload (bin/run.py:146-259): every radial
@@ -598,6 +625,52 @@ def validate():
     except AssertionError as exc:
         failures.append("jam/accelerator-vs-cpu")
         print(f"  {'jam/accelerator-vs-cpu':24s} FAIL {exc}", file=sys.stderr)
+
+    # round-4 polar-grid tier vs the direct engine ON THE DEVICE in f32: the
+    # f64 CPU parity test (tests/test_jam_grid.py) cannot see Mosaic/MXU
+    # lowering issues in the interpolation matmuls or f32 underflow in the
+    # harmonic transforms; the catalog reuses the 15-25 sigma far-star tail
+    def jam_lnprob_mode(mode):
+        os.environ["MCMC_TPU_JAM"] = mode
+        try:
+            fitg = Axisymmetric(jdata, mge_mass=mass, mge_lum=lum,
+                                parameters=jparams.copy())
+            fitg.jam_grid_min_stars = 100   # force auto past the threshold
+            free = fitg.compiled.free_names
+            grng = np.random.default_rng(8)
+            draws = {"mlr": grng.uniform(1.5, 2.5, 64),
+                     "barq": grng.uniform(0.41, 0.45, 64),
+                     "kappa_x": grng.uniform(0.3, 0.7, 64),
+                     "kappa_y": grng.uniform(-0.1, 0.1, 64),
+                     "mbh": grng.uniform(5e3, 5e4, 64)}
+            gpos = jnp.asarray(np.column_stack([draws[n] for n in free]),
+                               fitg.dtype)
+            return np.asarray(jax.jit(fitg.build_lnprob_batched())(gpos))
+        finally:
+            del os.environ["MCMC_TPU_JAM"]
+
+    got_g = jam_lnprob_mode("grid")
+    ref_g = jam_lnprob_mode("direct")
+    try:
+        ok = np.isfinite(ref_g)
+        assert ok.sum() > 16, f"too few finite JAM walkers ({ok.sum()}/64)"
+        assert (np.isfinite(got_g) == ok).all(), "-inf pattern differs"
+        # the tier's moment error is the engine's own quadrature class
+        # (~6e-4 dispersion-relative) and is extensive in the star count, so
+        # the bound is RELATIVE on lnL (measured ~9e-4 rel at 400-500 stars
+        # with a free BH); it must also stay far below the walker lnL spread
+        # (the scale acceptance decisions actually see)
+        np.testing.assert_allclose(got_g[ok], ref_g[ok], rtol=3e-3, atol=1.0)
+        spread = float(np.std(ref_g[ok]))
+        maxd = float(np.max(np.abs(got_g[ok] - ref_g[ok])))
+        assert spread > 10 * maxd, \
+            f"grid-direct disagreement ({maxd:.3g}) not << lnL spread ({spread:.3g})"
+        print(f"  {'jam/grid-vs-direct':24s} OK   (finite {ok.sum()}/64, "
+              f"max|d| {np.max(np.abs(got_g[ok] - ref_g[ok])):.3g})",
+              file=sys.stderr)
+    except AssertionError as exc:
+        failures.append("jam/grid-vs-direct")
+        print(f"  {'jam/grid-vs-direct':24s} FAIL {exc}", file=sys.stderr)
 
     # checkpoint-resume bitwise determinism ON THE DEVICE in f32: the f64 CPU
     # suite proves the chunk-split rule, but the rule exists precisely because

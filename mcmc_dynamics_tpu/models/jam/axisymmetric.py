@@ -241,15 +241,21 @@ class Axisymmetric(Runner):
         if mode == "direct":
             return None
         # the grid path reproduces Axisymmetric's moment->terms pipeline;
-        # subclasses that reroute it (ChemoProfiles' multi-population
-        # lnlike_terms) must keep the direct evaluation
-        if (type(self).lnlike_terms is not Axisymmetric.lnlike_terms
-                or type(self).model_moments is not Axisymmetric.model_moments):
+        # subclasses that reroute it must either keep the direct evaluation
+        # or supply their own grid evaluation via _grid_lnlike_terms
+        # (ChemoProfiles does: one grid solve per population)
+        reroutes = (type(self).lnlike_terms is not Axisymmetric.lnlike_terms
+                    or type(self).model_moments
+                    is not Axisymmetric.model_moments)
+        grid_capable = (type(self)._grid_lnlike_terms
+                        is not Axisymmetric._grid_lnlike_terms)
+        if reroutes and not grid_capable:
             if mode == "grid":
                 raise ValueError(
                     f"MCMC_TPU_JAM=grid: {type(self).__name__} overrides the "
-                    "moment->likelihood pipeline; the grid tier only serves "
-                    "models whose lnlike_terms flow through "
+                    "moment->likelihood pipeline without a grid-tier "
+                    "evaluation (_grid_lnlike_terms); the grid tier only "
+                    "serves models whose lnlike_terms flow through "
                     "Axisymmetric.model_moments.")
             return None
         if not self.center_is_fixed():
@@ -277,6 +283,18 @@ class Axisymmetric(Runner):
             self._jam_grid_cache = cached
         return cached[1]
 
+    def _grid_lnlike_terms(self, spec, p, data, floor):
+        """Per-star lnlike terms through the polar-grid tier.  Subclasses
+        that reroute the moment->likelihood pipeline (ChemoProfiles) override
+        this to stay grid-eligible."""
+        from .grid import jam_grid_moments
+
+        theta0 = jnp.arctan2(p["kappa_y"], p["kappa_x"])
+        vz, v2zz, valid = jam_grid_moments(
+            spec, lambda gx, gy: self._moments_at(p, gx, gy), theta0,
+            floor=floor)
+        return self._terms_from_moments(p, data, vz, v2zz, valid)
+
     def build_lnprob_batched(self):
         import jax
 
@@ -284,8 +302,6 @@ class Axisymmetric(Runner):
         if spec is None:
             fn = self.build_lnprob()
         else:
-            from .grid import jam_grid_moments
-
             compiled = self.compiled
             data = self.prepare_data(dict(self._data_arrays))
             from ..base import masked_sum
@@ -298,12 +314,8 @@ class Axisymmetric(Runner):
                 lp = compiled.lnprior(theta)
                 p = self.scaled_values(theta)
                 lp = lp + self.extra_lnprior_fn(p)
-                theta0 = jnp.arctan2(p["kappa_y"], p["kappa_x"])
-                vz, v2zz, valid = jam_grid_moments(
-                    spec, lambda gx, gy: self._moments_at(p, gx, gy), theta0,
-                    floor=floor)
-                ll = masked_sum(self._terms_from_moments(p, data, vz, v2zz,
-                                                         valid), data)
+                ll = masked_sum(self._grid_lnlike_terms(spec, p, data, floor),
+                                data)
                 return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
 
         chunk = int(self.lnprob_chunk)

@@ -259,13 +259,17 @@ class ChemoProfiles(AnalyticalProfiles):
                                             np.asarray(s))
         return out
 
-    def lnlike_terms(self, p, data):
+    def _lnlike_terms_impl(self, p, data, eval_moments):
+        """Shared multi-population mixture assembly.  ``eval_moments(at)``
+        maps a per-population engine closure ``at(x, y) -> (vz, v2zz, valid)``
+        to star-position moments — directly, or through the polar-grid tier
+        (each population is still an axisymmetric JAM field, so the grid's
+        bisymmetric harmonic representation applies per population)."""
         letters = ascii_lowercase[:self.n_pops]
         lum_i, lum_s, lum_q = [jnp.asarray(a, self.dtype)
                                for a in self.mge_lum.as_arrays()]
         mass_i, mass_s, mass_q = [jnp.asarray(a, self.dtype)
                                   for a in self.mge_mass.as_arrays()]
-        x, y = self._rotated_coords_no_rotation(p, data)
         incl = self._inclination(p["barq"])
 
         x_mlr = jnp.asarray(self._x_mlr, self.dtype)
@@ -284,15 +288,18 @@ class ChemoProfiles(AnalyticalProfiles):
             r_kappa = 10.0 ** p[f"logr_kappa_{pop}"] * 60.0  # dex(arcmin) -> arcsec
             kappa = self.kappa_profile(x_kappa, p[f"kappa_max_{pop}"], r_kappa)
 
-            res = jam_los_moments(x, y, lum_i_pop, lum_s, lum_q,
-                                  mass_i, mass_s, mass_q,
-                                  d=p["d"], beta=p["beta"], kappa=kappa,
-                                  mscale=mscale, incl=incl,
-                                  mbh=p["mbh"], rbh=p["rbh"],
-                                  n_u=self.n_u, n_zeta=self.n_zeta)
-            vz, v2zz = res.vz, res.v2zz
+            def at(px, py, lum_i_pop=lum_i_pop, kappa=kappa):
+                res = jam_los_moments(px, py, lum_i_pop, lum_s, lum_q,
+                                      mass_i, mass_s, mass_q,
+                                      d=p["d"], beta=p["beta"], kappa=kappa,
+                                      mscale=mscale, incl=incl,
+                                      mbh=p["mbh"], rbh=p["rbh"],
+                                      n_u=self.n_u, n_zeta=self.n_zeta)
+                return res.vz, res.v2zz, res.valid
+
+            vz, v2zz, ok = eval_moments(at)
             sigma2 = v2zz - vz * vz
-            valid = valid & res.valid & jnp.all(sigma2 > 0) \
+            valid = valid & ok & jnp.all(sigma2 > 0) \
                 & jnp.all(jnp.isfinite(v2zz))
             sigma = jnp.sqrt(jnp.maximum(sigma2, 1e-12))
 
@@ -309,6 +316,23 @@ class ChemoProfiles(AnalyticalProfiles):
         peak = jnp.max(stacked, axis=0)
         terms = peak + jnp.log(jnp.sum(jnp.exp(stacked - peak), axis=0))
         return jnp.where(valid, terms, -jnp.inf)
+
+    def lnlike_terms(self, p, data):
+        x, y = self._rotated_coords_no_rotation(p, data)
+        return self._lnlike_terms_impl(p, data, lambda at: at(x, y))
+
+    def _grid_lnlike_terms(self, spec, p, data, floor):
+        """Polar-grid tier (models/jam/grid.py), one grid solve per
+        population.  Chemo models fix the morphological frame — no
+        kappa-frame rotation — so the harmonic shift angle is zero and the
+        grid (built from the same fixed-centre offsets the direct path
+        evaluates at) interpolates each population's bisymmetric field
+        directly."""
+        from .grid import jam_grid_moments
+
+        zero = jnp.zeros((), self.dtype)
+        return self._lnlike_terms_impl(
+            p, data, lambda at: jam_grid_moments(spec, at, zero, floor=floor))
 
     def _rotated_coords_no_rotation(self, p, data):
         """Chemo models fix the morphological frame: plain centre offsets in arcsec

@@ -172,3 +172,53 @@ class TestLnprobParity:
             fit._jam_grid_spec()
         monkeypatch.setenv("MCMC_TPU_JAM", "auto")
         assert fit._jam_grid_spec() is None
+
+
+class TestChemoGrid:
+    """ChemoProfiles rides the grid tier via its _grid_lnlike_terms override:
+    one grid solve per population, theta0 = 0 (chemo fixes the morphological
+    frame)."""
+
+    def _fit(self, monkeypatch, mode, n=300):
+        from mcmc_dynamics_tpu.models import ChemoProfiles
+
+        from test_chemo import _data, _fixed_params, _tagged_mges
+
+        monkeypatch.setenv("MCMC_TPU_JAM", mode)
+        data = _data(n=n, seed=1)
+        lum, mass = _tagged_mges()
+        params = _fixed_params(kappa_max_a=dict(min=-2.0, max=2.0),
+                               mu_feh_a=dict(min=-1.0, max=1.0),
+                               h_aa=dict(min=0.0, max=1.0))
+        fit = ChemoProfiles(data, mge_mass=mass, mge_lum=lum,
+                            parameters=params, n_pops=2)
+        fit.n_u, fit.n_zeta = 12, 16
+        fit.jam_grid_min_stars = 100
+        return fit
+
+    def test_chemo_grid_lnprob_matches_direct(self, monkeypatch):
+        fit = self._fit(monkeypatch, "grid")
+        assert fit._jam_grid_spec() is not None
+        free = fit.compiled.free_names
+        rng = np.random.default_rng(7)
+        draws = {"kappa_max_a": rng.uniform(0.2, 0.6, 8),
+                 "mu_feh_a": rng.uniform(-0.6, -0.4, 8),
+                 "h_aa": rng.uniform(0.7, 0.95, 8)}
+        pos = np.column_stack([draws[n] for n in free])
+        lp_grid = np.asarray(fit.build_lnprob_batched()(
+            jnp.asarray(pos, fit.dtype)))
+
+        monkeypatch.setenv("MCMC_TPU_JAM", "direct")
+        assert fit._jam_grid_spec() is None
+        lp_dir = np.asarray(fit.build_lnprob_batched()(
+            jnp.asarray(pos, fit.dtype)))
+
+        assert np.isfinite(lp_grid).all()
+        np.testing.assert_allclose(lp_grid, lp_dir, rtol=0, atol=1.0)
+        assert np.std(lp_dir) > 10 * np.max(np.abs(lp_grid - lp_dir))
+
+    def test_chemo_auto_selects_grid_over_threshold(self, monkeypatch):
+        fit = self._fit(monkeypatch, "auto")
+        assert fit._jam_grid_spec() is not None       # 300 >= patched 100
+        fit.jam_grid_min_stars = 4096
+        assert fit._jam_grid_spec() is None
