@@ -54,7 +54,7 @@ def main():
         fixed = dict(d=5.0, mlr_0=2.0, mlr_t=2.0, mlr_inf=2.0, r_mlr=20.0,
                      barq=0.5, beta=0.0, ra_center=ra_c, dec_center=dec_c,
                      mu_feh_b=0.2, sigma_feh_b=0.1, kappa_max_b=-0.2,
-                     logr_kappa_b=math.log10(30.0 / 60.0),
+                     logr_kappa_b=math.log10(30.0 / 60.0), h_ab=0.2,
                      sigma_feh_a=0.12, logr_kappa_a=math.log10(20.0 / 60.0))
         for name, val in fixed.items():
             params[name].set(value=val, fixed=True)

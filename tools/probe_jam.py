@@ -6,7 +6,13 @@ chunking the walker axis with ``lax.map(batch_size=lnprob_chunk)``
 production ensemble size so the default stays measured, not guessed.
 
 Usage: python tools/probe_jam.py [W=512] [chunks=32,64,128,256,512]
+       [nstars=1000] [jam=auto|grid|direct]
+
+``jam=grid nstars=16384`` sweeps the chunk for the polar-grid tier, whose
+per-walker working set (G grid points) differs from the direct engine's
+(N stars) — tune the two independently.
 """
+import os
 import pathlib
 import sys
 import time
@@ -30,10 +36,13 @@ def main():
     W = int(kv.get("W", 512))
     chunks = [int(c) for c in kv.get("chunks", "32,64,128,256,512").split(",")]
     n_steps = int(kv.get("steps", 100))
+    n_stars = int(kv.get("nstars", 1000))
+    if "jam" in kv:
+        os.environ["MCMC_TPU_JAM"] = kv["jam"]
 
     # same model/catalog as bench_jam (bench.py) so rates are comparable
     rng = np.random.default_rng(2)
-    data, ra_c, dec_c = _mock_catalog(1000, rng)
+    data, ra_c, dec_c = _mock_catalog(n_stars, rng)
     lum = MgeReader(Table({"i": u.Quantity([5000.0, 1000.0], "solLum/pc2"),
                            "s": u.Quantity([10.0, 40.0], "arcsec"),
                            "q": [0.9, 0.85]}), lum=True)
