@@ -243,20 +243,34 @@ class Axisymmetric(Runner):
         # the grid path reproduces Axisymmetric's moment->terms pipeline;
         # subclasses that reroute it must either keep the direct evaluation
         # or supply their own grid evaluation via _grid_lnlike_terms
-        # (ChemoProfiles does: one grid solve per population)
-        reroutes = (type(self).lnlike_terms is not Axisymmetric.lnlike_terms
-                    or type(self).model_moments
-                    is not Axisymmetric.model_moments)
-        grid_capable = (type(self)._grid_lnlike_terms
-                        is not Axisymmetric._grid_lnlike_terms)
+        # (ChemoProfiles does: one grid solve per population).  The gate is
+        # MRO-positional: the _grid_lnlike_terms override must be defined at
+        # or below the class that last rerouted lnlike_terms/model_moments —
+        # a subclass of a grid-capable model that overrides lnlike_terms
+        # again would otherwise inherit a stale grid evaluation and silently
+        # diverge from its own direct path.
+        mro = type(self).__mro__
+
+        def definer(name):
+            for klass in mro:
+                if name in vars(klass):
+                    return klass
+            return Axisymmetric
+
+        reroute_cls = min(definer("lnlike_terms"), definer("model_moments"),
+                          key=mro.index)
+        grid_cls = definer("_grid_lnlike_terms")
+        reroutes = reroute_cls is not Axisymmetric
+        grid_capable = (grid_cls is not Axisymmetric
+                        and mro.index(grid_cls) <= mro.index(reroute_cls))
         if reroutes and not grid_capable:
             if mode == "grid":
                 raise ValueError(
-                    f"MCMC_TPU_JAM=grid: {type(self).__name__} overrides the "
-                    "moment->likelihood pipeline without a grid-tier "
-                    "evaluation (_grid_lnlike_terms); the grid tier only "
-                    "serves models whose lnlike_terms flow through "
-                    "Axisymmetric.model_moments.")
+                    f"MCMC_TPU_JAM=grid: {reroute_cls.__name__} overrides the "
+                    "moment->likelihood pipeline without a matching grid-tier "
+                    "evaluation (_grid_lnlike_terms defined at or below it); "
+                    "the grid tier only serves models whose _grid_lnlike_terms "
+                    "is in sync with their lnlike_terms/model_moments.")
             return None
         if not self.center_is_fixed():
             if mode == "grid":

@@ -344,12 +344,15 @@ def fit_radial_bins(data: DataReader, ra_center, dec_center,
                      # identical shapes but different tables would reuse the
                      # wrong program
                      template.program_cache_salt())
-        run_all = _PROGRAM_CACHE.get(cache_key)
+        run_all = _PROGRAM_CACHE.pop(cache_key, None)
         if run_all is None:
             if len(_PROGRAM_CACHE) >= 8:
-                _PROGRAM_CACHE.clear()
+                # LRU: evict ONE oldest entry (clearing everything would make
+                # an analysis loop alternating 9 configs recompile all of
+                # them every call)
+                _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
             run_all = jax.jit(jax.vmap(run_one))
-            _PROGRAM_CACHE[cache_key] = run_all
+        _PROGRAM_CACHE[cache_key] = run_all   # (re-)insert at MRU position
         ch, lp = run_all(stacked, jnp.asarray(coords, dtype=dtype), keys)
         from .parallel.distributed import fetch as _fetch
         ch = _fetch(ch)[:nb]

@@ -15,7 +15,8 @@ from mcmc_dynamics_tpu.models import Axisymmetric
 from mcmc_dynamics_tpu.models.jam.grid import JamGridSpec, jam_grid_moments
 from mcmc_dynamics_tpu.models.jam.moments import jam_los_moments
 
-from test_axisymmetric import _base_params, _mge_pair, _mock_jam_data
+from test_axisymmetric import (DEC_C, RA_C, _base_params, _mge_pair,
+                               _mock_jam_data)
 
 LUM_I = np.array([8000.0, 4000.0, 1000.0, 200.0])
 LUM_S = np.array([3.0, 12.0, 40.0, 120.0])
@@ -174,6 +175,72 @@ class TestLnprobParity:
         assert fit._jam_grid_spec() is None
 
 
+class TestProfilesGrid:
+    """AnalyticalProfiles rides the base grid tier (it overrides neither
+    lnlike_terms nor model_moments, only jam_parameters): the radially
+    varying kappa(r)/mlr(r) make its moment fields the one case whose
+    angular/radial content differs from everything the base certification
+    covers — and it is the reference's flagship production model
+    (bin/run.py:444-450, cjam/radial_profiles.py:127-142), so it must not
+    ride the tier uncertified."""
+
+    def _fit(self, monkeypatch, mode, n=300):
+        from mcmc_dynamics_tpu.models import AnalyticalProfiles
+
+        monkeypatch.setenv("MCMC_TPU_JAM", mode)
+        data, lum, mass = _mock_jam_data(n=n, seed=9)
+        params = AnalyticalProfiles.default_parameters()
+        fixed = dict(d=5.0, barq=0.4, beta=0.0, mbh=0.0, ra_center=RA_C,
+                     dec_center=DEC_C, rbh=1.0, delta_v=0.0)
+        for name, val in fixed.items():
+            params[name].set(value=val, fixed=True)
+        for name in ("mlr_0", "mlr_t", "mlr_inf"):
+            params[name].set(value=2.0, min=0.1, max=10.0, fixed=False)
+        for name in ("kappa_x", "kappa_y"):
+            params[name].set(value=0.0, min=-2.0, max=2.0, fixed=False)
+        # r_mlr / r_kappa bounds are clamped to the MGE sigma range [10, 40]
+        # by the constructor; leave them free
+        fit = AnalyticalProfiles(data, parameters=params, mge_mass=mass,
+                                 mge_lum=lum)
+        fit.jam_grid_min_stars = 100
+        return fit
+
+    def _pos(self, fit, n_walkers=8, seed=13):
+        rng = np.random.default_rng(seed)
+        draws = {"mlr_0": rng.uniform(1.8, 2.6, n_walkers),
+                 "mlr_t": rng.uniform(1.6, 2.4, n_walkers),
+                 "mlr_inf": rng.uniform(1.2, 2.0, n_walkers),
+                 "r_mlr": rng.uniform(15.0, 30.0, n_walkers),
+                 "kappa_x": rng.uniform(0.3, 0.7, n_walkers),
+                 "kappa_y": rng.uniform(-0.1, 0.1, n_walkers),
+                 "r_kappa": rng.uniform(15.0, 30.0, n_walkers)}
+        return np.column_stack([draws[k] for k in fit.compiled.free_names])
+
+    def test_profiles_grid_lnprob_matches_direct(self, monkeypatch):
+        fit = self._fit(monkeypatch, "grid")
+        assert fit._jam_grid_spec() is not None
+        pos = self._pos(fit)
+        lp_grid = np.asarray(fit.build_lnprob_batched()(
+            jnp.asarray(pos, fit.dtype)))
+
+        monkeypatch.setenv("MCMC_TPU_JAM", "direct")
+        assert fit._jam_grid_spec() is None
+        lp_dir = np.asarray(fit.build_lnprob_batched()(
+            jnp.asarray(pos, fit.dtype)))
+
+        assert np.isfinite(lp_grid).all()
+        np.testing.assert_allclose(lp_grid, lp_dir, rtol=0, atol=1.0)
+        # the walker lnL spread (what acceptance decisions see) must dwarf
+        # the tier disagreement
+        assert np.std(lp_dir) > 10 * np.max(np.abs(lp_grid - lp_dir))
+
+    def test_profiles_auto_selects_grid(self, monkeypatch):
+        fit = self._fit(monkeypatch, "auto")
+        assert fit._jam_grid_spec() is not None       # 300 >= patched 100
+        fit.jam_grid_min_stars = 4096
+        assert fit._jam_grid_spec() is None
+
+
 class TestChemoGrid:
     """ChemoProfiles rides the grid tier via its _grid_lnlike_terms override:
     one grid solve per population, theta0 = 0 (chemo fixes the morphological
@@ -222,3 +289,28 @@ class TestChemoGrid:
         assert fit._jam_grid_spec() is not None       # 300 >= patched 100
         fit.jam_grid_min_stars = 4096
         assert fit._jam_grid_spec() is None
+
+    def test_stale_inherited_grid_override_rejected(self, monkeypatch):
+        """A subclass of ChemoProfiles that re-overrides lnlike_terms would
+        inherit chemo's _grid_lnlike_terms OUT OF SYNC with its own direct
+        path; the MRO-positional capability gate must reject it instead of
+        silently serving diverging grid lnprobs (r4 advisor finding)."""
+        from mcmc_dynamics_tpu.models import ChemoProfiles
+
+        from test_chemo import _data, _fixed_params, _tagged_mges
+
+        class Custom(ChemoProfiles):
+            def lnlike_terms(self, p, data):
+                return super().lnlike_terms(p, data)
+
+        monkeypatch.setenv("MCMC_TPU_JAM", "grid")
+        data = _data(n=150, seed=2)
+        lum, mass = _tagged_mges()
+        params = _fixed_params(kappa_max_a=dict(min=-2.0, max=2.0))
+        fit = Custom(data, mge_mass=mass, mge_lum=lum, parameters=params,
+                     n_pops=2)
+        fit.jam_grid_min_stars = 100
+        with pytest.raises(ValueError, match="overrides the"):
+            fit._jam_grid_spec()
+        monkeypatch.setenv("MCMC_TPU_JAM", "auto")
+        assert fit._jam_grid_spec() is None           # auto falls back

@@ -63,6 +63,14 @@ def main():
         params["h_aa"].set(fixed=False, min=0.0, max=1.0)
 
         steps = max(6, min(60, 2_000_000 // (n_stars * n_walkers // 64)))
+        # draw the walker positions ONCE per catalog size, before the mode
+        # loop: the host rng advances per draw, so drawing inside the loop
+        # would evaluate the two tiers at DIFFERENT positions and void the
+        # max|dlnL| comparison (the CLAUDE.md "reuse pos" pitfall).
+        # free_names are mode-independent (same parameters/fixed mask).
+        d = {"kappa_max_a": rng.uniform(0.2, 0.6, n_walkers),
+             "mu_feh_a": rng.uniform(-0.6, -0.4, n_walkers),
+             "h_aa": rng.uniform(0.7, 0.95, n_walkers)}
         out = {}
         lnp = {}
         for mode in ("direct", "grid"):
@@ -70,9 +78,6 @@ def main():
             fit = ChemoProfiles(data, mge_mass=mass, mge_lum=lum,
                                 parameters=params.copy(), n_pops=2)
             free = fit.compiled.free_names
-            d = {"kappa_max_a": rng.uniform(0.2, 0.6, n_walkers),
-                 "mu_feh_a": rng.uniform(-0.6, -0.4, n_walkers),
-                 "h_aa": rng.uniform(0.7, 0.95, n_walkers)}
             pos = np.column_stack([d[n] for n in free])
             lnprob = fit.build_lnprob_batched()
             lnp[mode] = np.asarray(lnprob(jnp.asarray(pos, fit.dtype)))
