@@ -176,19 +176,25 @@ class ConstantSufficientStats(NamedTuple):
         xi = jnp.clip((2.0 * t - (self.t_hi + self.t_lo))
                       / (self.t_hi - self.t_lo), -1.0, 1.0)
 
-        def step(carry, c):
-            tm1, tm0, acc = carry
-            tp = 2.0 * xi * tm0 - tm1
-            return (tm0, tp, acc + c * tp[..., None]), None
-
         # (a tail-first accumulation — summing the small high-order terms
         # before adding c0 + c1 xi — was measured identical in accuracy: the
         # residual f32 error lives in the one-time table build, not here)
-        acc0 = (jnp.broadcast_to(self.coeffs[0], xi.shape + (11,))
-                + self.coeffs[1] * xi[..., None])
-        (_, _, mom), _ = jax.lax.scan(
-            step, (jnp.ones_like(xi), xi, acc0), self.coeffs[2:])
-        return mom                                          # (..., 11)
+        acc = (jnp.broadcast_to(self.coeffs[0], xi.shape + (11,))
+               + self.coeffs[1] * xi[..., None])
+        # unrolled recurrence (D is static, <= 96 f32 / 160 f64), bitwise-
+        # identical accumulation order to the lax.scan it replaced.  Measured
+        # through the full binned pipeline on v5e (tools/probe_binned_interp.py,
+        # 16 bins x 64 walkers x 300 steps): a consistent but small ~1% win —
+        # the scan's while-loop overhead was NOT the r4 bench-row regression
+        # (that was single-sample timing noise; see bench_binned_pipeline).
+        # Kept because it removes ~30 sequential tiny-element loop iterations
+        # per half-step and lets XLA fuse the series into one kernel.
+        tm1, tm0 = jnp.ones_like(xi), xi
+        for k in range(2, self.coeffs.shape[0]):
+            tp = 2.0 * xi * tm0 - tm1
+            acc = acc + self.coeffs[k] * tp[..., None]
+            tm1, tm0 = tm0, tp
+        return acc                                          # (..., 11)
 
     def lnlike(self, params):
         """Batched ConstantFit log-likelihood: params (W, 4) columns
