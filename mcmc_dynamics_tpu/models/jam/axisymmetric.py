@@ -45,6 +45,11 @@ __all__ = ["Axisymmetric"]
 
 _ARCSEC_PER_RAD = 180.0 * 3600.0 / math.pi
 
+# the JamGridSpec fields that are per-star (everything else in the spec is
+# star-independent grid geometry); these are what the star-sharded path
+# slices over the sp mesh axis
+_GRID_STAR_COLUMNS = ("t_star", "cos_even", "sin_even", "cos_odd", "sin_odd")
+
 
 class Axisymmetric(Runner):
     MODEL_PARAMETERS = ["d", "mlr", "barq", "kappa_x", "kappa_y", "beta", "mbh",
@@ -134,6 +139,15 @@ class Axisymmetric(Runner):
             dx, dy = self.fixed_center_offsets()
             data["dxr"] = jnp.asarray(dx * _ARCSEC_PER_RAD, self.dtype)
             data["dyr"] = jnp.asarray(dy * _ARCSEC_PER_RAD, self.dtype)
+            spec = self._jam_grid_spec()
+            if spec is not None:
+                # ship the grid tier's per-star interpolation bases as data
+                # columns so the star-sharded path can slice them over sp
+                # (the SAME device arrays the closure spec holds — no copy;
+                # paths that keep the spec as closure constants simply never
+                # read these and XLA dead-code-eliminates them)
+                for name in _GRID_STAR_COLUMNS:
+                    data[f"jam_{name}"] = getattr(spec, name)
         return data
 
     def _grid_index(self, p):
@@ -227,7 +241,9 @@ class Axisymmetric(Runner):
     # radial nodes: at (128, 12) the tier's worst-case moment error EQUALS
     # the direct engine's own quadrature error (dvz 8.6e-4, dsig 5.1e-4
     # dispersion-relative) over the full incl/beta/kappa/BH box.  The
-    # sharded (multi-chip) path keeps the direct evaluation.
+    # star-sharded (multi-chip) path rides the tier too: each sp rank
+    # repeats the star-independent G-point grid solve per walker and
+    # interpolates only its local star slice (build_lnlike_partial_batched).
     jam_grid_orders = (128, 12)
     jam_grid_min_stars = 4096
 
@@ -309,6 +325,51 @@ class Axisymmetric(Runner):
             floor=floor)
         return self._terms_from_moments(p, data, vz, v2zz, valid)
 
+    def _grid_floor(self) -> float:
+        """Likelihood-natural log floor of the grid tier: below the smallest
+        measurement variance, sigma_model^2 is invisible in verr^2 + sigma^2.
+        Computed from the FULL catalog so every sp shard of a sharded run
+        interpolates the identical field."""
+        return max(float(np.min(np.asarray(self._data_arrays["verr"])) ** 2),
+                   1e-12)
+
+    def build_lnlike_partial_batched(self):
+        """Fused per-shard partial lnlike sums through the polar-grid tier
+        (Runner hook; the star-sharded analog of the grid branch below): the
+        grid solve is star-independent, so each sp rank repeats the tiny
+        G-point moment solve per walker and interpolates only its LOCAL star
+        slice — the per-star Chebyshev/harmonic bases arrive as sharded data
+        columns (see prepare_data) and the partial sums psum over ICI.
+        Models where the grid tier does not apply (free centre, small
+        catalogs, MCMC_TPU_JAM=direct, grid-incapable subclasses) return
+        None and the sharded sampler falls back to the direct per-star
+        evaluation.  Replaces the reference's 50-process cjam pool for the
+        biggest catalogs (axisymmetric.py:391-397)."""
+        import jax
+
+        spec = self._jam_grid_spec()
+        if spec is None:
+            return None
+
+        floor = self._grid_floor()
+        chunk = int(self.lnprob_chunk)
+
+        def single(theta, local):
+            lspec = spec._replace(**{name: local[f"jam_{name}"]
+                                     for name in _GRID_STAR_COLUMNS})
+            p = self.scaled_values(theta)
+            terms = self._grid_lnlike_terms(lspec, p, local, floor)
+            # select(), not multiply: -inf terms x 0 on padded lanes = NaN
+            return jnp.sum(jnp.where(local["mask"] > 0, terms, 0.0))
+
+        def fn(thetas, local):
+            f = lambda t: single(t, local)
+            if thetas.shape[0] <= chunk:
+                return jax.vmap(f)(thetas)
+            return jax.lax.map(f, thetas, batch_size=chunk)
+
+        return fn
+
     def build_lnprob_batched(self):
         import jax
 
@@ -320,9 +381,7 @@ class Axisymmetric(Runner):
             data = self.prepare_data(dict(self._data_arrays))
             from ..base import masked_sum
 
-            # likelihood-natural log floor: below the smallest measurement
-            # variance, sigma_model^2 is invisible in n_i = verr^2 + sigma^2
-            floor = max(float(np.min(np.asarray(data["verr"])) ** 2), 1e-12)
+            floor = self._grid_floor()
 
             def fn(theta):
                 lp = compiled.lnprior(theta)

@@ -185,6 +185,15 @@ class ChemoProfiles(AnalyticalProfiles):
         computation; note the reversed argument order of the original."""
         return AnalyticalProfiles.calculate_x_values(intensity, sigma)
 
+    def prepare_data(self, data):
+        """The spatial membership fractions are per-star state: ship them as
+        a data column (star axis first) so star-sharded paths slice them over
+        the sp mesh axis along with everything else; unsharded paths read the
+        identical array (no copy — it is the closure constant transposed)."""
+        data = super().prepare_data(data)
+        data["p_spatial"] = self._p_spatial.T          # (N, n_pops)
+        return data
+
     # ------------------------------------------------------------------ pure model
     def extra_lnprior_fn(self, p):
         """[Fe/H] ordering (populations must not cross, chemo_profiles.py:187-197)
@@ -277,6 +286,11 @@ class ChemoProfiles(AnalyticalProfiles):
                                   p["r_mlr"])
         x_kappa = jnp.asarray(self._x_kappa, self.dtype)
 
+        # per-star spatial fractions: from the (possibly sp-sharded) data
+        # slice when present, else the full-catalog closure constant
+        p_spatial = (data["p_spatial"].T if "p_spatial" in data
+                     else self._p_spatial)             # (n_pops, N_local)
+
         valid = jnp.asarray(True)
         pop_lnlike = []
         for i, pop in enumerate(letters):
@@ -303,7 +317,7 @@ class ChemoProfiles(AnalyticalProfiles):
                 & jnp.all(jnp.isfinite(v2zz))
             sigma = jnp.sqrt(jnp.maximum(sigma2, 1e-12))
 
-            like_spatial = h_row @ self._p_spatial                    # (N,)
+            like_spatial = h_row @ p_spatial                          # (N,)
             ln_v = gaussian_lnlike_terms(data["v"], data["verr"],
                                          vz - p["delta_v"], sigma)
             ln_feh = gaussian_lnlike_terms(data["feh"], data["feherr"],

@@ -296,7 +296,9 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
     if use_sp:
         # the padded device-resident catalog is reused across checkpoint
         # chunks — rebuilding it would re-transfer every column per chunk
-        dkey = (runner._compiled_fp, n_sp)
+        # the salt matters: prepare_data's output can depend on env-knob
+        # state (the JAM grid tier ships its per-star bases as data columns)
+        dkey = (runner._compiled_fp, runner.program_cache_salt(), n_sp)
         dcache = getattr(runner, "_sharded_data_cache", None)
         if dcache is None or dcache[0] != dkey:
             data = pad_star_axis(
@@ -336,15 +338,17 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
                  bool(key_prefolded), str(runner.dtype),
                  tuple((k, tuple(v.shape), str(v.dtype))
                        for k, v in zip(data_names, data_arrays)))
-    sharded_run = _PROGRAM_CACHE.get(cache_key)
+    sharded_run = _PROGRAM_CACHE.pop(cache_key, None)
     if sharded_run is None:
         if len(_PROGRAM_CACHE) >= 8:
-            _PROGRAM_CACHE.clear()
+            # LRU: evict ONE oldest program (clearing all would make a loop
+            # alternating 9 configurations recompile everything per call)
+            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
         sharded_run = _build_sharded_run(
             runner, compiled, mesh, dp_axis, sp_axis, use_sp, moves, a,
             n_steps, half_local, w_local, key_prefolded, key_spec, star_spec,
             data_names, batched_tier, partial_tier)
-        _PROGRAM_CACHE[cache_key] = sharded_run
+    _PROGRAM_CACHE[cache_key] = sharded_run   # (re-)insert at MRU position
 
     c_fin, lnp_fin, key_fin, chain, lnp_hist, acc = sharded_run(
         coords, key, *data_arrays)

@@ -175,6 +175,90 @@ class TestLnprobParity:
         assert fit._jam_grid_spec() is None
 
 
+class TestGridPosteriorCertification:
+    """Posterior-level certification of the grid tier AT PRODUCTION SCALE
+    (VERDICT r4 next-round #3).  The tier's lnL error is extensive in the
+    star count while posterior widths shrink ~1/sqrt(N) — the same bias-vs-
+    width race the round-3 quadrature certification resolved.  Method here:
+    importance reweighting, which isolates the tier-induced posterior shift
+    EXACTLY instead of racing it against chain-divergence Monte-Carlo noise
+    (the two-run protocol's noise floor was measured at 0.21-0.23 sigma in
+    round 3 — itself the size of the bound being proven):
+
+    * a constant lnL offset between tiers shifts NO posterior mass; only the
+      VARIATION of delta = lnL_direct - lnL_grid across the posterior bulk
+      does, so reweighting grid-chain draws by exp(delta) yields draws from
+      the exact direct posterior;
+    * the weighted-vs-unweighted median shift is then the exact tier-induced
+      bias for every free parameter, and the effective sample size bounds
+      the total perturbation.
+
+    Run at the N where auto turns the tier on (4096) and at 10x that
+    (40960), at the production grid orders (128, 12).  Engine quadrature is
+    lowered for CPU test cost — it is IDENTICAL in both tiers, so the tier
+    error is isolated regardless.  Reference contract: cjam/axisymmetric.py
+    :288-310."""
+
+    def _certify(self, n_stars, n_walkers, n_steps, n_draws, monkeypatch):
+        monkeypatch.setenv("MCMC_TPU_JAM", "auto")
+        data, lum, mass = _mock_jam_data(n=n_stars, seed=5, mlr=2.0,
+                                         kappa=0.5)
+        params = _base_params()
+        params["mlr"].set(fixed=False, min=0.2, max=8.0,
+                          initials="rng.uniform(1.8, 2.2, size=n)")
+        params["kappa_x"].set(fixed=False, min=-3.0, max=3.0,
+                              initials="rng.uniform(0.3, 0.7, size=n)")
+        params["barq"].set(fixed=False,
+                           initials="rng.uniform(0.41, 0.5, size=n)")
+        fit = Axisymmetric(data, parameters=params, mge_mass=mass,
+                           mge_lum=lum, seed=7)
+        fit.n_u, fit.n_zeta = 12, 16
+        assert fit._jam_grid_spec() is not None   # production auto dispatch
+
+        pos = fit.get_initials(n_walkers)
+        sampler = fit(n_walkers=n_walkers, n_steps=n_steps, pos=pos,
+                      prefix=None)
+        flat = sampler.chain[:, n_steps // 2:, :].reshape(
+            -1, sampler.chain.shape[-1])
+        rng = np.random.default_rng(3)
+        draws = flat[rng.choice(flat.shape[0], size=n_draws, replace=False)]
+        th = jnp.asarray(draws, fit.dtype)
+
+        lnp_grid = np.asarray(fit.build_lnprob_batched()(th))
+        monkeypatch.setenv("MCMC_TPU_JAM", "direct")
+        assert fit._jam_grid_spec() is None
+        lnp_dir = np.asarray(fit.build_lnprob_batched()(th))
+        assert np.isfinite(lnp_grid).all() and np.isfinite(lnp_dir).all()
+
+        delta = lnp_dir - lnp_grid
+        w = np.exp(delta - delta.max())
+        w /= w.sum()
+        ess = 1.0 / np.sum(w ** 2)
+        # the tier perturbation must not concentrate the posterior weight
+        assert ess > 0.5 * n_draws, (n_stars, ess)
+
+        def wmedian(x, weights):
+            order = np.argsort(x)
+            cw = np.cumsum(weights[order])
+            return x[order][np.searchsorted(cw, 0.5)]
+
+        for i, name in enumerate(fit.fitted_parameters):
+            x = draws[:, i]
+            shift = abs(wmedian(x, w) - np.median(x))
+            width = float(np.std(x))
+            assert shift < 0.2 * width, (
+                f"N={n_stars} {name}: tier-induced median shift {shift:.4g}"
+                f" vs posterior sigma {width:.4g} ({shift / width:.2f})")
+
+    def test_posterior_unbiased_at_auto_threshold(self, monkeypatch):
+        self._certify(4096, n_walkers=16, n_steps=200, n_draws=256,
+                      monkeypatch=monkeypatch)
+
+    def test_posterior_unbiased_at_ten_x(self, monkeypatch):
+        self._certify(40960, n_walkers=12, n_steps=120, n_draws=144,
+                      monkeypatch=monkeypatch)
+
+
 class TestProfilesGrid:
     """AnalyticalProfiles rides the base grid tier (it overrides neither
     lnlike_terms nor model_moments, only jam_parameters): the radially
