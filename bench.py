@@ -266,6 +266,42 @@ def bench_model(rows):
                                                  fit5.dtype, n_steps=100)
     del os.environ["MCMC_TPU_LNPROB"]
 
+    # free-centre fits (reference run_test_5139_center.py:101-102) at 1e5
+    # stars: every O(1)/walker tier requires a fixed centre, so this is the
+    # big-N worst case — the exact trig-identity kernel
+    # (ops/lnlike_kernels.model_freecenter_lnlike_batched) vs the per-pair
+    # spherical-trig XLA fallback it replaces
+    fcparams = ModelFit.default_parameters()
+    span = 0.02
+    fcparams["ra_center"].set(value=ra_c, min=ra_c - span, max=ra_c + span)
+    fcparams["dec_center"].set(value=dec_c, min=dec_c - span,
+                               max=dec_c + span)
+    fcparams["r_peak"].set(min=1.0, max=300.0)
+    fcparams["a"].set(min=1.0, max=300.0)
+    fcfit = ModelFit(data5, parameters=fcparams)
+    fcpos = np.column_stack([pos,
+                             ra_c + 1e-3 * rng5.normal(size=N_WALKERS),
+                             dec_c + 1e-3 * rng5.normal(size=N_WALKERS)])
+    if fcfit._pallas_freecenter_eligible():
+        rows["model/freecenter@1e5stars"] = _measure(
+            fcfit.build_lnprob_batched(), fcpos, fcfit.dtype, n_steps=100)
+    os.environ["MCMC_TPU_DISABLE_PALLAS"] = "1"
+    rows["model/xla-freecenter@1e5stars"] = _measure(
+        fcfit.build_lnprob_batched(), fcpos, fcfit.dtype, n_steps=20)
+    del os.environ["MCMC_TPU_DISABLE_PALLAS"]
+
+    # DoubleModelFit at 1e5 stars: the measured O(N) limit (no O(1)/walker
+    # collapse exists for the two-component model — its Lynden-Bell
+    # denominators carry x_pa(theta_0); see docs/design.md and
+    # tools/probe_double_rank.py for the measured rank/bandwidth argument)
+    dparams5 = DoubleModelFit.default_parameters()
+    dparams5["ra_center"].set(value=ra_c, fixed=True)
+    dparams5["dec_center"].set(value=dec_c, fixed=True)
+    dfit5 = DoubleModelFit(data5, parameters=dparams5)
+    if dfit5._pallas_eligible():
+        rows["double-model/pallas@1e5stars"] = _measure(
+            dfit5.build_lnprob_batched(), dpos, dfit5.dtype, n_steps=100)
+
 
 def bench_jam(rows):
     from mcmc_dynamics_tpu import units as u
@@ -540,6 +576,23 @@ def validate():
           atol=0.5)  # the table tier is approximate (~f32 eval floor)
     check("model/tensor", mfit, mpos, build=mfit.build_lnprob_tensor,
           atol=0.5)  # HIGH-precision MXU contraction: ~1e-4 rel (measured)
+
+    # free-centre trig-identity kernel vs the per-pair spherical projection
+    fcparams = ModelFit.default_parameters()
+    span = 0.02
+    fcparams["ra_center"].set(value=ra_c, min=ra_c - span, max=ra_c + span)
+    fcparams["dec_center"].set(value=dec_c, min=dec_c - span,
+                               max=dec_c + span)
+    fcparams["r_peak"].set(min=1.0, max=300.0)
+    fcparams["a"].set(min=1.0, max=300.0)
+    fcfit = ModelFit(data, parameters=fcparams)
+    fcpos = np.column_stack([mpos,
+                             ra_c + 1e-3 * rng.normal(size=W),
+                             dec_c + 1e-3 * rng.normal(size=W)])
+    fcpos[-3, 6] = ra_c + 0.05           # outside the prior box -> -inf
+    if fcfit._pallas_freecenter_eligible():
+        check("model/freecenter", fcfit, fcpos,
+              build=fcfit._build_lnprob_freecenter)
 
     # the measured-alternative MXU formulation of the table tier: not in the
     # default dispatch (within ~5% of the VPU kernel, ops/model_sufficient.py)

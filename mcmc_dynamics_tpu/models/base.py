@@ -684,7 +684,8 @@ class Runner:
         deterministic but not bitwise-identical to an *unsharded* run: the
         per-device key folding differs.)"""
         from ..parallel import run_ensemble_sharded
-        from ..parallel.distributed import fetch
+        from ..parallel.distributed import (checkpoint_dir_is_shared, fetch,
+                                            mesh_spans_processes)
         from ..sampler import EnsembleState
 
         if state is not None:
@@ -700,7 +701,18 @@ class Runner:
             raise ValueError("n_steps must be positive.")
         if telemetry is not None:
             telemetry.n_walkers = n_walkers
+        ndim = int(coords.shape[1])
+        # checkpointed multi-host runs keep each chain chunk in its sharded
+        # dp-block layout and write per-process shard files: fetching the
+        # chunk would replicate it onto every host over DCN each chunk
+        # (ShardedResult docstring), which is pure waste when the only
+        # consumer is the primary's checkpoint file.  Requires the checkpoint
+        # directory to be shared storage — verified once up front; per-host
+        # scratch dirs fall back to the replicating path.
+        shard_ckpt = (prefix is not None and mesh_spans_processes(mesh)
+                      and checkpoint_dir_is_shared(prefix))
         chain_parts, lnp_parts = [], []
+        blocks: Dict[tuple, tuple] = {}    # walker_ids -> ([chain], [lnp])
         chunk = n_out if n_out else n_steps
         done = 0
         result = None
@@ -733,17 +745,29 @@ class Runner:
                 result = run_ensemble_sharded(self, coords, key, n_steps=steps,
                                               mesh=mesh, dp_axis=dp_axis,
                                               sp_axis=sp_axis, a=a, move=move)
-            chain_parts.append(fetch(result.chain))
-            lnp_parts.append(fetch(result.log_prob))
+            if shard_ckpt:
+                for wids, cb, lb in result.local_blocks():
+                    ent = blocks.setdefault(tuple(int(w) for w in wids),
+                                            ([], []))
+                    ent[0].append(cb)
+                    ent[1].append(lb)
+            else:
+                chain_parts.append(fetch(result.chain))
+                lnp_parts.append(fetch(result.log_prob))
             accepted_run += np.asarray(fetch(result.accepted), dtype=np.int64)
             coords = result.final_coords
             key = result.final_key
             done += steps
 
             if n_out:
+                last_lnp = (np.asarray(fetch(result.final_log_prob))
+                            if shard_ckpt else lnp_parts[-1][:, -1])
                 logger.info("step %5d  <lnP> = %12.5e", done,
-                            float(lnp_parts[-1][:, -1].mean()))
-                if prefix is not None:
+                            float(last_lnp.mean()))
+                if shard_ckpt:
+                    self.save_current_status_shards(
+                        blocks, snapshot(), prefix, (n_walkers, done, ndim))
+                elif prefix is not None:
                     # per-chunk checkpoint — crash/preemption loses at most
                     # one chunk, matching the unsharded loop
                     self.save_current_status_arrays(
@@ -751,14 +775,26 @@ class Runner:
                         np.concatenate(lnp_parts, axis=1), snapshot(),
                         prefix=prefix)
 
-        chain = np.concatenate(chain_parts, axis=1)
-        lnprobability = np.concatenate(lnp_parts, axis=1)
+        if shard_ckpt:
+            if not n_out:   # no per-chunk checkpoints happened: write one now
+                self.save_current_status_shards(
+                    blocks, snapshot(), prefix, (n_walkers, done, ndim))
+            # the canonical checkpoint the primary just assembled is the
+            # replication channel for the API's full chain (shared storage,
+            # zero DCN) — every process reads it back for the SamplerResult
+            with np.load(f"{prefix}_chain.npz") as f:
+                chain = np.asarray(f["chain"])
+                lnprobability = np.asarray(f["lnprob"])
+        else:
+            chain = np.concatenate(chain_parts, axis=1)
+            lnprobability = np.concatenate(lnp_parts, axis=1)
         # acceptance over THIS call's steps (exact integer counts per chunk)
         acceptance = accepted_run / max(done, 1)
         sampler = SamplerResult(chain=chain, lnprobability=lnprobability,
                                 final_state=snapshot(),
                                 acceptance_fraction=acceptance)
-        if prefix is not None and n_out:
+        if prefix is not None and n_out and not shard_ckpt:
+            # shard_ckpt runs already hold a current canonical checkpoint
             self.save_current_status(sampler, prefix=prefix)
         return sampler
 
@@ -800,6 +836,80 @@ class Runner:
         if is_primary():
             np.savez(f"{prefix}_chain.npz", **arrays)
         barrier("checkpoint")
+
+    @staticmethod
+    def save_current_status_shards(blocks, state, prefix: str, chain_shape):
+        """Multi-host checkpoint that never moves the chain over the network.
+
+        The replicating-gather checkpoint (:meth:`save_current_status_arrays`
+        fed by ``fetch``) copies the whole accumulated chain to EVERY host per
+        chunk — per-chunk DCN traffic scaling with chain length x process
+        count.  Here each process instead writes only the dp walker blocks it
+        owns (``ShardedResult.local_blocks`` — no collective), a barrier
+        fences the writes, and the primary assembles the canonical
+        ``{prefix}_chain.npz`` (identical schema, so :meth:`load_state` /
+        :meth:`read_chain` are unchanged) from the shard files and deletes
+        them.  Requires the checkpoint directory to be shared storage — the
+        assumption every resumable pod run already makes (a restart must read
+        the primary's checkpoint from any host).
+
+        ``blocks``: ``{walker_ids: ([chain chunks (w, s, K)], [lnp chunks])}``
+        accumulated per chunk by the sharded sampling loop.  Returns
+        ``(chain, lnprob)`` on the primary and ``(None, None)`` elsewhere.
+        """
+        import os
+
+        import jax
+
+        from ..parallel.distributed import barrier, fetch, is_primary
+        from ..sampler.stretch import key_to_arrays
+
+        # small host-replicated state pieces first: fetch() is collective on
+        # process-spanning arrays (the stacked per-dp PRNG key is one), so
+        # every process must participate before any primary-only file work
+        key_data, key_impl = key_to_arrays(state.key, to_host=fetch)
+        small = dict(key=key_data, key_impl=np.asarray(key_impl),
+                     coords=fetch(state.coords), log_prob=fetch(state.log_prob),
+                     accepted=fetch(state.accepted), step=fetch(state.step))
+
+        pid, nproc = jax.process_index(), jax.process_count()
+        arrs = {}
+        for j, (wids, (cparts, lparts)) in enumerate(sorted(blocks.items())):
+            arrs[f"wids_{j}"] = np.asarray(wids, np.int64)
+            arrs[f"chain_{j}"] = np.concatenate(cparts, axis=1)
+            arrs[f"lnp_{j}"] = np.concatenate(lparts, axis=1)
+        np.savez(f"{prefix}_chain.shard{pid}of{nproc}.npz",
+                 n_blocks=np.asarray(len(blocks)), **arrs)
+        barrier("checkpoint-shards")
+
+        chain = lnp = None
+        if is_primary():
+            filled = np.zeros(chain_shape[0], bool)
+            for q in range(nproc):
+                with np.load(f"{prefix}_chain.shard{q}of{nproc}.npz") as f:
+                    for j in range(int(f["n_blocks"])):
+                        block = f[f"chain_{j}"]
+                        if chain is None:
+                            chain = np.empty(chain_shape, block.dtype)
+                            lnp = np.empty(chain_shape[:2], block.dtype)
+                        w = f[f"wids_{j}"]
+                        chain[w] = block
+                        lnp[w] = f[f"lnp_{j}"]
+                        filled[w] = True
+            if not filled.all():
+                raise IOError("checkpoint shard files do not cover every "
+                              f"walker (prefix={prefix!r}); refusing to "
+                              "write a corrupt canonical checkpoint.")
+            np.savez(f"{prefix}_chain.npz", chain=chain, lnprob=lnp, **small)
+            for q in range(nproc):
+                try:
+                    os.remove(f"{prefix}_chain.shard{q}of{nproc}.npz")
+                except OSError:
+                    pass
+        # fence BOTH the canonical write (readers on other hosts) and the
+        # shard-file removal (the next chunk re-creates the same names)
+        barrier("checkpoint-assembled")
+        return chain, lnp
 
     def load_state(self, filename: str):
         """Rebuild the resumable EnsembleState (coords + lnP + PRNG key + counters)

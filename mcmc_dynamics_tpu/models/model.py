@@ -44,11 +44,18 @@ class ModelFit(Runner):
     # ------------------------------------------------------------------ pure model
     def prepare_data(self, data):
         """Fixed centre -> precompute (dx, dy) arcmin offsets in float64 host-side;
-        the traced likelihood then has no per-star trig."""
+        the traced likelihood then has no per-star trig.  Free centre in the
+        canonical layout -> ship the exact shifted-centre star constants as
+        data columns so the star-sharded path can slice them over sp."""
         if self.center_is_fixed():
             dx, dy = self.fixed_center_offsets()
             data["dxm"] = jnp.asarray(dx * _ARCMIN_PER_RAD, self.dtype)
             data["dym"] = jnp.asarray(dy * _ARCMIN_PER_RAD, self.dtype)
+        elif self._canonical_freecenter_layout():
+            _, tabs = self._freecenter_constants()
+            for name, tab in zip(("fc_dx0", "fc_dy0", "fc_pm", "fc_qm",
+                                  "fc_b0"), tabs):
+                data[name] = jnp.asarray(tab, self.dtype)
         return data
 
     def _offsets_arcmin(self, p, data):
@@ -95,6 +102,87 @@ class ModelFit(Runner):
         from ..ops.lnlike_kernels import star_table_fits_vmem
         return (jax.default_backend() == "tpu" and self._canonical_layout()
                 and star_table_fits_vmem(self.n_data))
+
+    # ---------------------------------------------------------- free centre
+    _FREECENTER_NAMES = ["v_sys", "sigma_max", "a", "v_maxx", "v_maxy",
+                         "r_peak", "ra_center", "dec_center"]
+
+    def _canonical_freecenter_layout(self) -> bool:
+        """The centre-fitting analog of :meth:`_canonical_layout` (reference
+        workload run_test_5139_center.py:101-102): both centre coordinates
+        sampled alongside the six kinematic parameters."""
+        return (type(self) is ModelFit
+                and "lnlike_background" not in self._data_arrays
+                and self.compiled.free_names == self._FREECENTER_NAMES)
+
+    def _pallas_freecenter_eligible(self) -> bool:
+        import os
+        import jax
+        if os.environ.get("MCMC_TPU_DISABLE_PALLAS"):
+            return False
+        from ..ops.lnlike_kernels import star_table_fits_vmem
+        return (jax.default_backend() == "tpu"
+                and self._canonical_freecenter_layout()
+                and star_table_fits_vmem(self.n_data))
+
+    def _freecenter_constants(self):
+        """Host float64 star constants of the exact shifted-centre projection
+        (ops.lnlike_kernels.model_freecenter_lnlike_batched docstring).  The
+        reference point is the catalog median centre — the identities are
+        exact at ANY walker offset, the point only anchors the float64
+        precomputation (and the exact f32 subtraction in the wrapper)."""
+        ra = np.asarray(self._host_arrays["ra"], np.float64)     # rad
+        dec = np.asarray(self._host_arrays["dec"], np.float64)
+        ra0 = float(np.median(ra))
+        dec0 = float(np.median(dec))
+        s0, c0 = float(np.sin(dec0)), float(np.cos(dec0))
+        d = ra - ra0
+        pm = _ARCMIN_PER_RAD * np.cos(dec) * np.cos(d)
+        qm = _ARCMIN_PER_RAD * np.cos(dec) * np.sin(d)
+        sm = _ARCMIN_PER_RAD * np.sin(dec)
+        dx0 = -qm
+        dy0 = sm * c0 - pm * s0
+        b0 = sm * s0 + pm * c0
+        return (ra0, dec0, s0, c0), (dx0, dy0, pm, qm, b0)
+
+    def _freecenter_col_transform(self, ra0: float, dec0: float):
+        """(shift, scale) arrays turning a free-centre theta into the kernel's
+        internal columns: kinematics as in :meth:`_internal_col_scale`, the
+        centre columns first re-zeroed on the reference point in DECLARED
+        units (a subtraction of nearly-equal values — exact in f32, unlike
+        scaling the raw coordinate) and then converted to radians."""
+        base = np.asarray(self._internal_col_scale(), np.float64)
+        scales = self.compiled.scale_factors(
+            {"ra_center": "rad", "dec_center": "rad"})
+        shift = np.zeros(8)
+        shift[6] = ra0 / scales["ra_center"]        # declared units
+        shift[7] = dec0 / scales["dec_center"]
+        scale = np.concatenate(
+            [base, [scales["ra_center"], scales["dec_center"]]])
+        return (jnp.asarray(shift, self.dtype), jnp.asarray(scale, self.dtype))
+
+    def _build_lnprob_freecenter(self):
+        import jax
+
+        from ..ops.lnlike_kernels import model_freecenter_lnlike_batched
+
+        data = self.prepare_data(dict(self._data_arrays))
+        (ra0, dec0, s0, c0), tabs = self._freecenter_constants()
+        dx0, dy0, pm, qm, b0 = (jnp.asarray(t, self.dtype) for t in tabs)
+        v = data["v"]
+        verr2 = data["verr"] * data["verr"]
+        mask = data.get("mask", jnp.ones_like(v))
+        shift, scale = self._freecenter_col_transform(ra0, dec0)
+        lnprior_batched = jax.vmap(self.compiled.lnprior)
+
+        def batched(thetas):
+            lp = lnprior_batched(thetas)
+            ti = (thetas - shift[None, :]) * scale[None, :]
+            ll = model_freecenter_lnlike_batched(
+                ti, dx0, dy0, pm, qm, b0, v, verr2, mask, s0=s0, c0=c0)
+            return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
+        return batched
 
     def _sufficient_eligible(self) -> bool:
         """The O(n_bins)-per-walker radially-binned sufficient-statistics path
@@ -250,22 +338,41 @@ class ModelFit(Runner):
     def build_lnlike_partial_batched(self):
         """Fused per-shard ModelFit partial sums (see Runner hook): the direct
         kernel's star reduction is additive, so each sp-shard evaluates its
-        slice at kernel speed and the partials psum over ICI."""
-        if not self._pallas_eligible():
-            return None
+        slice at kernel speed and the partials psum over ICI.  Centre fits
+        ride the exact free-centre kernel (star constants arrive as sharded
+        data columns, see prepare_data)."""
+        if self._pallas_eligible():
+            from ..ops.lnlike_kernels import model_lnlike_batched
 
-        from ..ops.lnlike_kernels import model_lnlike_batched
+            col_scale = self._internal_col_scale()
 
-        col_scale = self._internal_col_scale()
+            def fn(thetas, data):
+                dxm, dym = data["dxm"], data["dym"]
+                r2 = dxm * dxm + dym * dym
+                return model_lnlike_batched(thetas * col_scale[None, :],
+                                            dxm, dym, r2, data["v"],
+                                            data["verr"] * data["verr"],
+                                            data["mask"])
 
-        def fn(thetas, data):
-            dxm, dym = data["dxm"], data["dym"]
-            r2 = dxm * dxm + dym * dym
-            return model_lnlike_batched(thetas * col_scale[None, :], dxm, dym, r2,
-                                        data["v"], data["verr"] * data["verr"],
-                                        data["mask"])
+            return fn
 
-        return fn
+        if self._pallas_freecenter_eligible():
+            from ..ops.lnlike_kernels import model_freecenter_lnlike_batched
+
+            (ra0, dec0, s0, c0), _ = self._freecenter_constants()
+            shift, scale = self._freecenter_col_transform(ra0, dec0)
+
+            def fn(thetas, data):
+                ti = (thetas - shift[None, :]) * scale[None, :]
+                return model_freecenter_lnlike_batched(
+                    ti, data["fc_dx0"], data["fc_dy0"], data["fc_pm"],
+                    data["fc_qm"], data["fc_b0"], data["v"],
+                    data["verr"] * data["verr"], data["mask"],
+                    s0=s0, c0=c0)
+
+            return fn
+
+        return None
 
     def build_lnprob_batched(self):
         import jax
@@ -275,6 +382,11 @@ class ModelFit(Runner):
         if self._sufficient_eligible():
             return self.build_lnprob_sufficient()
         if not self._pallas_eligible():
+            if self._pallas_freecenter_eligible():
+                # centre fits: exact trig-identity restructure of the
+                # projection keeps direct-kernel throughput (the XLA fallback
+                # pays per-pair spherical trig)
+                return self._build_lnprob_freecenter()
             return super().build_lnprob_batched()
 
         from ..ops.lnlike_kernels import model_lnlike_batched

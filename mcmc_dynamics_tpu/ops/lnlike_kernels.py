@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["constant_mixture_lnlike_batched", "model_lnlike_batched",
+           "model_freecenter_lnlike_batched",
            "model_mixture_lnlike_batched", "double_model_lnlike_batched",
            "constant_gb_lnlike_batched", "double_model_gb_lnlike_batched"]
 
@@ -260,6 +261,136 @@ def model_lnlike_batched(params, dxm, dym, r2, v, verr2, mask,
             flops=20 * w_padded * n_padded,
             bytes_accessed=4 * (6 * n_padded + 7 * w_padded),
             transcendentals=2 * w_padded * n_padded,
+        ),
+    )(params, stars)
+    return out[:n_walkers, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("s0", "c0", "walker_tile",
+                                             "star_chunk"))
+def model_freecenter_lnlike_batched(params, dx0, dy0, pm, qm, b0, v, verr2,
+                                    mask, s0: float, c0: float,
+                                    walker_tile: int = 512,
+                                    star_chunk: int = 2048):
+    """Fused FREE-CENTRE ModelFit log-likelihood -> (W,): the van de Ven+06
+    projection at a walker's (ra_c, dec_c) is EXACTLY a contraction of five
+    per-star constants with four per-walker trig scalars, so a centre fit
+    (reference run_test_5139_center.py:101-102) runs at direct-kernel rate
+    instead of the per-pair-trig XLA fallback.
+
+    With Delta_i = ra_i - ra_c0, M = arcmin/rad, the star constants are
+    ``pm = M cos(dec_i) cos Delta_i``, ``qm = M cos(dec_i) sin Delta_i``,
+    ``dx0 = -qm``, ``dy0 = S c0 - pm s0``, ``b0 = S s0 + pm c0`` with
+    ``S = M sin(dec_i)`` and (s0, c0) = (sin, cos)(dec_c0).  For a walker at
+    ra_c = ra_c0 + eps, dec_c = dec_c0 + eta (params columns 6, 7, radians;
+    trig identities, no expansion — exact at ANY offset):
+
+        R  - pm = qm sin(eps) - pm (1 - cos(eps))          [R = M cos(dec) cos(ra - ra_c)]
+        dx      = dx0 + pm sin(eps) + qm (1 - cos(eps))
+        dy      = A cos(eta) - B sin(eta),   A = dy0 - s0 (R - pm),
+                                             B = b0  + c0 (R - pm)
+
+    Every correction term is small (the big S/R parts cancel ANALYTICALLY
+    into the float64-precomputed dx0/dy0/b0), so the f32 kernel carries no
+    catastrophic cancellation; ``1 - cos`` is computed as ``2 sin^2(x/2)``
+    for the same reason.  Cost: ~16 extra VPU ops per (walker, star) pair
+    over the fixed-centre kernel's ~23.
+
+    ``params`` columns: (v_sys, sigma_max, a, v_maxx, v_maxy, r_peak,
+    ra_c - ra_c0 [rad], dec_c - dec_c0 [rad]) — callers subtract the
+    reference centre BEFORE the f32 cast (the difference of nearly-equal
+    values is exact; the raw ra would lose ~0.05 arcsec to f32 ULP).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if star_chunk % 4:
+        raise ValueError(
+            f"star_chunk must be a multiple of 4 (got {star_chunk}): the "
+            "log-determinant is computed through products of four lanes.")
+    dtype = params.dtype
+    (dx0, dy0, pm, qm, b0, v, verr2, mask), n_stars = _pad_stars(
+        [dx0, dy0, pm, qm, b0, v, verr2, mask], star_chunk)
+    n_padded = dx0.shape[0]
+    params, n_walkers = _pad_walkers(params, walker_tile)
+    w_padded = params.shape[0]
+    n_chunks = n_padded // star_chunk
+
+    stars = jnp.stack([dx0, dy0, pm, qm, b0, v, verr2, mask], axis=0)  # (8, N)
+
+    def kernel(p_ref, s_ref, out_ref):
+        p = p_ref[:]                                  # (TW, 8)
+        v_sys = p[:, 0:1]
+        sigma2 = p[:, 1:2] * p[:, 1:2]
+        inv_a2 = 1.0 / (p[:, 2:3] * p[:, 2:3])
+        vx2 = 2.0 * p[:, 3:4]
+        vy2 = 2.0 * p[:, 4:5]
+        r_peak = p[:, 5:6]
+        inv_rp = 1.0 / r_peak
+        eps = p[:, 6:7]
+        eta = p[:, 7:8]
+        ue = jnp.sin(eps)
+        he = jnp.sin(0.5 * eps)
+        we = 2.0 * he * he                            # 1 - cos(eps), stable
+        un = jnp.sin(eta)
+        hn = jnp.sin(0.5 * eta)
+        wn = 2.0 * hn * hn
+        half = star_chunk // 2
+        quart = star_chunk // 4
+
+        def body(c, carry):
+            acc, cnt = carry
+            sl = pl.ds(c * star_chunk, star_chunk)
+            dx0_c = s_ref[0, sl][None, :]
+            dy0_c = s_ref[1, sl][None, :]
+            pm_c = s_ref[2, sl][None, :]
+            qm_c = s_ref[3, sl][None, :]
+            b0_c = s_ref[4, sl][None, :]
+            v_c = s_ref[5, sl][None, :]
+            e2_c = s_ref[6, sl][None, :]
+            m_c = s_ref[7, sl][None, :]
+            rdel = qm_c * ue - pm_c * we
+            dx_c = dx0_c + (pm_c * ue + qm_c * we)
+            a_w = dy0_c - s0 * rdel
+            b_w = b0_c + c0 * rdel
+            dy_c = a_w - (wn * a_w + un * b_w)
+            r2_c = dx_c * dx_c + dy_c * dy_c
+            # from here identical to model_lnlike_batched's body
+            q = r_peak + r2_c * inv_rp
+            num = dy_c * vx2 - dx_c * vy2
+            d2 = q * (v_sys - v_c) + num
+            sig2 = sigma2 * jax.lax.rsqrt(1.0 + r2_c * inv_a2)
+            norm = e2_c + sig2
+            rs = jax.lax.rsqrt(q * q * norm)
+            quad = jnp.where(m_c > 0, (d2 * rs) * (d2 * rs), 0.0)
+            nm = jnp.where(m_c > 0, norm, 1.0)
+            logdet = jnp.log((nm[:, :quart] * nm[:, quart:half])
+                             * (nm[:, half:half + quart] * nm[:, half + quart:]))
+            acc = acc + jnp.sum(quad, axis=1, keepdims=True) \
+                + jnp.sum(logdet, axis=1, keepdims=True)
+            return acc, cnt + jnp.sum(m_c, axis=1, keepdims=True)
+
+        acc, cnt = jax.lax.fori_loop(
+            0, n_chunks, body,
+            (jnp.zeros((p.shape[0], 1), dtype), jnp.zeros((p.shape[0], 1), dtype)))
+        out_ref[:] = -0.5 * (acc + cnt * _LOG_2PI)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(w_padded // walker_tile,),
+        in_specs=[
+            pl.BlockSpec((walker_tile, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_padded), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((walker_tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w_padded, 1), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=36 * w_padded * n_padded,
+            bytes_accessed=4 * (8 * n_padded + 9 * w_padded),
+            transcendentals=2 * w_padded * n_padded + 4 * w_padded,
         ),
     )(params, stars)
     return out[:n_walkers, 0]

@@ -40,7 +40,7 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["initialize", "shutdown", "is_distributed", "is_primary",
            "global_mesh", "to_global", "fetch", "barrier",
-           "mesh_spans_processes"]
+           "mesh_spans_processes", "checkpoint_dir_is_shared"]
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -167,6 +167,45 @@ def _replicating_gather(mesh: Mesh):
     sharded sampling loop.  Cached here, only the first fetch per
     (mesh, shape/dtype) compiles."""
     return jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+
+
+def checkpoint_dir_is_shared(prefix: str) -> bool:
+    """True when every process sees every process's files under ``prefix``.
+
+    The shard-file checkpoint path (``Runner.save_current_status_shards``)
+    requires the checkpoint directory to be shared storage — the standard pod
+    setup, but not guaranteed (each host may be chdir'd into its own scratch
+    dir).  Probe-file handshake, run ONCE before a checkpointed multi-host
+    loop: every process drops a marker, a barrier fences the writes, each
+    checks it can see all markers, and a tiny all-gather forms the consensus
+    (visibility can be asymmetric).  Single-process sessions are trivially
+    shared."""
+    if jax.process_count() <= 1:
+        return True
+    import pathlib
+
+    from jax.experimental import multihost_utils
+
+    me, n = jax.process_index(), jax.process_count()
+    probe = pathlib.Path(f"{prefix}.ckptprobe.{me}")
+    probe.write_text("probe")
+    barrier("ckpt-probe-write")
+    ok = all(pathlib.Path(f"{prefix}.ckptprobe.{q}").exists()
+             for q in range(n))
+    oks = multihost_utils.process_allgather(np.asarray([ok]))
+    barrier("ckpt-probe-read")   # nobody deletes before everyone has looked
+    try:
+        probe.unlink()
+    except OSError:
+        pass
+    shared = bool(np.all(oks))
+    if not shared:
+        logger.warning(
+            "checkpoint directory for prefix %r is NOT shared across the %d "
+            "processes; falling back to the replicating-gather checkpoint "
+            "path (per-chunk DCN traffic scales with the chain — put "
+            "checkpoints on shared storage to avoid it).", prefix, n)
+    return shared
 
 
 def barrier(name: str = "mcmc_dynamics_tpu") -> None:

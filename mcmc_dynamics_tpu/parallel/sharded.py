@@ -19,7 +19,7 @@ collectives ride the ICI mesh.  PRNG discipline: the per-device key is folded wi
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, NamedTuple, Optional
 
 import numpy as np
 
@@ -214,19 +214,107 @@ def _build_sharded_run(runner, compiled, mesh, dp_axis, sp_axis, use_sp,
     return sharded_run
 
 
+class _RawScanOut(NamedTuple):
+    """The scan's untouched outputs: interleaved dp-block walker layout."""
+
+    chain: jnp.ndarray          # (S, W_interleaved, K), spec P(None, dp, None)
+    lnp: jnp.ndarray            # (S, W_interleaved),    spec P(None, dp)
+    acc: jnp.ndarray            # (W_interleaved,),      spec P(dp)
+    order: np.ndarray           # interleave permutation (host)
+    inverse_order: np.ndarray
+    n_steps: int
+
+
 class ShardedResult:
     """Output of :func:`run_ensemble_sharded`: globally-shaped jax.Arrays (sharded
-    across the mesh) plus the resumable pieces."""
+    across the mesh) plus the resumable pieces.
 
-    def __init__(self, chain, log_prob, coords, lnp, key, acceptance_fraction,
-                 accepted=None):
-        self.chain = chain                    # (W, S, K) — walker axis dp-sharded
-        self.log_prob = log_prob              # (W, S)
+    On process-spanning (multi-host) meshes the chain/log_prob/accepted stay
+    in the scan's RAW interleaved dp-block layout: the eager de-interleave is
+    a cross-shard gather whose output XLA lays out fully REPLICATED (measured:
+    the spec collapses to ``P()``), i.e. one full copy of the chunk lands on
+    every device of every host over DCN.  The emcee-layout views are therefore
+    materialised lazily on first attribute access (old API, old semantics),
+    while the shard-file checkpoint path (``Runner.save_current_status_shards``)
+    reads only this process's own dp blocks via :meth:`local_blocks` — no
+    collective, no DCN, and non-primary hosts never hold the full chain."""
+
+    def __init__(self, coords, lnp, key, acceptance_fraction=None, *,
+                 chain=None, log_prob=None, accepted=None, raw=None):
         self.final_coords = coords            # (W, K)
         self.final_log_prob = lnp             # (W,)
         self.final_key = key
-        self.acceptance_fraction = acceptance_fraction
-        self.accepted = accepted              # (W,) int: exact per-walker counts
+        self._chain = chain                   # (W, S, K) emcee layout
+        self._log_prob = log_prob             # (W, S)
+        self._accepted = accepted             # (W,) int: exact per-walker counts
+        self._acceptance = acceptance_fraction
+        self._raw = raw
+
+    @property
+    def chain(self):
+        if self._chain is None:
+            r = self._raw
+            self._chain = jnp.swapaxes(r.chain, 0, 1)[r.inverse_order]
+        return self._chain
+
+    @property
+    def log_prob(self):
+        if self._log_prob is None:
+            r = self._raw
+            self._log_prob = jnp.swapaxes(r.lnp, 0, 1)[r.inverse_order]
+        return self._log_prob
+
+    @property
+    def accepted(self):
+        if self._accepted is None:
+            r = self._raw
+            self._accepted = r.acc[r.inverse_order]
+        return self._accepted
+
+    @property
+    def acceptance_fraction(self):
+        if self._acceptance is None:
+            self._acceptance = self.accepted / max(self._raw.n_steps, 1)
+        return self._acceptance
+
+    def local_blocks(self):
+        """This process's OWNED dp chain blocks as host arrays — no collective.
+
+        Returns ``[(walker_ids, chain_block (w, S, K), lnp_block (w, S)), ...]``
+        in ORIGINAL walker numbering.  A dp block is replicated across the sp
+        ranks of its row, so several processes can address the same block;
+        ownership goes to the lowest process index holding it (every process
+        computes the same rule from the array's global shard map, so exactly
+        one process writes each block)."""
+        r = self._raw
+        if r is None:
+            raise ValueError("local_blocks() requires the raw scan layout "
+                             "(process-spanning meshes only).")
+        n_wi = r.chain.shape[1]
+
+        def block_range(shard):
+            sl = shard.index[1]
+            return (sl.start or 0, n_wi if sl.stop is None else sl.stop)
+
+        owners = {}
+        for sh in r.chain.global_shards:
+            key = block_range(sh)
+            p = sh.device.process_index
+            owners[key] = min(owners.get(key, p), p)
+
+        lnp_blocks = {block_range(sh): sh for sh in r.lnp.addressable_shards}
+        me = jax.process_index()
+        out, seen = [], set()
+        for sh in r.chain.addressable_shards:
+            key = block_range(sh)
+            if key in seen or owners[key] != me:
+                continue
+            seen.add(key)
+            chain_block = np.swapaxes(np.asarray(sh.data), 0, 1)    # (w, S, K)
+            lnp_block = np.swapaxes(np.asarray(lnp_blocks[key].data), 0, 1)
+            out.append((np.asarray(r.order[key[0]:key[1]]),
+                        chain_block, lnp_block))
+        return out
 
 
 def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
@@ -352,6 +440,15 @@ def run_ensemble_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
 
     c_fin, lnp_fin, key_fin, chain, lnp_hist, acc = sharded_run(
         coords, key, *data_arrays)
+
+    if spans:
+        # keep the raw interleaved layout: the de-interleave below replicates
+        # the chunk onto every device over DCN (see ShardedResult docstring);
+        # the emcee views materialise lazily, checkpoints read local blocks
+        return ShardedResult(coords=c_fin[inverse_order],
+                             lnp=lnp_fin[inverse_order], key=key_fin,
+                             raw=_RawScanOut(chain, lnp_hist, acc,
+                                             order, inverse_order, n_steps))
 
     # undo the interleaved layout -> original walker order, emcee chain layout
     chain = jnp.swapaxes(chain, 0, 1)[inverse_order]        # (W, S, K)

@@ -227,6 +227,135 @@ class TestTwoProcessLocalhost:
                                    rtol=1e-12, atol=0)
 
 
+_SHARD_CKPT_WORKER = textwrap.dedent("""
+    import json, os, pathlib, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_ENABLE_X64"] = "1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
+                                sys.argv[3], sys.argv[4])
+
+    from mcmc_dynamics_tpu.parallel import distributed as dist
+    assert dist.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=nproc, process_id=pid) is True
+
+    import numpy as np
+    from mcmc_dynamics_tpu import units as u
+    from mcmc_dynamics_tpu.models import ConstantFit
+    from mcmc_dynamics_tpu.utils import DataReader
+
+    RA_C, DEC_C = 56.345, -26.675
+    rng = np.random.default_rng(0)
+    n = 222
+    data = DataReader({
+        "ra": u.Quantity(RA_C + 0.03 * rng.normal(size=n), "deg"),
+        "dec": u.Quantity(DEC_C + 0.03 * rng.normal(size=n), "deg"),
+        "v": u.Quantity(5.0 * rng.normal(size=n), "km/s"),
+        "verr": u.Quantity(0.5 + 0.5 * rng.random(n), "km/s"),
+    })
+    params = ConstantFit.default_parameters()
+    params["ra_center"].set(value=RA_C, fixed=True)
+    params["dec_center"].set(value=DEC_C, fixed=True)
+    fit = ConstantFit(data, parameters=params, seed=11)
+    mesh = dist.global_mesh(("dp", "sp"), (2, 2))
+    assert dist.mesh_spans_processes(mesh)
+    pos = fit.get_initials(8)
+    os.chdir(outdir)
+
+    # spy on the replicating gather: the shard-checkpoint run must never
+    # fetch anything chain-shaped (3-D) — that is the per-chunk DCN traffic
+    # VERDICT r4 #10 bans.  (sharded.py binds fetch at module import, but its
+    # uses are keys/coords/catalog columns only; the checkpoint path imports
+    # per call, so the spy sees it.)
+    gathered = []
+    orig_fetch = dist.fetch
+    def spy_fetch(v):
+        if isinstance(v, jax.Array) and not v.is_fully_addressable:
+            gathered.append(tuple(v.shape))
+        return orig_fetch(v)
+    dist.fetch = spy_fetch
+    res = fit(n_walkers=8, n_steps=12, n_out=4, n_burn=0, pos=pos,
+              prefix="shardckpt", mesh=mesh)
+    dist.fetch = orig_fetch
+    assert all(len(s) < 3 for s in gathered), gathered
+    # ... and nothing step-resolved either: the largest gathered object is a
+    # (W, K) coords/acceptance-sized piece, NOT a (W, steps) history
+    assert all(s[-1] <= 8 or len(s) == 1 for s in gathered), gathered
+
+    # canonical checkpoint exists, per-process shard files were cleaned up
+    assert pathlib.Path("shardckpt_chain.npz").exists()
+    leftovers = list(pathlib.Path(".").glob("shardckpt_chain.shard*"))
+    assert not leftovers, leftovers
+    with np.load("shardckpt_chain.npz") as ck:
+        np.testing.assert_array_equal(ck["chain"], res.chain)
+        np.testing.assert_array_equal(ck["lnprob"], res.lnprobability)
+        assert int(ck["step"]) == 12
+
+    # the shard-checkpoint path must not perturb sampling: identical chain to
+    # the replicating (prefix=None) path, same seed/pos/mesh
+    res2 = fit(n_walkers=8, n_steps=12, n_out=4, n_burn=0, pos=pos,
+               prefix=None, mesh=mesh)
+    np.testing.assert_array_equal(res.chain, res2.chain)
+
+    # bitwise resume THROUGH the shard-assembled checkpoint: 12 + 6 more
+    state = fit.load_state("shardckpt_chain.npz")
+    res3 = fit(n_steps=6, n_out=3, n_burn=0, state=state,
+               prefix="shardckpt2", mesh=mesh)
+    res_full = fit(n_walkers=8, n_steps=18, n_out=6, n_burn=0, pos=pos,
+                   prefix=None, mesh=mesh)
+    np.testing.assert_array_equal(res3.chain,
+                                  res_full.chain[:, 12:, :])
+
+    np.savez(f"shardw{pid}.npz", chain=res.chain, lnp=res.lnprobability)
+    dist.barrier("done")
+    print(json.dumps({"pid": pid, "ok": True}))
+""")
+
+
+class TestShardedCheckpoint:
+    def test_two_process_shard_checkpoint(self, tmp_path):
+        """Multi-host checkpointing writes per-process dp-block shard files
+        and assembles the canonical .npz on the primary (VERDICT r4 #10): no
+        chain-shaped array ever crosses the replicating gather, sampling is
+        bit-identical to the replicating path, and resume through the
+        assembled checkpoint is bitwise."""
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        worker = tmp_path / "shard_worker.py"
+        worker.write_text(_SHARD_CKPT_WORKER)
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(pid), "2", str(port),
+                 str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True)
+            for pid in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            outs.append((p.returncode, out, err))
+        for rc, out, err in outs:
+            assert rc == 0, f"worker failed:\nstdout:{out}\nstderr:{err}"
+            assert json.loads(out.strip().splitlines()[-1])["ok"]
+
+        # both hosts ended with the identical full chain (read back from the
+        # canonical checkpoint — the filesystem, not DCN, replicates it)
+        w0 = np.load(tmp_path / "shardw0.npz")
+        w1 = np.load(tmp_path / "shardw1.npz")
+        np.testing.assert_array_equal(w0["chain"], w1["chain"])
+        np.testing.assert_array_equal(w0["lnp"], w1["lnp"])
+        assert np.isfinite(w0["lnp"]).all()
+
+
 _CLI_WORKER = textwrap.dedent("""
     import json, os, pathlib, sys
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"

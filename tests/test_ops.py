@@ -189,6 +189,63 @@ class TestModelKernel:
             expected[w] = -0.5 * np.sum(t * mask)
         np.testing.assert_allclose(got, expected, rtol=1e-8)
 
+    def test_freecenter_matches_full_trig_reference(self):
+        """The free-centre kernel's trig-identity restructure is EXACT: it
+        must match the per-pair spherical projection at any centre offset
+        (including a 5-degree one), not just in an arcsecond box."""
+        from jax.experimental.pallas import tpu as pltpu
+        from mcmc_dynamics_tpu.ops import model_freecenter_lnlike_batched
+
+        rng = np.random.default_rng(5)
+        W, N = 12, 300
+        M = 10800.0 / np.pi
+        ra_c0, dec_c0 = np.radians(201.7), np.radians(-47.48)
+        ra = ra_c0 + 4e-4 * rng.normal(size=N)
+        dec = dec_c0 + 4e-4 * rng.normal(size=N)
+        v = 5 * rng.normal(size=N)
+        verr2 = (0.4 + rng.random(N)) ** 2
+        mask = np.ones(N)
+        mask[260:] = 0.0
+
+        ra0, dec0 = np.median(ra), np.median(dec)
+        s0, c0 = np.sin(dec0), np.cos(dec0)
+        d = ra - ra0
+        pm = M * np.cos(dec) * np.cos(d)
+        qm = M * np.cos(dec) * np.sin(d)
+        sm = M * np.sin(dec)
+        dx0, dy0, b0 = -qm, sm * c0 - pm * s0, sm * s0 + pm * c0
+
+        dra = np.concatenate([3e-4 * rng.normal(size=W - 1),
+                              [np.radians(5.0)]])
+        ddec = np.concatenate([3e-4 * rng.normal(size=W - 1),
+                               [np.radians(-5.0)]])
+        params = np.column_stack([
+            rng.normal(0, 1, W), np.exp(rng.normal(1.5, 0.2, W)),
+            0.3 + rng.random(W), rng.normal(0, 3, W), rng.normal(0, 3, W),
+            0.5 + rng.random(W), dra, ddec])
+
+        args = [jnp.asarray(a)
+                for a in (params, dx0, dy0, pm, qm, b0, v, verr2, mask)]
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(model_freecenter_lnlike_batched(
+                *args, s0=float(s0), c0=float(c0), walker_tile=8,
+                star_chunk=128))
+
+        expected = np.zeros(W)
+        for w in range(W):
+            v_sys, sig, a, vx, vy, rp, e, n_ = params[w]
+            rc, dc = ra0 + e, dec0 + n_
+            dx = -M * np.cos(dec) * np.sin(ra - rc)
+            dy = M * (np.sin(dec) * np.cos(dc)
+                      - np.cos(dec) * np.sin(dc) * np.cos(ra - rc))
+            r2 = dx ** 2 + dy ** 2
+            v_los = v_sys + 2 * (dy * vx - dx * vy) / (rp * (1 + r2 / rp ** 2))
+            s2 = sig ** 2 / np.sqrt(1 + r2 / a ** 2)
+            norm = verr2 + s2
+            t = np.log(2 * np.pi * norm) + (v - v_los) ** 2 / norm
+            expected[w] = -0.5 * np.sum(t * mask)
+        np.testing.assert_allclose(got, expected, rtol=1e-11)
+
     def test_boundary_walker_survives_padded_lanes(self):
         """A prior-legal boundary walker (sigma_max = 0) with zero-padded
         star lanes must produce a finite lnlike — the padded lane used to
