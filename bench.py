@@ -524,14 +524,18 @@ def validate():
     failures = []
 
     def check(name, fit, pos, build=None, rtol=2e-4, atol=5e-2):
-        th = jnp.asarray(pos, fit.dtype)
-        got = np.asarray((build() if build else fit.build_lnprob_batched())(th))
-        os.environ["MCMC_TPU_DISABLE_PALLAS"] = "1"
-        os.environ["MCMC_TPU_LNPROB"] = "direct"
-        ref = np.asarray(fit.build_lnprob_batched()(th))
-        del os.environ["MCMC_TPU_DISABLE_PALLAS"], os.environ["MCMC_TPU_LNPROB"]
-        ok = np.isfinite(ref)
         try:
+            th = jnp.asarray(pos, fit.dtype)
+            got = np.asarray(
+                (build() if build else fit.build_lnprob_batched())(th))
+            os.environ["MCMC_TPU_DISABLE_PALLAS"] = "1"
+            os.environ["MCMC_TPU_LNPROB"] = "direct"
+            try:
+                ref = np.asarray(fit.build_lnprob_batched()(th))
+            finally:
+                del os.environ["MCMC_TPU_DISABLE_PALLAS"]
+                del os.environ["MCMC_TPU_LNPROB"]
+            ok = np.isfinite(ref)
             assert (np.isfinite(got) == ok).all(), "-inf pattern differs"
             np.testing.assert_allclose(got[ok], ref[ok], rtol=rtol, atol=atol)
             err = float(np.max(np.abs(got[ok] - ref[ok]))) if ok.any() else 0.0
@@ -540,6 +544,11 @@ def validate():
         except AssertionError as exc:
             failures.append(name)
             print(f"  {name:24s} FAIL {exc}", file=sys.stderr)
+        except Exception as exc:   # noqa: BLE001 — a tunnel transient during
+            # remote compile must record a FAIL row, not abort the whole gate
+            failures.append(name)
+            print(f"  {name:24s} FAIL (unexpected error) {exc!r}",
+                  file=sys.stderr)
 
     rng = np.random.default_rng(0)
     n, W = 4000, 2048
@@ -606,18 +615,18 @@ def validate():
             mdata["dxm"], mdata["dym"], mdata["v"],
             mdata["verr"] * mdata["verr"], s_max=mfit._sufficient_s_max(),
             dtype=mfit.dtype)
-        th_i = jnp.asarray(mpos, mfit.dtype) \
-            * np.asarray(mfit._internal_col_scale())[None, :]
-        got_mxu = np.asarray(jax.jit(
-            lambda t: model_sufficient_lnlike_pallas_mxu(mstats, t))(th_i))
-        ref_tab = np.asarray(jax.jit(mstats.lnlike)(th_i))
         try:
+            th_i = jnp.asarray(mpos, mfit.dtype) \
+                * np.asarray(mfit._internal_col_scale())[None, :]
+            got_mxu = np.asarray(jax.jit(
+                lambda t: model_sufficient_lnlike_pallas_mxu(mstats, t))(th_i))
+            ref_tab = np.asarray(jax.jit(mstats.lnlike)(th_i))
             np.testing.assert_allclose(got_mxu, ref_tab, rtol=2e-5, atol=0.05)
             print(f"  {'model/sufficient-mxu':24s} OK   (max|d| "
                   f"{np.max(np.abs(got_mxu - ref_tab)):.3g})", file=sys.stderr)
-        except AssertionError as exc:
+        except Exception as exc:  # noqa: BLE001 — record, don't abort the gate
             failures.append("model/sufficient-mxu")
-            print(f"  {'model/sufficient-mxu':24s} FAIL {exc}", file=sys.stderr)
+            print(f"  {'model/sufficient-mxu':24s} FAIL {exc!r}", file=sys.stderr)
 
     # density mixtures: every fused GB kernel, incl. f_back = 0 walkers
     def gb_pos(extra_rng):
@@ -711,11 +720,11 @@ def validate():
                                fitj.dtype)
             return np.asarray(jax.jit(fitj.build_lnprob_batched())(jpos))
 
-    jrng_state = jrng.bit_generator.state
-    got_j = jam_lnprob(jax.devices()[0])
-    jrng.bit_generator.state = jrng_state      # same walker draws on CPU
-    ref_j = jam_lnprob(jax.devices("cpu")[0])
     try:
+        jrng_state = jrng.bit_generator.state
+        got_j = jam_lnprob(jax.devices()[0])
+        jrng.bit_generator.state = jrng_state  # same walker draws on CPU
+        ref_j = jam_lnprob(jax.devices("cpu")[0])
         # some draws are legitimately -inf (validity gate: deprojection or
         # sigma^2 <= 0); the PATTERN must agree across backends, the finite
         # values to f32 tolerance
@@ -730,9 +739,9 @@ def validate():
         print(f"  {'jam/accelerator-vs-cpu':24s} OK   (finite {ok.sum()}/64, "
               f"max|d| {np.max(np.abs(got_j[ok] - ref_j[ok])):.3g})",
               file=sys.stderr)
-    except AssertionError as exc:
+    except Exception as exc:  # noqa: BLE001 — record, don't abort the gate
         failures.append("jam/accelerator-vs-cpu")
-        print(f"  {'jam/accelerator-vs-cpu':24s} FAIL {exc}", file=sys.stderr)
+        print(f"  {'jam/accelerator-vs-cpu':24s} FAIL {exc!r}", file=sys.stderr)
 
     # round-4 polar-grid tier vs the direct engine ON THE DEVICE in f32: the
     # f64 CPU parity test (tests/test_jam_grid.py) cannot see Mosaic/MXU
@@ -838,6 +847,10 @@ def validate():
         except AssertionError as exc:
             failures.append(name)
             print(f"  {name:24s} FAIL {exc}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — record, don't abort the gate
+            failures.append(name)
+            print(f"  {name:24s} FAIL (unexpected error) {exc!r}",
+                  file=sys.stderr)
 
     def ensemble_split():
         pos0 = cfit.get_initials(64)

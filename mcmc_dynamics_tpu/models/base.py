@@ -18,6 +18,7 @@ Equivalent of the reference's ``analysis/runner.py`` Runner, redesigned for XLA:
 from __future__ import annotations
 
 import logging
+import math
 import pathlib
 import pickle
 from typing import Callable, Dict, Optional
@@ -341,6 +342,66 @@ class Runner:
         dec_c = self.parameters["dec_center"].quantity.to(u.rad).value
         return xy_offset_rad(self._host_arrays["ra"], self._host_arrays["dec"],
                              float(ra_c), float(dec_c), xp=np)
+
+    # ------------------------------------------------------------ free centre
+    _FC_COLUMNS = ("fc_dx0", "fc_dy0", "fc_pm", "fc_qm", "fc_b0")
+
+    def _freecenter_constants(self):
+        """Host float64 star constants of the exact shifted-centre van de
+        Ven+06 projection, in ARCMIN units (derivation:
+        ops.lnlike_kernels.model_freecenter_lnlike_batched).  The reference
+        point is the catalog median centre — the trig identities are exact at
+        ANY walker offset; the point only anchors the float64 precomputation
+        (the large spherical terms cancel analytically into dx0/dy0 instead
+        of catastrophically in f32).  Memoized: called inside traced
+        functions (once per trace) and at build time; catalog-only."""
+        cached = getattr(self, "_fc_constants", None)
+        if cached is not None:
+            return cached
+        arcmin_per_rad = 10800.0 / math.pi
+        ra = np.asarray(self._host_arrays["ra"], np.float64)     # rad
+        dec = np.asarray(self._host_arrays["dec"], np.float64)
+        ra0 = float(np.median(ra))
+        dec0 = float(np.median(dec))
+        s0, c0 = float(np.sin(dec0)), float(np.cos(dec0))
+        d = ra - ra0
+        pm = arcmin_per_rad * np.cos(dec) * np.cos(d)
+        qm = arcmin_per_rad * np.cos(dec) * np.sin(d)
+        sm = arcmin_per_rad * np.sin(dec)
+        dx0 = -qm
+        dy0 = sm * c0 - pm * s0
+        b0 = sm * s0 + pm * c0
+        self._fc_constants = ((ra0, dec0, s0, c0), (dx0, dy0, pm, qm, b0))
+        return self._fc_constants
+
+    def add_freecenter_columns(self, data):
+        """Ship the shifted-centre star constants as per-star data columns:
+        free-centre likelihoods evaluate the projection from them with
+        per-WALKER trig only (freecenter_offsets_arcmin), and star-sharded
+        meshes slice them over sp like any other column."""
+        _, tabs = self._freecenter_constants()
+        for name, tab in zip(self._FC_COLUMNS, tabs):
+            data[name] = jnp.asarray(tab, self.dtype)
+        return data
+
+    def freecenter_offsets_arcmin(self, p, data):
+        """(dx, dy) arcmin offsets at the walker's sampled centre, from the
+        fc_* data columns — the exact trig-identity form (no small-offset
+        expansion; equals xy_offset_rad in exact arithmetic at any offset).
+        ~10 FMAs + four per-walker transcendentals, vs four per-(walker,
+        star) transcendentals for the direct spherical evaluation."""
+        (ra0, dec0, s0, c0), _ = self._freecenter_constants()
+        eps = p["ra_center"] - ra0
+        eta = p["dec_center"] - dec0
+        ue = jnp.sin(eps)
+        we = 2.0 * jnp.sin(0.5 * eps) ** 2          # 1 - cos(eps), stable
+        un = jnp.sin(eta)
+        wn = 2.0 * jnp.sin(0.5 * eta) ** 2
+        rdel = data["fc_qm"] * ue - data["fc_pm"] * we
+        dx = data["fc_dx0"] + (data["fc_pm"] * ue + data["fc_qm"] * we)
+        a_ = data["fc_dy0"] - s0 * rdel
+        b_ = data["fc_b0"] + c0 * rdel
+        return dx, a_ - (wn * a_ + un * b_)
 
     def get_initials(self, n_walkers: int) -> np.ndarray:
         return self.compiled.sample_initials(n_walkers)

@@ -41,14 +41,21 @@ class ConstantFit(Runner):
             safe = np.where(r > 0, r, 1.0)
             data["gx"] = jnp.asarray(np.where(r > 0, dy / safe, 0.0), self.dtype)
             data["gy"] = jnp.asarray(np.where(r > 0, -dx / safe, 0.0), self.dtype)
+        else:
+            # free centre: exact trig-identity star constants (Runner hook) —
+            # the traced likelihood pays per-walker trig only
+            data = self.add_freecenter_columns(data)
         return data
 
     def rotation_field(self, p, data):
         """Mean LOS velocity at every star position (pure)."""
         if "gx" in data:
             return p["v_sys"] + data["gx"] * p["v_maxx"] + data["gy"] * p["v_maxy"]
-        dx, dy = xy_offset_rad(data["ra"], data["dec"],
-                               p["ra_center"], p["dec_center"], xp=jnp)
+        if "fc_dx0" in data:
+            dx, dy = self.freecenter_offsets_arcmin(p, data)
+        else:
+            dx, dy = xy_offset_rad(data["ra"], data["dec"],
+                                   p["ra_center"], p["dec_center"], xp=jnp)
         r = jnp.sqrt(dx * dx + dy * dy)
         safe_r = jnp.where(r > 0, r, 1.0)
         v_rot = (dy * p["v_maxx"] - dx * p["v_maxy"]) / safe_r

@@ -123,6 +123,12 @@ class Axisymmetric(Runner):
         """Star offsets rotated into the kappa-defined frame, in arcsec (pure)."""
         if "dxr" in data:
             dx, dy = data["dxr"], data["dyr"]
+        elif "fc_dx0" in data:
+            # free centre: exact trig-identity evaluation (Runner hook;
+            # arcmin constants -> arcsec), per-walker trig only
+            dx, dy = self.freecenter_offsets_arcmin(p, data)
+            dx = dx * 60.0
+            dy = dy * 60.0
         else:
             dx, dy = xy_offset_rad(data["ra"], data["dec"],
                                    p["ra_center"], p["dec_center"], xp=jnp)
@@ -148,6 +154,9 @@ class Axisymmetric(Runner):
                 # read these and XLA dead-code-eliminates them)
                 for name in _GRID_STAR_COLUMNS:
                     data[f"jam_{name}"] = getattr(spec, name)
+        else:
+            # free centre: exact trig-identity star constants (Runner hook)
+            data = self.add_freecenter_columns(data)
         return data
 
     def _grid_index(self, p):

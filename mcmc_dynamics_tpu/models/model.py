@@ -44,23 +44,27 @@ class ModelFit(Runner):
     # ------------------------------------------------------------------ pure model
     def prepare_data(self, data):
         """Fixed centre -> precompute (dx, dy) arcmin offsets in float64 host-side;
-        the traced likelihood then has no per-star trig.  Free centre in the
-        canonical layout -> ship the exact shifted-centre star constants as
-        data columns so the star-sharded path can slice them over sp."""
+        the traced likelihood then has no per-star trig.  Free centre -> ship
+        the exact shifted-centre star constants as data columns (sliceable
+        over sp on star-sharded meshes); _offsets_arcmin and the free-centre
+        kernel evaluate the projection from them with per-WALKER trig only."""
         if self.center_is_fixed():
             dx, dy = self.fixed_center_offsets()
             data["dxm"] = jnp.asarray(dx * _ARCMIN_PER_RAD, self.dtype)
             data["dym"] = jnp.asarray(dy * _ARCMIN_PER_RAD, self.dtype)
-        elif self._canonical_freecenter_layout():
-            _, tabs = self._freecenter_constants()
-            for name, tab in zip(("fc_dx0", "fc_dy0", "fc_pm", "fc_qm",
-                                  "fc_b0"), tabs):
-                data[name] = jnp.asarray(tab, self.dtype)
+        else:
+            data = self.add_freecenter_columns(data)
         return data
 
     def _offsets_arcmin(self, p, data):
         if "dxm" in data:
             return data["dxm"], data["dym"]
+        if "fc_dx0" in data:
+            # exact trig-identity form of the shifted-centre projection: this
+            # is what the XLA fallback of EVERY free-centre variant (GB, CB,
+            # double-model) evaluates — ~10 FMAs per (walker, star) pair
+            # instead of four transcendentals
+            return self.freecenter_offsets_arcmin(p, data)
         dx, dy = xy_offset_rad(data["ra"], data["dec"],
                                p["ra_center"], p["dec_center"], xp=jnp)
         return dx * _ARCMIN_PER_RAD, dy * _ARCMIN_PER_RAD
@@ -125,25 +129,9 @@ class ModelFit(Runner):
                 and self._canonical_freecenter_layout()
                 and star_table_fits_vmem(self.n_data))
 
-    def _freecenter_constants(self):
-        """Host float64 star constants of the exact shifted-centre projection
-        (ops.lnlike_kernels.model_freecenter_lnlike_batched docstring).  The
-        reference point is the catalog median centre — the identities are
-        exact at ANY walker offset, the point only anchors the float64
-        precomputation (and the exact f32 subtraction in the wrapper)."""
-        ra = np.asarray(self._host_arrays["ra"], np.float64)     # rad
-        dec = np.asarray(self._host_arrays["dec"], np.float64)
-        ra0 = float(np.median(ra))
-        dec0 = float(np.median(dec))
-        s0, c0 = float(np.sin(dec0)), float(np.cos(dec0))
-        d = ra - ra0
-        pm = _ARCMIN_PER_RAD * np.cos(dec) * np.cos(d)
-        qm = _ARCMIN_PER_RAD * np.cos(dec) * np.sin(d)
-        sm = _ARCMIN_PER_RAD * np.sin(dec)
-        dx0 = -qm
-        dy0 = sm * c0 - pm * s0
-        b0 = sm * s0 + pm * c0
-        return (ra0, dec0, s0, c0), (dx0, dy0, pm, qm, b0)
+    # _freecenter_constants / add_freecenter_columns /
+    # freecenter_offsets_arcmin live on Runner (models/base.py) — every
+    # free-centre model (ConstantFit, JAM) shares them
 
     def _freecenter_col_transform(self, ra0: float, dec0: float):
         """(shift, scale) arrays turning a free-centre theta into the kernel's

@@ -130,6 +130,79 @@ class TestFreeCenterFit:
         expected = np.array([float(fit.lnlike(t)) for t in thetas])
         np.testing.assert_allclose(got, expected, rtol=1e-11)
 
+    def test_identity_offsets_constant_fit(self):
+        """ConstantFit free-centre lnprob rides the same exact trig-identity
+        star constants; must equal the raw spherical-trig evaluation."""
+        import jax.numpy as jnp
+
+        from mcmc_dynamics_tpu.models import ConstantFit
+        from mcmc_dynamics_tpu.utils.coordinates import xy_offset_rad
+
+        data, _ = make_mock_cluster(n_stars=120, ra_center=RA_C,
+                                    dec_center=DEC_C, sigma_max=8.0,
+                                    v_max=3.0, theta_0=0.4, seed=6)
+        params = ConstantFit.default_parameters()
+        span = 0.02
+        params["ra_center"].set(value=RA_C, min=RA_C - span, max=RA_C + span)
+        params["dec_center"].set(value=DEC_C, min=DEC_C - span,
+                                 max=DEC_C + span)
+        fit = ConstantFit(data, parameters=params, seed=2)
+        assert not fit.center_is_fixed()
+        prepped = fit.prepare_data(dict(fit._data_arrays))
+        assert "fc_dx0" in prepped
+
+        rng = np.random.default_rng(4)
+        theta = jnp.asarray([0.5, 7.5, 2.0, -1.0,
+                             RA_C + 2e-3, DEC_C - 2e-3], fit.dtype)
+        got = float(fit.lnprob(theta))
+        # independent numpy: raw trig projection
+        p = fit.scaled_values(theta)
+        ra = np.asarray(fit._data_arrays["ra"])
+        dec = np.asarray(fit._data_arrays["dec"])
+        dx, dy = xy_offset_rad(ra, dec, float(p["ra_center"]),
+                               float(p["dec_center"]), xp=np)
+        r = np.hypot(dx, dy)
+        v_los = 0.5 + (dy * 2.0 - dx * (-1.0)) / np.where(r > 0, r, 1.0)
+        v = np.asarray(fit._data_arrays["v"])
+        verr = np.asarray(fit._data_arrays["verr"])
+        norm = verr ** 2 + 7.5 ** 2
+        expected = float(np.sum(-0.5 * np.log(2 * np.pi * norm)
+                                - 0.5 * (v - v_los) ** 2 / norm))
+        assert math.isclose(got, expected, rel_tol=1e-11)
+
+    def test_identity_offsets_jam(self):
+        """Axisymmetric's free-centre rotated coordinates through the identity
+        constants must equal the raw trig branch to float64 precision."""
+        import jax.numpy as jnp
+
+        from mcmc_dynamics_tpu.models import Axisymmetric
+        from test_axisymmetric import _base_params, _mock_jam_data
+
+        data, lum, mass = _mock_jam_data(n=80, seed=1)
+        params = _base_params()
+        span = 0.02
+        params["ra_center"].set(value=RA_C, fixed=False,
+                                min=RA_C - span, max=RA_C + span)
+        params["dec_center"].set(value=DEC_C, fixed=False,
+                                 min=DEC_C - span, max=DEC_C + span)
+        fit = Axisymmetric(data, parameters=params, mge_mass=mass,
+                           mge_lum=lum, seed=3)
+        assert not fit.center_is_fixed()
+        prepped = fit.prepare_data(dict(fit._data_arrays))
+        assert "fc_dx0" in prepped and "dxr" not in prepped
+
+        p = {"ra_center": jnp.asarray(math.radians(RA_C + 1.5e-3)),
+             "dec_center": jnp.asarray(math.radians(DEC_C - 1.5e-3)),
+             "kappa_x": jnp.asarray(0.5), "kappa_y": jnp.asarray(0.1)}
+        x_id, y_id = fit._rotated_coords_arcsec(p, prepped)
+        raw = {k: v for k, v in prepped.items()
+               if not k.startswith("fc_")}
+        x_tr, y_tr = fit._rotated_coords_arcsec(p, raw)
+        np.testing.assert_allclose(np.asarray(x_id), np.asarray(x_tr),
+                                   rtol=1e-11, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(y_id), np.asarray(y_tr),
+                                   rtol=1e-11, atol=1e-9)
+
     def test_freecenter_star_sharded_lnprob(self):
         """A free-centre fit star-shards exactly like a fixed-centre one (the
         generic per-star path; the fc_* data columns slice over sp)."""

@@ -26,6 +26,77 @@ def _box_params(n_walkers, seed=12):
     ])
 
 
+class TestBinnedTierPosteriorCertification:
+    """Posterior-level certification of the radially-binned sufficient tier
+    (ops/model_sufficient.py) at its production scale — the same importance-
+    reweighting protocol that certified the JAM grid tier (round 5): the
+    tier's ~1e-4 lnL binning bias is extensive in N while posterior widths
+    shrink ~1/sqrt(N), so moment-level gates alone cannot prove posterior
+    safety.  Reweighting binned-chain draws by exp(lnL_direct - lnL_binned)
+    yields exact direct-posterior draws; the weighted-vs-unweighted median
+    shift IS the tier-induced bias, free of chain-divergence noise.  Run at
+    the N where auto turns the tier on (16384)."""
+
+    def test_posterior_unbiased_at_auto_threshold(self, monkeypatch):
+        import jax
+
+        from mcmc_dynamics_tpu.mock import make_mock_cluster
+        from mcmc_dynamics_tpu.models import ModelFit
+
+        n_stars, n_walkers, n_steps, n_draws = 16384, 16, 200, 192
+        data, truth = make_mock_cluster(n_stars=n_stars, sigma_max=9.0,
+                                        v_max=4.0, theta_0=0.8, r_peak=60.0,
+                                        a=30.0, seed=8)
+        params = ModelFit.default_parameters()
+        params["ra_center"].set(value=56.345, fixed=True)
+        params["dec_center"].set(value=-26.675, fixed=True)
+        # UNBOUNDED a/r_peak priors: in auto mode that is exactly the case
+        # the binned tier (not the exact tensor tier) serves at N >= 16384
+        params["sigma_max"].set(max=50.0,
+                                initials="rng.uniform(8.0, 10.0, size=n)")
+        params["v_maxx"].set(initials="rng.normal(loc=0, scale=2, size=n)")
+        params["v_maxy"].set(initials="rng.normal(loc=0, scale=2, size=n)")
+        params["r_peak"].set(initials="rng.uniform(40, 90, size=n)")
+        params["a"].set(initials="rng.uniform(20, 45, size=n)")
+        fit = ModelFit(data, parameters=params, seed=3)
+
+        monkeypatch.setenv("MCMC_TPU_LNPROB", "auto")
+        assert fit._sufficient_eligible() and not fit._tensor_eligible()
+        binned = fit.build_lnprob_sufficient()
+        pos = fit.get_initials(n_walkers)
+        sampler = fit(n_walkers=n_walkers, n_steps=n_steps, pos=pos,
+                      prefix=None)
+        flat = sampler.chain[:, n_steps // 2:, :].reshape(
+            -1, sampler.chain.shape[-1])
+        rng = np.random.default_rng(5)
+        draws = flat[rng.choice(flat.shape[0], size=n_draws, replace=False)]
+        th = jnp.asarray(draws, fit.dtype)
+
+        lnp_binned = np.asarray(binned(th))
+        monkeypatch.setenv("MCMC_TPU_LNPROB", "direct")
+        lnp_direct = np.asarray(fit.build_lnprob_batched()(th))
+        assert np.isfinite(lnp_binned).all() and np.isfinite(lnp_direct).all()
+
+        delta = lnp_direct - lnp_binned
+        w = np.exp(delta - delta.max())
+        w /= w.sum()
+        ess = 1.0 / np.sum(w ** 2)
+        assert ess > 0.5 * n_draws, ess
+
+        def wmedian(x, weights):
+            order = np.argsort(x)
+            cw = np.cumsum(weights[order])
+            return x[order][np.searchsorted(cw, 0.5)]
+
+        for i, name in enumerate(fit.fitted_parameters):
+            x = draws[:, i]
+            shift = abs(wmedian(x, w) - np.median(x))
+            width = float(np.std(x))
+            assert shift < 0.2 * width, (
+                f"{name}: binned-tier median shift {shift:.4g} vs posterior "
+                f"sigma {width:.4g} ({shift / width:.2f})")
+
+
 class TestModelTensorStats:
     def test_matches_direct_lnlike(self):
         """Exact in the star sum: f64 agreement with the direct likelihood is
