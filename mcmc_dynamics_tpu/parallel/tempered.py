@@ -230,13 +230,14 @@ def run_tempered_sharded(runner, coords, key, n_steps: int, mesh: Mesh,
                  n_temps, moves, float(a), int(swap_every), int(n_steps),
                  n_walkers, ndim, bool(resumed), bool(carry_lnp),
                  str(runner.dtype))
-    cached = _PROGRAM_CACHE.get(cache_key)
+    cached = _PROGRAM_CACHE.pop(cache_key, None)
     if cached is not None:
         sharded_run = cached     # reuse the compiled program across chunks
-    else:
-        if len(_PROGRAM_CACHE) >= 8:
-            _PROGRAM_CACHE.clear()
-        _PROGRAM_CACHE[cache_key] = sharded_run
+    elif len(_PROGRAM_CACHE) >= 8:
+        # LRU-pop one entry (clearing all would recompile every ladder
+        # program in a loop alternating 9 configurations)
+        _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+    _PROGRAM_CACHE[cache_key] = sharded_run   # (re-)insert at MRU position
 
     step0 = int(step0)
     step_arr = jnp.asarray(step0, jnp.int32)
