@@ -256,6 +256,19 @@ class Axisymmetric(Runner):
     jam_grid_orders = (128, 12)
     jam_grid_min_stars = 4096
 
+    # grid-tier walker chunk, tuned SEPARATELY from the direct path's
+    # lnprob_chunk: per walker the grid path solves G = n_r x n_phi ~ 1536
+    # positions (~9 MB of pair tables, vs ~6 MB at the direct row's 1e3
+    # stars), so the footprint-vs-fusion balance shifts.  Measured optimum
+    # on v5e at the bench workload (16384 stars x 512 walkers, grid mode,
+    # all chunks interleaved in one process — tools/probe_jam_grid_chunk.py):
+    # 48.6k evals/s at 8, 56.5k at 16, 57.6k at 24, 57.5k at 32, 48.0k at
+    # 48, 48.7k at the direct optimum 64, 40.6k at 128, 37.2k at 256 — a
+    # 24-32 plateau (reps agree to <1%), +18% over riding lnprob_chunk; 32
+    # tiles the usual power-of-two ensembles evenly.  Re-run the probe
+    # before changing.
+    jam_grid_chunk = 32
+
     def _jam_grid_spec(self):
         """The polar-grid interpolation spec, or None for the direct path."""
         import os
@@ -361,7 +374,7 @@ class Axisymmetric(Runner):
             return None
 
         floor = self._grid_floor()
-        chunk = int(self.lnprob_chunk)
+        chunk = int(self.jam_grid_chunk)
 
         def single(theta, local):
             lspec = spec._replace(**{name: local[f"jam_{name}"]
@@ -400,7 +413,8 @@ class Axisymmetric(Runner):
                                 data)
                 return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
 
-        chunk = int(self.lnprob_chunk)
+        chunk = int(self.jam_grid_chunk if spec is not None
+                    else self.lnprob_chunk)
 
         def batched(thetas):
             if thetas.shape[0] <= chunk:
@@ -550,7 +564,7 @@ class Axisymmetric(Runner):
         return (h.hexdigest(), self.n_u, self.n_zeta, int(self.lnprob_chunk),
                 os.environ.get("MCMC_TPU_JAM", "auto"),
                 tuple(int(v) for v in self.jam_grid_orders),
-                int(self.jam_grid_min_stars))
+                int(self.jam_grid_min_stars), int(self.jam_grid_chunk))
 
     def compute_mass_posterior(self, chain, n_burn: int, n_samples: int = 1000,
                                seed: int = 0) -> np.ndarray:
