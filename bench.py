@@ -459,6 +459,22 @@ def bench_jam(rows):
         rows["jam-profiles/direct@16k"] = _measure(
             abigfit.build_lnprob_batched(), abpos, abigfit.dtype, n_steps=8,
             repeats=2)
+
+        # the N-decoupling claim at scale: the grid solve is star-independent,
+        # so 4x the catalog should cost only the (N, n_r) interpolation
+        # matmul's growth.  (The direct rate at 65k stars is ~614 evals/s —
+        # measured once in tools/probe_jam_grid_tpu.py, too slow to re-run
+        # every bench; the grid row keeps the at-scale rate on record.)
+        hdata, ra_h, dec_h = _mock_catalog(65536, rng)
+        hparams = bparams.copy()
+        hparams["ra_center"].set(value=ra_h, fixed=True)
+        hparams["dec_center"].set(value=dec_h, fixed=True)
+        hugefit = Axisymmetric(hdata, mge_mass=mass, mge_lum=lum,
+                               parameters=hparams)
+        os.environ["MCMC_TPU_JAM"] = "grid"
+        assert hugefit._jam_grid_spec() is not None
+        rows["jam/grid@65k"] = _measure(hugefit.build_lnprob_batched(), bpos,
+                                        hugefit.dtype, n_steps=40)
     finally:
         if prev_jam is None:
             os.environ.pop("MCMC_TPU_JAM", None)

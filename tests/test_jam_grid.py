@@ -139,6 +139,26 @@ class TestLnprobParity:
         # and the agreement must be much tighter than the lnL spread
         assert np.std(lp_dir) > 10 * np.max(np.abs(lp_grid - lp_dir))
 
+    def test_grid_chunked_matches_vmap(self, monkeypatch):
+        """jam_grid_chunk (the tier's own walker chunk, tuned separately from
+        lnprob_chunk on TPU) is a pure batching knob: lax.map(batch_size=c)
+        over the walkers must reproduce the un-chunked vmap to accumulation-
+        order noise, and the chunk must salt the program cache."""
+        fit = self._fit(monkeypatch, "grid")
+        rng = np.random.default_rng(12)
+        pos = (np.array([2.0, 0.5, 0.0])[None, :]
+               + rng.normal(0, [0.1, 0.05, 0.05], (12, 3)))
+        fit.jam_grid_chunk = 64                       # > W: pure vmap
+        salt_vmap = fit.program_cache_salt()
+        lp_vmap = np.asarray(fit.build_lnprob_batched()(
+            jnp.asarray(pos, fit.dtype)))
+        fit.jam_grid_chunk = 5                        # ragged lax.map path
+        assert fit.program_cache_salt() != salt_vmap
+        lp_map = np.asarray(fit.build_lnprob_batched()(
+            jnp.asarray(pos, fit.dtype)))
+        assert np.isfinite(lp_vmap).all()
+        np.testing.assert_allclose(lp_map, lp_vmap, rtol=1e-12)
+
     def test_auto_threshold(self, monkeypatch):
         fit = self._fit(monkeypatch, "auto")
         fit.jam_grid_min_stars = 4096
