@@ -425,6 +425,24 @@ def bench_jam(rows):
         rows["jam/direct@16k"] = _measure(bigfit.build_lnprob_batched(), bpos,
                                           bigfit.dtype, n_steps=8, repeats=2)
 
+        # the production IMBH fit at catalog scale: mbh SAMPLED through the
+        # grid tier (the per-walker grid solve carries the live erfcx BH
+        # chain; lnprob parity is pytest-pinned in
+        # test_grid_lnprob_matches_direct_free_mbh)
+        bhbparams = bparams.copy()
+        bhbparams["mbh"].set(value=1e5, min=0.0, max=1e6, fixed=False,
+                             initials="rng.uniform(1e4, 3e5, size=n)")
+        bhbigfit = Axisymmetric(bdata, mge_mass=mass, mge_lum=lum,
+                                parameters=bhbparams)
+        bhdraws, _ = jam_pos(w_big)
+        bhdraws["mbh"] = rng.uniform(1e4, 3e5, w_big)
+        bhbpos = np.column_stack([bhdraws[n]
+                                  for n in bhbigfit.compiled.free_names])
+        os.environ["MCMC_TPU_JAM"] = "grid"
+        assert bhbigfit._jam_grid_spec() is not None
+        rows["jam-bh/grid@16k"] = _measure(bhbigfit.build_lnprob_batched(),
+                                           bhbpos, bhbigfit.dtype, n_steps=60)
+
         # the flagship production model (AnalyticalProfiles,
         # reference bin/run.py:444-450) on the same 16k catalog: auto routes
         # it onto the grid tier, so its grid rate AND its direct cost must

@@ -159,6 +159,44 @@ class TestLnprobParity:
         assert np.isfinite(lp_vmap).all()
         np.testing.assert_allclose(lp_map, lp_vmap, rtol=1e-12)
 
+    def test_grid_lnprob_matches_direct_free_mbh(self, monkeypatch):
+        """The production IMBH workload: mbh SAMPLED through the grid tier.
+        The per-walker grid solve carries the closed-form erfcx BH chain, so
+        a live black-hole mass must ride the tier exactly like the fixed-mbh
+        case (the moment-level BH box is certified in TestGridMoments /
+        tools/probe_jam_grid.py; this pins lnprob-level parity — the BH cusp
+        is the steepest radial feature the 128-node log grid must resolve).
+        Reference workload: the cjam IMBH fits, axisymmetric.py:288-310."""
+        monkeypatch.setenv("MCMC_TPU_JAM", "grid")
+        data, lum, mass = _mock_jam_data(n=300, seed=5)
+        params = _base_params()
+        for name in ("mlr", "kappa_x", "kappa_y"):
+            params[name].set(fixed=False)
+        params["mbh"].set(value=1e5, min=0.0, max=1e6, fixed=False,
+                          initials="rng.uniform(1e4, 3e5, size=n)")
+        fit = Axisymmetric(data, parameters=params, mge_mass=mass,
+                           mge_lum=lum)
+        fit.jam_grid_min_stars = 100
+        assert fit._jam_grid_spec() is not None
+
+        rng = np.random.default_rng(13)
+        draws = {"mlr": rng.uniform(1.9, 2.1, 8),
+                 "kappa_x": rng.uniform(0.45, 0.55, 8),
+                 "kappa_y": rng.uniform(-0.05, 0.05, 8),
+                 "mbh": rng.uniform(1e4, 3e5, 8)}
+        pos = np.column_stack([draws[n] for n in fit.compiled.free_names])
+        lp_grid = np.asarray(fit.build_lnprob_batched()(
+            jnp.asarray(pos, fit.dtype)))
+
+        monkeypatch.setenv("MCMC_TPU_JAM", "direct")
+        assert fit._jam_grid_spec() is None
+        lp_dir = np.asarray(fit.build_lnprob_batched()(
+            jnp.asarray(pos, fit.dtype)))
+
+        assert np.isfinite(lp_grid).all()
+        np.testing.assert_allclose(lp_grid, lp_dir, rtol=0, atol=1.0)
+        assert np.std(lp_dir) > 10 * np.max(np.abs(lp_grid - lp_dir))
+
     def test_auto_threshold(self, monkeypatch):
         fit = self._fit(monkeypatch, "auto")
         fit.jam_grid_min_stars = 4096
