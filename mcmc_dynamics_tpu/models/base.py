@@ -774,6 +774,7 @@ class Runner:
                       and checkpoint_dir_is_shared(prefix))
         chain_parts, lnp_parts = [], []
         blocks: Dict[tuple, tuple] = {}    # walker_ids -> ([chain], [lnp])
+        assembled = (None, None)           # primary's in-memory (chain, lnp)
         chunk = n_out if n_out else n_steps
         done = 0
         result = None
@@ -826,7 +827,7 @@ class Runner:
                 logger.info("step %5d  <lnP> = %12.5e", done,
                             float(last_lnp.mean()))
                 if shard_ckpt:
-                    self.save_current_status_shards(
+                    assembled = self.save_current_status_shards(
                         blocks, snapshot(), prefix, (n_walkers, done, ndim))
                 elif prefix is not None:
                     # per-chunk checkpoint — crash/preemption loses at most
@@ -838,14 +839,18 @@ class Runner:
 
         if shard_ckpt:
             if not n_out:   # no per-chunk checkpoints happened: write one now
-                self.save_current_status_shards(
+                assembled = self.save_current_status_shards(
                     blocks, snapshot(), prefix, (n_walkers, done, ndim))
             # the canonical checkpoint the primary just assembled is the
             # replication channel for the API's full chain (shared storage,
-            # zero DCN) — every process reads it back for the SamplerResult
-            with np.load(f"{prefix}_chain.npz") as f:
-                chain = np.asarray(f["chain"])
-                lnprobability = np.asarray(f["lnprob"])
+            # zero DCN); the primary keeps its in-memory copy instead of
+            # re-parsing the multi-GB file it just wrote
+            if assembled[0] is not None:
+                chain, lnprobability = assembled
+            else:
+                with np.load(f"{prefix}_chain.npz") as f:
+                    chain = np.asarray(f["chain"])
+                    lnprobability = np.asarray(f["lnprob"])
         else:
             chain = np.concatenate(chain_parts, axis=1)
             lnprobability = np.concatenate(lnp_parts, axis=1)

@@ -321,17 +321,24 @@ class Axisymmetric(Runner):
 
         from .grid import JamGridSpec
 
-        orders = tuple(int(v) for v in self.jam_grid_orders)
+        # key on the CENTRE as well as the orders: the per-star bases are
+        # built from the fixed-centre offsets, so mutating ra/dec_center on a
+        # built fit (then re-running — _compiled_fp rebuilds the lnprob) must
+        # rebuild the spec too, or the tier would silently interpolate at the
+        # old star positions
+        ra_c = float(self.parameters["ra_center"].quantity.to(u.rad).value)
+        dec_c = float(self.parameters["dec_center"].quantity.to(u.rad).value)
+        key = (tuple(int(v) for v in self.jam_grid_orders), ra_c, dec_c)
         cached = getattr(self, "_jam_grid_cache", None)
-        if cached is None or cached[0] != orders:
+        if cached is None or cached[0] != key:
             dx, dy = self.fixed_center_offsets()
             spec = JamGridSpec.build(np.asarray(dx) * _ARCSEC_PER_RAD,
                                      np.asarray(dy) * _ARCSEC_PER_RAD,
-                                     n_r=orders[0], n_phi=orders[1],
+                                     n_r=key[0][0], n_phi=key[0][1],
                                      dtype=self.dtype)
             logger.info("JAM grid tier: %d stars -> %d x %d polar grid",
-                        self.n_data, orders[0], orders[1])
-            cached = (orders, spec)
+                        self.n_data, key[0][0], key[0][1])
+            cached = (key, spec)
             self._jam_grid_cache = cached
         return cached[1]
 

@@ -188,12 +188,21 @@ def checkpoint_dir_is_shared(prefix: str) -> bool:
 
     me, n = jax.process_index(), jax.process_count()
     probe = pathlib.Path(f"{prefix}.ckptprobe.{me}")
-    probe.write_text("probe")
+    # the write must NOT raise out of the handshake: every process has to
+    # reach the barrier/all-gather below or the rest of the pod wedges in
+    # the collective — an unwritable directory on one host just means "not
+    # shared", i.e. fall back to the replicating checkpoint path
+    try:
+        probe.write_text("probe")
+        ok = True
+    except OSError:
+        ok = False
     barrier("ckpt-probe-write")
-    ok = all(pathlib.Path(f"{prefix}.ckptprobe.{q}").exists()
-             for q in range(n))
+    ok = ok and all(pathlib.Path(f"{prefix}.ckptprobe.{q}").exists()
+                    for q in range(n))
     oks = multihost_utils.process_allgather(np.asarray([ok]))
-    barrier("ckpt-probe-read")   # nobody deletes before everyone has looked
+    # process_allgather returns only after every process contributed, i.e.
+    # after every process finished its exists() sweep — safe to unlink
     try:
         probe.unlink()
     except OSError:

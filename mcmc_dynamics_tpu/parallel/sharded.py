@@ -237,7 +237,15 @@ class ShardedResult:
     materialised lazily on first attribute access (old API, old semantics),
     while the shard-file checkpoint path (``Runner.save_current_status_shards``)
     reads only this process's own dp blocks via :meth:`local_blocks` — no
-    collective, no DCN, and non-primary hosts never hold the full chain."""
+    collective, no DCN, and non-primary hosts never hold the full chain.
+
+    .. warning:: on process-spanning meshes the lazy ``chain`` / ``log_prob``
+       / ``accepted`` / ``acceptance_fraction`` accesses are cross-host
+       COLLECTIVES: every process must access the attribute at the same
+       program point, exactly like any jax collective.  Primary-only access
+       (``if is_primary(): result.chain``) deadlocks the pod — use
+       :meth:`local_blocks` for process-local reads, or the shard-file
+       checkpoint, whose canonical ``.npz`` any single host may read."""
 
     def __init__(self, coords, lnp, key, acceptance_fraction=None, *,
                  chain=None, log_prob=None, accepted=None, raw=None):

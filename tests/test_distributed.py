@@ -63,6 +63,43 @@ class TestSingleProcessDegradation:
         assert dist.mesh_spans_processes(mesh) is False
 
 
+class TestCheckpointDirHandshake:
+    """checkpoint_dir_is_shared's probe logic, with the collectives stubbed
+    (the real two-process path is exercised by TestShardedCheckpoint).  The
+    contract under test: every process ALWAYS reaches the barrier/all-gather
+    — an unwritable directory on one host must yield False (fall back to the
+    replicating checkpoint), never an exception that wedges the pod."""
+
+    def _stub(self, monkeypatch, me=0, n=2):
+        import jax
+        from jax.experimental import multihost_utils
+        monkeypatch.setattr(jax, "process_count", lambda: n)
+        monkeypatch.setattr(jax, "process_index", lambda: me)
+        monkeypatch.setattr(dist, "barrier", lambda name="": None)
+        monkeypatch.setattr(multihost_utils, "process_allgather",
+                            lambda a: np.concatenate([a, a]))
+
+    def test_single_process_trivially_shared(self, tmp_path):
+        assert dist.checkpoint_dir_is_shared(str(tmp_path / "ck")) is True
+
+    def test_all_probes_visible_is_shared(self, monkeypatch, tmp_path):
+        self._stub(monkeypatch)
+        prefix = str(tmp_path / "ck")
+        (tmp_path / "ck.ckptprobe.1").write_text("probe")   # peer's marker
+        assert dist.checkpoint_dir_is_shared(prefix) is True
+        # own probe cleaned up afterwards
+        assert not (tmp_path / "ck.ckptprobe.0").exists()
+
+    def test_missing_peer_probe_not_shared(self, monkeypatch, tmp_path):
+        self._stub(monkeypatch)
+        assert dist.checkpoint_dir_is_shared(str(tmp_path / "ck")) is False
+
+    def test_unwritable_dir_degrades_not_crashes(self, monkeypatch, tmp_path):
+        self._stub(monkeypatch)
+        prefix = str(tmp_path / "does-not-exist" / "ck")
+        assert dist.checkpoint_dir_is_shared(prefix) is False
+
+
 _WORKER = textwrap.dedent("""
     import json, os, sys
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"

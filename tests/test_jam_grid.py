@@ -197,6 +197,22 @@ class TestLnprobParity:
         np.testing.assert_allclose(lp_grid, lp_dir, rtol=0, atol=1.0)
         assert np.std(lp_dir) > 10 * np.max(np.abs(lp_grid - lp_dir))
 
+    def test_grid_spec_rebuilds_on_center_change(self, monkeypatch):
+        """The spec cache is keyed on the centre, not just the orders: the
+        per-star bases are built from fixed-centre offsets, so mutating
+        ra/dec_center on a built fit must rebuild the spec (a stale spec
+        would silently interpolate moments at the OLD star positions)."""
+        fit = self._fit(monkeypatch, "grid")
+        spec0 = fit._jam_grid_spec()
+        assert fit._jam_grid_spec() is spec0       # same centre: cached
+        ra0 = fit.parameters["ra_center"].quantity.to("deg").value
+        fit.parameters["ra_center"].set(value=float(ra0) + 30.0 / 3600.0)
+        spec1 = fit._jam_grid_spec()
+        assert spec1 is not spec0
+        # and the rebuilt bases actually reflect the shifted star offsets
+        assert not np.allclose(np.asarray(spec1.t_star),
+                               np.asarray(spec0.t_star))
+
     def test_auto_threshold(self, monkeypatch):
         fit = self._fit(monkeypatch, "auto")
         fit.jam_grid_min_stars = 4096
