@@ -865,6 +865,58 @@ def validate():
                                           parameters=ajparams.copy()),
                profiles_draws)
 
+    # ChemoProfiles on the grid tier: one grid solve per population plus the
+    # (spatial x velocity x metallicity) logsumexp mixture — its accuracy
+    # evidence was previously only a hand probe (tools/probe_chemo_grid_tpu.py);
+    # this row makes it a gate.  Needs its own catalog (feh columns) and a
+    # population-tagged luminous MGE.
+    from mcmc_dynamics_tpu.models import ChemoProfiles
+    from mcmc_dynamics_tpu.utils import DataReader
+
+    crng = np.random.default_rng(10)
+    ncs = 500
+    r_ch = np.abs(crng.normal(0, 40, ncs)) + 1.0
+    phi_ch = crng.uniform(-np.pi, np.pi, ncs)
+    x_ch, y_ch = r_ch * np.cos(phi_ch), r_ch * np.sin(phi_ch)
+    pop_ch = crng.random(ncs) < 0.6
+    cdata = DataReader({
+        "ra": u.Quantity(ra_c2 - (x_ch / 3600.0)
+                         / np.cos(np.radians(dec_c2)), "deg"),
+        "dec": u.Quantity(dec_c2 + y_ch / 3600.0, "deg"),
+        "v": u.Quantity(3.0 * crng.normal(size=ncs), "km/s"),
+        "verr": u.Quantity(np.full(ncs, 0.3), "km/s"),
+        "feh": np.where(pop_ch, -0.5, 0.2) + 0.1 * crng.normal(size=ncs),
+        "feherr": np.full(ncs, 0.05)})
+    clum = MgeReader(Table({"i": u.Quantity([5000.0, 800.0], "solLum/pc2"),
+                            "s": u.Quantity([10.0, 40.0], "arcsec"),
+                            "q": [0.9, 0.9], "pop": [0, 1]}), lum=True)
+    cmass = MgeReader(Table({"i": u.Quantity([5000.0, 800.0], "solMass/pc2"),
+                             "s": u.Quantity([10.0, 40.0], "arcsec"),
+                             "q": [0.9, 0.9]}), lum=False)
+    cparams = ChemoProfiles.default_parameters(2)
+    for name, val in dict(d=5.0, mlr_0=2.0, mlr_t=2.0, mlr_inf=2.0,
+                          r_mlr=20.0, barq=0.5, beta=0.0, ra_center=ra_c2,
+                          dec_center=dec_c2, mu_feh_b=0.2, sigma_feh_b=0.1,
+                          kappa_max_b=-0.2,
+                          logr_kappa_b=float(np.log10(30.0 / 60.0)),
+                          h_ab=0.2, sigma_feh_a=0.12,
+                          logr_kappa_a=float(np.log10(20.0 / 60.0))).items():
+        cparams[name].set(value=val, fixed=True)
+    cparams["kappa_max_a"].set(value=0.4, min=-2.0, max=2.0, fixed=False)
+    cparams["mu_feh_a"].set(value=-0.5, min=-1.0, max=1.0, fixed=False)
+    cparams["h_aa"].set(value=0.8, min=0.0, max=1.0, fixed=False)
+
+    def chemo_draws():
+        grng = np.random.default_rng(11)
+        return {"kappa_max_a": grng.uniform(0.2, 0.6, 64),
+                "mu_feh_a": grng.uniform(-0.6, -0.4, 64),
+                "h_aa": grng.uniform(0.7, 0.95, 64)}
+
+    check_grid("jam-chemo/grid-vs-dir",
+               lambda: ChemoProfiles(cdata, mge_mass=cmass, mge_lum=clum,
+                                     parameters=cparams.copy(), n_pops=2),
+               chemo_draws)
+
     # checkpoint-resume bitwise determinism ON THE DEVICE in f32: the f64 CPU
     # suite proves the chunk-split rule, but the rule exists precisely because
     # f32 fusion of a top-level lnprob call need not match the in-scan call —
